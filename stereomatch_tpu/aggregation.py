@@ -1,0 +1,49 @@
+"""Aggregation API — class surface mirroring the reference
+(stereomatch/aggregation.py:12-57)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .ops.aggregation import semiglobal_aggregate
+from .utils import validation
+
+
+class Semiglobal:
+    """Semiglobal-matching aggregation (Hirschmuller 2005) over 8 path
+    directions with an image-gradient-adaptive second penalty.
+
+    Reference: stereomatch/aggregation.py:12-57.  (Its docstring claims 6
+    directions; the code runs 4 families x forward/inverse = 8 traversals,
+    src/semiglobal.cpp:18-91,191-194 — this implementation matches the code.)
+
+    Unlike the CUDA version there is no power-of-two constraint on the
+    disparity axis, and ``sga_volume=`` reuse arguments are accepted but
+    ignored (buffer lifetime is XLA's under jit).
+    """
+
+    def __init__(self, penalty1: float = 0.1, penalty2: float = 0.2):
+        """
+        Args:
+            penalty1: cost penalty for changing disparity by one level.
+            penalty2: base penalty for larger disparity jumps, scaled by the
+              inverse image gradient (P2_adj = max(P1, P2 / |dI|)).
+        """
+        self.penalty1 = penalty1
+        self.penalty2 = penalty2
+
+    def __call__(self, cost_volume, left_image,
+                 sga_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cost_volume = jnp.asarray(cost_volume)
+        left_image = jnp.asarray(left_image)
+        validation.check_cost_volume(cost_volume)
+        validation.check_rank("left_image", left_image, 2)
+        if cost_volume.shape[:2] != left_image.shape:
+            raise validation.ShapeError(
+                f"cost_volume spatial dims {cost_volume.shape[:2]} do not "
+                f"match left_image {left_image.shape}")
+        return semiglobal_aggregate(cost_volume, left_image,
+                                    penalty1=float(self.penalty1),
+                                    penalty2=float(self.penalty2))

@@ -1,0 +1,94 @@
+"""Cost-function API — class surface mirroring the reference
+(stereomatch/cost.py:13-101), backed by the jitted TPU kernels in
+``stereomatch_tpu.ops.cost``.
+
+API notes vs. the reference:
+  * ``cost_volume=`` reuse arguments are accepted for source compatibility
+    but ignored: the reference reuses output buffers to avoid cudaMalloc
+    churn (stereomatch/_common.py:15-53); under jit, XLA owns buffers and
+    the pipeline uses donation instead (see pipeline.Pipeline).
+  * ``max_disparity`` is a mutable attribute, as the reference's evaluation
+    workflow requires (workflows/evaluation/workflow.py:34 mutates it
+    per scene).
+  * ``Birchfield`` honours ``kernel_size`` (the reference has a typo'd
+    ``kerne_size`` attribute and hardcodes 4, stereomatch/cost.py:90,98-99 —
+    defect, not replicated; the default remains 4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .ops.cost import (birchfield_cost_volume, ssd_cost_volume,
+                       ssd_texture_cost_volume)
+from .texture import TextureImage
+from .utils import validation
+
+
+class SSD:
+    """Sum-of-squared-differences cost (reference: stereomatch/cost.py:13-48).
+
+    Attributes:
+        max_disparity: number of disparity hypotheses (the D axis).
+        kernel_size: SSD window half-extent k; the window is [i-k, i+k).
+        cost_volume_dtype: output dtype (float32 or int32).
+    """
+
+    def __init__(self, max_disparity: int, kernel_size: int = 7,
+                 cost_volume_dtype=jnp.float32):
+        validation.check_positive("max_disparity", max_disparity)
+        validation.check_positive("kernel_size", kernel_size)
+        self.max_disparity = max_disparity
+        self.kernel_size = kernel_size
+        self.cost_volume_dtype = cost_volume_dtype
+
+    def __call__(self, left_image, right_image,
+                 cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        return ssd_cost_volume(left_image, right_image,
+                               max_disparity=self.max_disparity,
+                               kernel_size=self.kernel_size,
+                               cost_dtype=self.cost_volume_dtype)
+
+
+class SSDTexture:
+    """SSD over sampled textures (reference: stereomatch/cost.py:51-77).
+
+    Operates on :class:`~stereomatch_tpu.texture.TextureImage` inputs; the
+    pipeline auto-wraps plain arrays (pipeline.py:22-33 in the reference).
+    """
+
+    def __init__(self, max_disparity: int, kernel_size: int = 7):
+        validation.check_positive("max_disparity", max_disparity)
+        self.max_disparity = max_disparity
+        self.kernel_size = kernel_size
+
+    def __call__(self, left_image: TextureImage, right_image: TextureImage,
+                 cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        return ssd_texture_cost_volume(left_image, right_image,
+                                       max_disparity=self.max_disparity,
+                                       kernel_size=self.kernel_size)
+
+
+class Birchfield:
+    """Birchfield–Tomasi sampling-insensitive cost
+    (reference: stereomatch/cost.py:80-101)."""
+
+    def __init__(self, max_disparity: int, kernel_size: int = 4):
+        validation.check_positive("max_disparity", max_disparity)
+        validation.check_positive("kernel_size", kernel_size)
+        self.max_disparity = max_disparity
+        self.kernel_size = kernel_size
+
+    def __call__(self, left_image, right_image,
+                 cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        return birchfield_cost_volume(left_image, right_image,
+                                      max_disparity=self.max_disparity,
+                                      kernel_size=self.kernel_size)

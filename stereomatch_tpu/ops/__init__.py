@@ -1,0 +1,22 @@
+"""Functional, jittable TPU kernels (the compute path).
+
+These are the TPU-native equivalents of the reference's native kernel layer
+(src/*.cu, src/semiglobal.cpp); the class-based API in the package root wraps
+them with the reference's Python surface.
+"""
+
+from .aggregation import semiglobal_aggregate
+from .cost import (birchfield_cost_volume, ssd_cost_volume,
+                   ssd_texture_cost_volume)
+from .disparity import (dynamic_programming, dynamic_programming_with_paths,
+                        winner_takes_all)
+
+__all__ = [
+    "birchfield_cost_volume",
+    "dynamic_programming",
+    "dynamic_programming_with_paths",
+    "semiglobal_aggregate",
+    "ssd_cost_volume",
+    "ssd_texture_cost_volume",
+    "winner_takes_all",
+]

@@ -1,0 +1,229 @@
+"""Cost-volume construction kernels (functional, jittable).
+
+TPU-native re-design of the reference CUDA cost kernels:
+
+* SSD   — reference ``src/ssd.cu:15-81`` recomputes a k^2 window per
+  (pixel, disparity): O(H*W*D*k^2) scalar MACs.  Here the squared-difference
+  volume ``diff2[h, w, d] = (L[h, w] - R[h, w - d])^2`` is built once as a
+  vectorized [H, W, D] array (disparity on the TPU lane axis) and the window
+  sum becomes a *separable* box filter — two 1-D ``lax.reduce_window`` passes
+  — O(H*W*D*k).  Direct windowed summation keeps float32 exactness (no
+  integral-image cancellation).
+
+* Birchfield–Tomasi — reference ``src/birchfield_cost.cu:70-140`` (the CUDA
+  variant, which stages zero-padded scanlines in shared memory).  The
+  sampling-insensitive per-pixel match cost is vectorized over [H, W, D] and
+  the +/-4 scanline window becomes a 1-D box filter along W.
+
+Semantics matched to the reference:
+  - window extents are *clipped*, not normalized: rows [r-k, r+k) and columns
+    [max(c-k, d), min(c+k, W))  (ssd.cu:37-42; clipping to ``max(c-k, d)`` is
+    realised here by zero-masking diff2 where w < d before the box sum);
+  - cost at disparities d > c is +infinity (ssd.cu:58-60);
+  - Birchfield window: p in [max(d, x-K), min(W, x+K)), K=4, with zero-valued
+    one-pixel borders on each scanline (birchfield_cost.cu:95-100).
+
+Deviation (documented): the reference's Birchfield kernel leaves cells with
+d > x *uninitialized* (it only writes d < min(D, x+1), birchfield_cost.cu:105)
+because the output comes from ``torch.empty``.  Here they are filled with
++infinity, consistent with the SSD kernel's empty_value, so downstream
+reducers never select an invalid disparity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils import validation
+
+
+def _inf_value(dtype) -> jnp.ndarray:
+    """+infinity for float dtypes, max value for integer dtypes.
+
+    Mirrors NumericLimits<T>::infinity() (include/stereomatch/numeric.hpp:12-50).
+    """
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(jnp.inf, dtype=dtype)
+    return jnp.array(jnp.iinfo(dtype).max, dtype=dtype)
+
+
+def _compute_dtype(image_dtype, cost_dtype):
+    """Accumulation dtype for the cost sums."""
+    cost_dtype = jnp.dtype(cost_dtype)
+    if jnp.issubdtype(cost_dtype, jnp.floating):
+        return jnp.float32
+    return jnp.int32
+
+
+def shifted_right_stack(right: jnp.ndarray, max_disparity: int) -> jnp.ndarray:
+    """Build S[h, w, d] = right[h, w - d] (zero where w < d).
+
+    One vectorized gather with a clamped index; the d axis lands on TPU vector
+    lanes.  This is the TPU equivalent of each CUDA thread reading
+    ``right_image[krow][kcol - disp]`` (ssd.cu:49).
+    """
+    width = right.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    src = w_idx - d_idx                          # [W, D]
+    valid = src >= 0
+    gathered = jnp.take(right, jnp.maximum(src, 0), axis=1)  # [H, W, D]
+    return jnp.where(valid[None, :, :], gathered, jnp.zeros((), right.dtype))
+
+
+def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
+    """Separable clipped box sum with the reference's half-open window.
+
+    The reference window along an axis is [i - k, i + k) — 2k taps
+    (ssd.cu:37-42) — realised with asymmetric padding (k, k-1).  Values
+    outside the array contribute zero, which matches window *clipping*
+    because the summand is non-negative and the pad is additive identity.
+    """
+    k = kernel_size
+    window = [1] * volume.ndim
+    padding = [(0, 0)] * volume.ndim
+    for ax in axes:
+        window[ax] = 2 * k
+        padding[ax] = (k, k - 1)
+    return lax.reduce_window(
+        volume,
+        jnp.zeros((), volume.dtype),
+        lax.add,
+        window_dimensions=tuple(window),
+        window_strides=(1,) * volume.ndim,
+        padding=tuple(padding),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size",
+                                             "cost_dtype"))
+def ssd_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
+                    max_disparity: int, kernel_size: int = 7,
+                    cost_dtype=jnp.float32) -> jnp.ndarray:
+    """Sum-of-squared-differences cost volume [H, W, D].
+
+    Equivalent to CostOps::ComputeSSD (src/ssd.cu:64-81): for each pixel and
+    disparity d <= c, the sum over the clipped window of
+    (L[r, c] - R[r, c - d])^2; +inf (or int max) where d > c.
+    """
+    compute_dtype = _compute_dtype(left.dtype, cost_dtype)
+    left_c = left.astype(compute_dtype)
+    right_c = right.astype(compute_dtype)
+
+    shifted = shifted_right_stack(right_c, max_disparity)    # [H, W, D]
+    diff = left_c[:, :, None] - shifted
+    diff2 = diff * diff
+
+    # Zero out w < d so the box window's lower column bound becomes
+    # max(c - k, d), matching ssd.cu:40-42.
+    width = left.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (w_idx >= d_idx)[None, :, :]
+    diff2 = jnp.where(valid, diff2, jnp.zeros((), compute_dtype))
+
+    cost = _box_sum(diff2, kernel_size, axes=(0, 1))
+
+    cost = jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
+    return cost
+
+
+def _birchfield_match_cost(left: jnp.ndarray, right: jnp.ndarray,
+                           max_disparity: int) -> jnp.ndarray:
+    """Per-pixel Birchfield–Tomasi dissimilarity m[h, p, d].
+
+    Vectorized form of the shared-memory scanline body in
+    src/birchfield_cost.cu:110-135, with the zero borders of
+    birchfield_cost.cu:95-100 realised by one-pixel zero padding.
+    """
+    height, width = left.shape
+    zeros_col = jnp.zeros((height, 1), left.dtype)
+    lpad = jnp.concatenate([zeros_col, left, zeros_col], axis=1)   # [H, W+2]
+    rpad = jnp.concatenate([zeros_col, right, zeros_col], axis=1)
+
+    l_c = left                                  # L[p]
+    l_m = lpad[:, :width]                       # L[p-1] (zero border)
+    l_p = lpad[:, 2:]                           # L[p+1] (zero border)
+
+    # Right samples at p - d (+ neighbours), via one clamped gather into the
+    # padded scanline: rpad[i] = R[i-1], rpad[0] = rpad[W+1] = 0.
+    p_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    centre = p_idx - d_idx + 1                  # index of R[p-d] in rpad
+    r_c = jnp.take(rpad, jnp.clip(centre, 0, width + 1), axis=1)
+    r_m = jnp.take(rpad, jnp.clip(centre - 1, 0, width + 1), axis=1)
+    r_p = jnp.take(rpad, jnp.clip(centre + 1, 0, width + 1), axis=1)
+
+    half = jnp.asarray(0.5, left.dtype)
+    la = half * (l_c + l_m)
+    lb = half * (l_c + l_p)
+    ra = half * (r_c + r_m[..., :])
+    rb = half * (r_c + r_p[..., :])
+
+    l_c3 = l_c[:, :, None]
+    la3, lb3 = la[:, :, None], lb[:, :, None]
+
+    lmin = jnp.minimum(jnp.minimum(la3, lb3), l_c3)
+    lmax = jnp.maximum(jnp.maximum(la3, lb3), l_c3)
+    rmin = jnp.minimum(jnp.minimum(ra, rb), r_c)
+    rmax = jnp.maximum(jnp.maximum(ra, rb), r_c)
+
+    zero = jnp.zeros((), left.dtype)
+    term_l = jnp.maximum(jnp.maximum(zero, l_c3 - rmax), rmin - l_c3)
+    term_r = jnp.maximum(jnp.maximum(zero, r_c - lmax), lmin - r_c)
+    return jnp.minimum(term_l, term_r)          # [H, W, D]
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size"))
+def birchfield_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
+                           max_disparity: int,
+                           kernel_size: int = 4) -> jnp.ndarray:
+    """Birchfield–Tomasi sampling-insensitive cost volume [H, W, D] float32.
+
+    Equivalent to CostOps::ComputeBirchfield (src/birchfield_cost.cu:153-181)
+    in its CUDA form.  ``kernel_size`` defaults to 4 — the reference hardcodes
+    it despite accepting an argument (stereomatch/cost.py:98-99).
+    """
+    left_f = left.astype(jnp.float32)
+    right_f = right.astype(jnp.float32)
+
+    m = _birchfield_match_cost(left_f, right_f, max_disparity)
+
+    width = left.shape[1]
+    p_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (p_idx >= d_idx)[None, :, :]
+    m = jnp.where(valid, m, 0.0)
+
+    cost = _box_sum(m, kernel_size, axes=(1,))
+    return jnp.where(valid, cost, jnp.inf)
+
+
+def ssd_texture_cost_volume(left_texture, right_texture, *,
+                            max_disparity: int,
+                            kernel_size: int = 7) -> jnp.ndarray:
+    """SSD over sampled textures.
+
+    TPU port of the tex2D-based kernel (src/ssd.cu:83-136).  TPUs have no
+    texture units; the texture abstraction (`stereomatch_tpu.texture`) is a
+    gather-based sampler with clamp addressing and nearest filtering, which
+    over integer pixel centres returns the underlying image exactly — so the
+    cost matches `ssd_cost_volume` bit-for-bit, mirroring the reference where
+    the texture and tensor paths agree (tests/test_cost.py:41-57).
+    """
+    from ..texture import TextureImage  # local import to avoid cycle
+
+    if not isinstance(left_texture, TextureImage):
+        raise TypeError("ssd_texture_cost_volume expects TextureImage inputs")
+    if left_texture.use_normalized_coords or right_texture.use_normalized_coords:
+        raise RuntimeError(
+            "Texture coordinates can't be normalized for this implementation")
+    left = left_texture.sample_grid()
+    right = right_texture.sample_grid()
+    return ssd_cost_volume(left, right, max_disparity=max_disparity,
+                           kernel_size=kernel_size, cost_dtype=jnp.float32)

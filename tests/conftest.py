@@ -1,0 +1,109 @@
+"""Test configuration.
+
+Tests run on the XLA:CPU backend with 8 virtual devices so that sharding
+tests exercise a real mesh without TPU hardware, mirroring how the driver
+validates the multi-chip path.  The env vars must be set before jax
+initializes its backends, hence the top-of-file placement.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+from pathlib import Path  # noqa: E402
+import dataclasses  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# The reference pins these in pytest_configure (tests/conftest.py:81-86).
+STM_MAX_DISPARITY = 16
+TEST_OUTPUT_PATH = Path(__file__).parent / "test-result"
+
+
+def synthetic_stereo_pair(height: int, width: int, max_disparity: int,
+                          seed: int = 7):
+    """Procedural rectified stereo pair with exact ground-truth disparity.
+
+    The reference test suite uses the Middlebury 2003 *teddy* pair
+    (tests/conftest.py:15-31), which cannot be fetched offline; this scene —
+    a smooth random texture with disparity-shifted layered boxes — plays the
+    same role and additionally provides exact ground truth for bad-pixel
+    metrics (the reference has none checked in).
+
+    Returns (left, right, gt_disparity) float32/float32/int32, with
+    left[y, x] = right[y, x - gt[y, x]].
+    """
+    rng = np.random.default_rng(seed)
+
+    # Smooth but feature-rich texture for the right image.
+    noise = rng.standard_normal((height, width + max_disparity)).astype(np.float32)
+    texture = noise.copy()
+    for _ in range(3):
+        texture = (texture
+                   + np.roll(texture, 1, 0) + np.roll(texture, -1, 0)
+                   + np.roll(texture, 1, 1) + np.roll(texture, -1, 1)) / 5.0
+    texture += 0.15 * noise  # keep high-frequency detail for matching
+    texture -= texture.min()
+    texture /= max(texture.max(), 1e-6)
+
+    # Layered ground-truth disparity: background plane + boxes.
+    gt = np.full((height, width), max(max_disparity // 8, 1), np.int32)
+    n_boxes = 4
+    for i in range(n_boxes):
+        h0 = int(rng.integers(0, max(height - 8, 1)))
+        w0 = int(rng.integers(0, max(width - 8, 1)))
+        bh = int(rng.integers(height // 6 + 1, height // 2 + 2))
+        bw = int(rng.integers(width // 6 + 1, width // 2 + 2))
+        d = int(rng.integers(1, max_disparity - 1))
+        gt[h0:h0 + bh, w0:w0 + bw] = d
+
+    # Guarantee d <= x validity near the left edge.
+    xs = np.arange(width)[None, :]
+    gt = np.minimum(gt, np.maximum(xs, 0)).astype(np.int32)
+
+    right = texture[:, max_disparity:].astype(np.float32)
+    xr = xs - gt
+    left = np.take_along_axis(texture[:, max_disparity:], xr, axis=1)
+    return left.astype(np.float32), right.astype(np.float32), gt
+
+
+@dataclasses.dataclass
+class CostFixture:
+    """Mirrors the reference's CostFixture (tests/conftest.py:34-50)."""
+    volume: np.ndarray
+    left_image: np.ndarray
+
+
+@pytest.fixture(scope="session")
+def stereo_pair_small():
+    """Small pair for exact oracle comparisons (oracles are O(HWDk^2))."""
+    left, right, gt = synthetic_stereo_pair(21, 33, STM_MAX_DISPARITY)
+    return left, right
+
+
+@pytest.fixture(scope="session")
+def stereo_pair_medium():
+    """Teddy-shaped (scaled-down) pair for integration/metric tests."""
+    return synthetic_stereo_pair(64, 128, STM_MAX_DISPARITY)
+
+
+@pytest.fixture(scope="session")
+def ssd_cost_small(stereo_pair_small):
+    """SSD cost volume fixture for aggregation/reduce tests, like the
+    reference's ssd_cost fixture (tests/conftest.py:53-78)."""
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    left, right = stereo_pair_small
+    vol = np.asarray(ssd_cost_volume(left, right,
+                                     max_disparity=STM_MAX_DISPARITY))
+    return CostFixture(volume=vol, left_image=left)
+
+
+def pytest_configure():
+    pytest.STM_TEST_OUTPUT_PATH = TEST_OUTPUT_PATH
+    pytest.STM_MAX_DISPARITY = STM_MAX_DISPARITY
+    TEST_OUTPUT_PATH.mkdir(exist_ok=True, parents=True)

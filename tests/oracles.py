@@ -1,0 +1,182 @@
+"""Naive NumPy oracles transcribing the reference kernels' semantics.
+
+These are deliberately slow, per-pixel implementations that follow the
+reference CUDA/C++ control flow one-to-one, used as the correctness anchor
+for the vectorized TPU ops — the same oracle pattern the reference uses
+(its CPU kernels anchor its GPU kernels, tests/test_cost.py:41-57).
+
+Citations refer to /root/reference source locations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INF = np.float32(np.inf)
+
+
+def ssd_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
+               kernel_size: int = 7) -> np.ndarray:
+    """src/ssd.cu:31-61 (SSDKernel::operator())."""
+    height, width = left.shape
+    k = kernel_size
+    left = left.astype(np.float32)
+    right = right.astype(np.float32)
+    cost = np.empty((height, width, max_disparity), np.float32)
+    for row in range(height):
+        for col in range(width):
+            for disp in range(min(col + 1, max_disparity)):
+                row_start, row_end = max(row - k, 0), min(row + k, height)
+                col_start = abs(min(col - disp - k, 0)) + col - k
+                col_end = min(col + k, width)
+                lw = left[row_start:row_end, col_start:col_end]
+                rw = right[row_start:row_end, col_start - disp:col_end - disp]
+                d = lw - rw
+                cost[row, col, disp] = np.sum(d * d)
+            for disp in range(col + 1, max_disparity):
+                cost[row, col, disp] = INF
+    return cost
+
+
+def birchfield_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
+                      kernel_size: int = 4) -> np.ndarray:
+    """src/birchfield_cost.cu:83-139 (the CUDA variant: zero-padded scanlines).
+
+    Cells with d > x, which the reference leaves uninitialized, are +inf here
+    (matching the TPU implementation's documented deviation).
+    """
+    height, width = left.shape
+    K = kernel_size
+    cost = np.full((height, width, max_disparity), INF, np.float32)
+    lpad = np.zeros((height, width + 2), np.float32)
+    rpad = np.zeros((height, width + 2), np.float32)
+    lpad[:, 1:-1] = left
+    rpad[:, 1:-1] = right
+    for y in range(height):
+        L, R = lpad[y], rpad[y]
+        for x in range(width):
+            for disp in range(min(max_disparity, x + 1)):
+                start = max(0, x - disp - K) + disp
+                end = min(width, x + K)
+                total = np.float32(0)
+                for p in range(start, end):
+                    li, ri = p + 1, p - disp + 1
+                    lI, rI = L[li], R[ri]
+                    laI = 0.5 * (lI + L[li - 1])
+                    lbI = 0.5 * (lI + L[li + 1])
+                    raI = 0.5 * (rI + R[ri - 1])
+                    rbI = 0.5 * (rI + R[ri + 1])
+                    lmi, lma = min(laI, lbI, lI), max(laI, lbI, lI)
+                    rmi, rma = min(raI, rbI, rI), max(raI, rbI, rI)
+                    total += min(max(0.0, lI - rma, rmi - lI),
+                                 max(0.0, rI - lma, lmi - rI))
+                cost[y, x, disp] = total
+    return cost
+
+
+def _sgm_path(cost, image, out, start, direction, size, p1, p2):
+    """src/semiglobal.cpp:116-159 (SGMCostOperator::operator())."""
+    max_disp = cost.shape[2]
+    x, y = start
+    prev = cost[y, x].astype(np.float64).copy()
+    out[y, x] += prev
+    prev_int = image[y, x]
+    for _ in range(1, size):
+        prev_min = prev.min()
+        x += direction[0]
+        y += direction[1]
+        intensity = image[y, x]
+        dI = abs(float(intensity) - float(prev_int))
+        p2_adj = max(p1, p2 / dI) if dI > 0 else INF
+        prev_int = intensity
+        cur = np.empty_like(prev)
+        for d in range(max_disp):
+            c_m1 = prev[d - 1] if d > 0 else INF
+            c_p1 = prev[d + 1] if d < max_disp - 1 else INF
+            cur[d] = cost[y, x, d] + min(prev[d], c_m1 + p1, c_p1 + p1,
+                                         prev_min + p2_adj) - prev_min
+        out[y, x] += cur
+        prev = cur
+
+
+def generate_sgm_paths(width: int, height: int):
+    """src/semiglobal.cpp:18-91 (SGPixelPath::GeneratePaths).
+
+    Yields (start_xy, direction_xy, size) triples; each is also traversed
+    inverted by the caller (semiglobal.cpp:191-194).
+    """
+    paths = []
+    for i in range(height):                       # horizontal
+        paths.append(((0, i), (1, 0), width))
+    for i in range(width):                        # vertical
+        paths.append(((i, 0), (0, 1), height))
+    for i in range(width):                        # diag down-right, top edge
+        start = (width - 1 - i, 0)
+        end_y = min(i, height - 1)
+        paths.append((start, (1, 1), end_y - 0 + 1))
+    for i in range(height - 1):                   # diag down-right, left edge
+        start = (0, i + 1)
+        end_x = min(height - 1 - (i + 1), width - 1)
+        paths.append((start, (1, 1), end_x - 0 + 1))
+    for i in range(width):                        # diag down-left, top edge
+        paths.append(((i, 0), (-1, 1), min(i + 1, height)))
+    for i in range(height - 1):                   # diag down-left, right edge
+        paths.append(((width - 1, i + 1), (-1, 1),
+                      min(height - (i + 1), width)))
+    return paths
+
+
+def _invert_path(start, direction, size):
+    """src/semiglobal.hpp SGPixelPath::inverse()."""
+    end = (start[0] + direction[0] * (size - 1),
+           start[1] + direction[1] * (size - 1))
+    return end, (-direction[0], -direction[1]), size
+
+
+def sgm_oracle(cost: np.ndarray, image: np.ndarray,
+               p1: float = 0.1, p2: float = 0.2) -> np.ndarray:
+    """src/semiglobal.cpp:167-197 (CPU RunSemiglobal)."""
+    height, width = image.shape
+    out = np.zeros_like(cost, np.float64)
+    for start, direction, size in generate_sgm_paths(width, height):
+        _sgm_path(cost, image, out, start, direction, size, p1, p2)
+        inv_start, inv_dir, inv_size = _invert_path(start, direction, size)
+        _sgm_path(cost, image, out, inv_start, inv_dir, inv_size, p1, p2)
+    return out.astype(np.float32)
+
+
+def wta_oracle(cost: np.ndarray) -> np.ndarray:
+    """src/winners_take_all.cu:21-40 (CPU linear scan, ties -> lower index)."""
+    return np.argmin(cost, axis=2).astype(np.int32)
+
+
+def dynamic_programming_oracle(cost: np.ndarray) -> np.ndarray:
+    """src/dynamic_programming.cu (GPU index semantics; col-0 pointers = 0)."""
+    height, width, max_disp = cost.shape
+    cost = cost.astype(np.float32)
+    path = np.zeros((height, width, max_disp), np.int8)
+    disparity = np.zeros((height, width), np.int32)
+    for row in range(height):
+        prev = cost[row, 0].copy()
+        for col in range(1, width):
+            cur = np.empty_like(prev)
+            for d in range(max_disp):
+                c1 = prev[d - 1] if d > 0 else INF
+                c2 = prev[d]
+                c3 = prev[d + 1] if d < max_disp - 1 else INF
+                if c1 < c2 and c1 < c3:
+                    mc, pd = c1, -1
+                elif c2 < c3:
+                    mc, pd = c2, 0
+                else:
+                    mc, pd = c3, 1
+                path[row, col, d] = pd
+                cur[d] = cost[row, col, d] + mc
+            prev = cur
+        current = int(np.argmin(prev))
+        disparity[row, width - 1] = current
+        for col in range(width - 2, -1, -1):
+            current = int(np.clip(current + path[row, col, current],
+                                  0, max_disp - 1))
+            disparity[row, col] = current
+    return disparity
