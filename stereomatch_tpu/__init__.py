@@ -11,9 +11,12 @@ Public surface mirrors the reference package layout
 texture (the sampling layer standing in for CUDA textures).
 """
 
-from . import aggregation, cost, disparity_reduce, texture
+from . import (aggregation, cli_common, cost, disparity_reduce, io, metrics,
+               pipeline, texture, utils)
+from .pipeline import Pipeline
 
 __version__ = "0.1.0"
 
-__all__ = ["aggregation", "cost", "disparity_reduce", "texture",
-           "__version__"]
+__all__ = ["Pipeline", "aggregation", "cli_common", "cost",
+           "disparity_reduce", "io", "metrics", "pipeline", "texture",
+           "utils", "__version__"]

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Evaluation harness: run pipeline configs over a Middlebury-format dataset
+and report RMSE / average error / bad-pixel metrics as a markdown table.
+
+Plain-CLI replacement for the reference's Flyte workflow
+(workflows/evaluation/workflow.py:124-142), which runs the configs
+ssd+wta, ssd+dyn and ssd+dyn+sgm through predict -> metrics -> join tasks.
+Per-scene, ``max_disparity`` is set to next_power_of_2(ndisp) exactly as the
+reference's predict task does (workflow.py:31-38).
+"""
+
+import argparse
+import json
+import sys
+
+DEFAULT_CONFIGS = [
+    ("ssd", "wta", None),
+    ("ssd", "dyn", None),
+    ("ssd", "dyn", "sgm"),
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("dataset_dir", help="Middlebury-format dataset dir")
+    parser.add_argument("--max-size", type=int, default=None,
+                        help="Evaluate at most this many scenes.")
+    parser.add_argument("--configs", default=None,
+                        help="Comma-separated cost:disp[:aggr] configs, e.g. "
+                             "'ssd:wta,ssd:dyn:sgm'. Default: the reference's "
+                             "three configs.")
+    parser.add_argument("--bad-threshold", type=float, default=2.0)
+    parser.add_argument("--json", dest="json_out", default=None,
+                        help="Also write raw metric rows to this JSON file.")
+    parser.add_argument("--device", default=None)
+    return parser
+
+
+def parse_configs(spec):
+    configs = []
+    for item in spec.split(","):
+        parts = item.strip().split(":")
+        if len(parts) == 2:
+            configs.append((parts[0], parts[1], None))
+        elif len(parts) == 3:
+            configs.append((parts[0], parts[1], parts[2]))
+        else:
+            raise ValueError(f"Bad config spec: {item!r}")
+    return configs
+
+
+def grayscale(image):
+    import numpy as np
+    if image.ndim == 2:
+        return image.astype(np.float32)
+    # RGB luma, matching torchvision's rgb_to_grayscale used by the
+    # reference's predict task (workflow.py:28).
+    weights = np.array([0.299, 0.587, 0.114], np.float32)
+    return (image[..., :3].astype(np.float32) @ weights)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import os
+    if args.device:
+        os.environ.setdefault("JAX_PLATFORMS", args.device)
+
+    import numpy as np
+
+    from ..cli_common import create_pipeline
+    from ..io.data import MiddleburyDataset
+    from ..metrics import evaluate, metrics_markdown_table
+    from ..utils.numeric import next_power_of_2
+
+    configs = (parse_configs(args.configs) if args.configs
+               else DEFAULT_CONFIGS)
+    dataset = MiddleburyDataset(args.dataset_dir, max_size=args.max_size)
+    if len(dataset) == 0:
+        print("No scenes found.", file=sys.stderr)
+        return 1
+
+    rows = []
+    for cost_m, disp_m, aggr_m in configs:
+        name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
+        pipeline = create_pipeline(cost_m, disp_m, aggr_m)
+        per_scene = []
+        for idx in range(len(dataset)):
+            item = dataset[idx]
+            left = grayscale(item["left"])
+            right = grayscale(item["right"])
+            # Reference mutates max_disparity per scene (workflow.py:34).
+            pipeline.cost.max_disparity = next_power_of_2(
+                item["max_disparity"])
+            predicted = np.asarray(pipeline.estimate(left, right))
+            scene_metrics = evaluate(predicted, item["gt_disparity"],
+                                     threshold=args.bad_threshold)
+            scene_metrics["scene"] = item["stereo_name"]
+            per_scene.append(scene_metrics)
+        row = {
+            "name": name,
+            "rmse": float(np.mean([m["rmse"] for m in per_scene])),
+            "avg_abs_error": float(np.mean([m["avg_abs_error"]
+                                            for m in per_scene])),
+            "bad_pixel_ratio": float(np.mean([m["bad_pixel_ratio"]
+                                              for m in per_scene])),
+            "scenes": per_scene,
+        }
+        rows.append(row)
+
+    print(metrics_markdown_table(rows))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

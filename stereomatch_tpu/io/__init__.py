@@ -1,0 +1,20 @@
+from .calibration import StereoRectifier, warp_perspective
+from .capture import (ImageSequenceCapture, StereoCapture, StereoCaptureImage,
+                      split_side_by_side, to_grayscale_array)
+from .data import (MiddleburyDataset, load_image, parse_middlebury_calib,
+                   read_pfm, write_pfm)
+
+__all__ = [
+    "ImageSequenceCapture",
+    "MiddleburyDataset",
+    "StereoCapture",
+    "StereoCaptureImage",
+    "StereoRectifier",
+    "load_image",
+    "parse_middlebury_calib",
+    "read_pfm",
+    "split_side_by_side",
+    "to_grayscale_array",
+    "warp_perspective",
+    "write_pfm",
+]

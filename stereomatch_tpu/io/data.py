@@ -1,0 +1,144 @@
+"""Dataset loaders (Middlebury format) and PFM parsing.
+
+Mirrors the reference's ``stereomatch/data.py:26-93`` without its cv2/natsort
+dependencies: PFM disparity maps are parsed natively (cv2.imread handled them
+in the reference) and directory ordering uses a natural-sort key.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:  # PIL is available in this image; gate anyway for minimal installs.
+    from PIL import Image
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+
+def read_pfm(path) -> np.ndarray:
+    """Parse a PFM file (the Middlebury disparity format).
+
+    Returns float32 [H, W] (grayscale) or [H, W, 3] (color), with the
+    bottom-up scanline order of the format undone.
+    """
+    with open(path, "rb") as f:
+        header = f.readline().decode("latin-1").strip()
+        if header == "PF":
+            channels = 3
+        elif header == "Pf":
+            channels = 1
+        else:
+            raise ValueError(f"{path}: not a PFM file (header {header!r})")
+        dims = f.readline().decode("latin-1").strip()
+        while dims.startswith("#"):
+            dims = f.readline().decode("latin-1").strip()
+        width, height = map(int, dims.split())
+        scale = float(f.readline().decode("latin-1").strip())
+        big_endian = scale > 0
+        data = np.frombuffer(f.read(width * height * channels * 4),
+                             dtype=">f4" if big_endian else "<f4")
+    img = data.reshape(height, width, channels).astype(np.float32)
+    img = img[::-1]  # PFM stores rows bottom-to-top
+    return img[:, :, 0] if channels == 1 else img
+
+
+def write_pfm(path, image: np.ndarray) -> None:
+    """Write a float32 image as (little-endian) PFM."""
+    image = np.asarray(image, np.float32)
+    if image.ndim == 2:
+        header, channels = b"Pf", 1
+    elif image.ndim == 3 and image.shape[2] == 3:
+        header, channels = b"PF", 3
+    else:
+        raise ValueError(f"write_pfm: bad shape {image.shape}")
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{image.shape[1]} {image.shape[0]}\n".encode())
+        f.write(b"-1.0\n")  # negative scale = little-endian
+        f.write(np.ascontiguousarray(image[::-1]).tobytes())
+
+
+def _natural_key(path: Path):
+    return [int(t) if t.isdigit() else t.lower()
+            for t in re.split(r"(\d+)", path.name)]
+
+
+def parse_middlebury_calib(filepath) -> Dict[str, int]:
+    """Parse calib.txt key=value lines (reference: data.py:14-23)."""
+    props = {}
+    with open(filepath, "r", encoding="ascii") as f:
+        for line in f:
+            if "=" not in line:
+                continue
+            name, value = line.split("=", 1)
+            props[name.strip()] = value.strip()
+    return dict(width=int(props["width"]), height=int(props["height"]),
+                ndisp=int(props["ndisp"]))
+
+
+def load_image(path, grayscale: bool = False) -> np.ndarray:
+    if not _HAS_PIL:  # pragma: no cover
+        raise RuntimeError("PIL is required to load PNG images")
+    img = Image.open(path)
+    if grayscale:
+        img = img.convert("L")
+    return np.array(img)
+
+
+class MiddleburyDataset:
+    """Folder-per-scene Middlebury dataset parser
+    (reference: stereomatch/data.py:26-93).
+
+    Each scene directory holds im0.png / im1.png, disp0.pfm / disp1.pfm and
+    calib.txt.  Items are dicts with stereo_name / left / right /
+    max_disparity (+ gt_disparity when ground truth is requested).
+    """
+
+    def __init__(self, dataset_dir, max_size: Optional[int] = None):
+        dataset_dir = Path(dataset_dir)
+        if not dataset_dir.is_dir():
+            raise RuntimeError(
+                f"MiddleburyDataset: {dataset_dir} must be a directory")
+
+        self.images: List[Tuple[Path, Path]] = []
+        self.disps: List[Tuple[Path, Path]] = []
+        self.calibs: List[Dict[str, int]] = []
+
+        sample_dirs = sorted(dataset_dir.iterdir(), key=_natural_key)
+        if max_size is not None:
+            sample_dirs = sample_dirs[:max_size]
+        for sample_dir in sample_dirs:
+            if not sample_dir.is_dir():
+                continue
+            self.images.append((sample_dir / "im0.png", sample_dir / "im1.png"))
+            self.disps.append((sample_dir / "disp0.pfm",
+                               sample_dir / "disp1.pfm"))
+            self.calibs.append(parse_middlebury_calib(sample_dir / "calib.txt"))
+
+    def get_stereo_pair(self, idx: int) -> Dict:
+        left_path, right_path = self.images[idx]
+        return dict(
+            stereo_name=left_path.parent.name,
+            left=load_image(left_path),
+            right=load_image(right_path),
+            max_disparity=self.calibs[idx]["ndisp"])
+
+    def get_ground_truth(self, idx: int) -> Dict:
+        disp_path = self.disps[idx][0]
+        return dict(
+            stereo_name=disp_path.parent.name,
+            gt_disparity=read_pfm(disp_path),
+            max_disparity=self.calibs[idx]["ndisp"])
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = self.get_stereo_pair(idx)
+        item.update(self.get_ground_truth(idx))
+        return item
+
+    def __len__(self) -> int:
+        return len(self.images)

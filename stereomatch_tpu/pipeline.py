@@ -1,0 +1,122 @@
+"""Stereo-matching pipeline composition.
+
+Mirrors the reference's ``Pipeline`` (stereomatch/pipeline.py:36-94) with a
+TPU-native execution model:
+
+* The reference runs cost / aggregation / reduce as three separate native
+  calls, each ending in ``cudaDeviceSynchronize`` (kernel.hpp:50,59), and
+  dodges reallocation by caching output buffers across frames
+  (pipeline.py:65-67).  Here ``estimate`` traces the whole
+  cost -> (aggregation) -> reduce composition into ONE jitted XLA program:
+  dispatch is async, stages fuse where profitable, and intermediates never
+  leave HBM.  Buffer reuse across frames is what XLA's allocator does
+  natively for a compiled program — no caching idiom needed.
+
+* The reference re-uploads the left image to the GPU for aggregation
+  (pipeline.py:84-87, marked TODO).  Under jit the image is already
+  device-resident; nothing to fix.
+
+* ``SSDTexture`` costs get plain-array inputs auto-wrapped in
+  :class:`~stereomatch_tpu.texture.TextureImage`, like the reference's
+  ``_TexCostFunctionWrapper`` (pipeline.py:22-33,55-56).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .cost import SSDTexture
+from .texture import TextureImage
+from .utils import validation
+
+
+class _TexCostFunctionWrapper:
+    """Wraps an SSDTexture cost so the pipeline can feed it plain arrays."""
+
+    def __init__(self, cost_function: SSDTexture):
+        self.cost_function = cost_function
+
+    @property
+    def max_disparity(self) -> int:
+        return self.cost_function.max_disparity
+
+    @max_disparity.setter
+    def max_disparity(self, value: int) -> None:
+        self.cost_function.max_disparity = value
+
+    def __call__(self, left_image, right_image, cost_volume=None):
+        return self.cost_function(
+            TextureImage.from_array(left_image),
+            TextureImage.from_array(right_image),
+            cost_volume=cost_volume)
+
+
+class Pipeline:
+    """Composable stereo pipeline: cost -> optional aggregation -> reduce.
+
+    Drop-in analogue of the reference Pipeline (stereomatch/pipeline.py:36-94).
+    """
+
+    def __init__(self, cost: Callable,
+                 disparity_reduce: Callable,
+                 aggregation: Optional[Callable] = None):
+        """
+        Args:
+            cost: callable (left, right) -> [H, W, D] cost volume.
+            disparity_reduce: callable (volume) -> [H, W] int32 disparity.
+            aggregation: optional callable (volume, left_image) -> volume.
+        """
+        if isinstance(cost, SSDTexture):
+            self.cost = _TexCostFunctionWrapper(cost)
+        else:
+            self.cost = cost
+        self.disparity_reduce = disparity_reduce
+        self.aggregation = aggregation
+
+        # Diagnostic captures of the last run's intermediates, matching the
+        # reference's reusable-buffer attributes (pipeline.py:65-67).
+        self._cost_volume = None
+        self._aggregation_volume = None
+        self._disparity_image = None
+
+    def _run(self, left_image, right_image):
+        cost_volume = self.cost(left_image, right_image)
+        if self.aggregation is not None:
+            aggregation_volume = self.aggregation(cost_volume, left_image)
+        else:
+            aggregation_volume = cost_volume
+        disparity = self.disparity_reduce(aggregation_volume)
+        return cost_volume, aggregation_volume, disparity
+
+    def estimate(self, left_image, right_image) -> jnp.ndarray:
+        """Run the pipeline; returns an int32 [H, W] disparity image."""
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        (self._cost_volume, self._aggregation_volume,
+         self._disparity_image) = self._run(left_image, right_image)
+        return self._disparity_image
+
+    def estimate_fn(self) -> Callable:
+        """The pipeline as a pure function for jit / sharding composition.
+
+        ``Pipeline.estimate`` already executes jitted stage kernels; this
+        returns ``(left, right) -> disparity`` suitable for wrapping in an
+        outer ``jax.jit`` (whole-pipeline fusion, donation) or ``shard_map``.
+        """
+        def fn(left_image, right_image):
+            return self._run(left_image, right_image)[2]
+        return fn
+
+    def compiled(self, donate: bool = True) -> Callable:
+        """Whole-pipeline jit: one XLA program for cost+aggregation+reduce.
+
+        With ``donate=True`` the input image buffers are donated, giving the
+        steady-state zero-allocation behaviour the reference approximates
+        with its reuse-buffer idiom (pipeline.py:65-67, _common.py:15-53).
+        """
+        donate_argnums = (0, 1) if donate else ()
+        return jax.jit(self.estimate_fn(), donate_argnums=donate_argnums)

@@ -1,0 +1,103 @@
+"""Full pipeline matrix, mirroring the reference's test_pipeline sweep
+(tests/test_pipeline.py:15-37): cost x reduce x (none | sgm)."""
+
+import numpy as np
+import pytest
+
+import stereomatch_tpu
+from stereomatch_tpu.aggregation import Semiglobal
+from stereomatch_tpu.cli_common import create_pipeline
+from stereomatch_tpu.cost import SSD, Birchfield, SSDTexture
+from stereomatch_tpu.disparity_reduce import DynamicProgramming, WinnerTakesAll
+from stereomatch_tpu.pipeline import Pipeline
+
+
+COSTS = [SSD, SSDTexture, Birchfield]
+REDUCERS = [WinnerTakesAll, DynamicProgramming]
+AGGREGATIONS = [None, Semiglobal]
+
+
+@pytest.mark.parametrize("cost_cls", COSTS)
+@pytest.mark.parametrize("reduce_cls", REDUCERS)
+@pytest.mark.parametrize("aggr_cls", AGGREGATIONS)
+def test_pipeline_matrix(stereo_pair_small, cost_cls, reduce_cls, aggr_cls):
+    left, right = stereo_pair_small
+    pipeline = Pipeline(cost_cls(pytest.STM_MAX_DISPARITY),
+                        reduce_cls(),
+                        aggregation=aggr_cls() if aggr_cls else None)
+    disparity = np.asarray(pipeline.estimate(left, right))
+    assert disparity.shape == left.shape
+    assert disparity.dtype == np.int32
+    assert disparity.min() >= 0
+    assert disparity.max() < pytest.STM_MAX_DISPARITY
+
+
+def test_pipeline_recovers_ground_truth(stereo_pair_medium):
+    """End-to-end quality: SSD+SGM+WTA recovers the synthetic scene within
+    a small bad-pixel ratio, and SGM does not hurt vs. raw WTA."""
+    from stereomatch_tpu.metrics import bad_pixel_ratio
+    left, right, gt = stereo_pair_medium
+    ssd = SSD(pytest.STM_MAX_DISPARITY, kernel_size=3)
+    raw = Pipeline(ssd, WinnerTakesAll())
+    sgm = Pipeline(ssd, WinnerTakesAll(), aggregation=Semiglobal())
+
+    d_raw = np.asarray(raw.estimate(left, right))
+    d_sgm = np.asarray(sgm.estimate(left, right))
+
+    # Ignore the left band where disparities are clamped by d <= x validity.
+    sl = np.s_[:, pytest.STM_MAX_DISPARITY:]
+    bad_raw = float(bad_pixel_ratio(d_raw[sl], gt[sl], threshold=1.0))
+    bad_sgm = float(bad_pixel_ratio(d_sgm[sl], gt[sl], threshold=1.0))
+    assert bad_raw < 0.15
+    assert bad_sgm <= bad_raw + 0.02
+
+
+def test_pipeline_texture_cost_auto_wraps(stereo_pair_small):
+    """SSDTexture pipelines accept plain arrays (reference pipeline.py:55-56)
+    and agree with the tensor path exactly."""
+    left, right = stereo_pair_small
+    tex_pipeline = Pipeline(SSDTexture(pytest.STM_MAX_DISPARITY),
+                            WinnerTakesAll())
+    ssd_pipeline = Pipeline(SSD(pytest.STM_MAX_DISPARITY), WinnerTakesAll())
+    np.testing.assert_array_equal(
+        np.asarray(tex_pipeline.estimate(left, right)),
+        np.asarray(ssd_pipeline.estimate(left, right)))
+
+
+def test_pipeline_compiled_whole_program(stereo_pair_small):
+    """Whole-pipeline jit returns the same disparities as stagewise calls."""
+    left, right = stereo_pair_small
+    pipeline = Pipeline(SSD(pytest.STM_MAX_DISPARITY), WinnerTakesAll(),
+                        aggregation=Semiglobal())
+    fn = pipeline.compiled(donate=False)
+    np.testing.assert_array_equal(np.asarray(fn(left, right)),
+                                  np.asarray(pipeline.estimate(left, right)))
+
+
+def test_create_pipeline_registry():
+    p = create_pipeline("ssd", "wta", "sgm", max_disparity=8)
+    assert isinstance(p.cost, SSD)
+    assert isinstance(p.disparity_reduce, WinnerTakesAll)
+    assert isinstance(p.aggregation, Semiglobal)
+    p2 = create_pipeline("birchfield", "dyn", None)
+    assert isinstance(p2.cost, Birchfield)
+    assert p2.aggregation is None
+
+
+def test_max_disparity_is_mutable(stereo_pair_small):
+    """The eval workflow mutates cost.max_disparity per scene
+    (workflows/evaluation/workflow.py:34)."""
+    left, right = stereo_pair_small
+    pipeline = create_pipeline("ssd", "wta", None, max_disparity=8)
+    d8 = np.asarray(pipeline.estimate(left, right))
+    pipeline.cost.max_disparity = 16
+    d16 = np.asarray(pipeline.estimate(left, right))
+    assert d8.max() < 8
+    assert d16.max() < 16
+    assert pipeline._cost_volume.shape[2] == 16
+
+
+def test_package_exports():
+    assert stereomatch_tpu.Pipeline is Pipeline
+    assert hasattr(stereomatch_tpu, "metrics")
+    assert hasattr(stereomatch_tpu, "io")
