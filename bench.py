@@ -1,0 +1,97 @@
+"""Headline benchmark: teddy-class SGM pipeline frames/s on one chip.
+
+Matches the reference's benchmark geometry (BASELINE.md): full-resolution
+Middlebury *teddy* — 450x375 grayscale, D=128 cost volume — through the
+full SSD -> 8-path SGM -> WTA pipeline as ONE jitted XLA program.
+
+Baseline to beat: the reference CUDA GPU end-to-end estimate of ~10 ms/frame
+(~100 fps): SSD 2.49 ms + SGM 6.99 ms + WTA (<1 ms) per README.md:48-75.
+
+Measurement: some PJRT transports put a fixed multi-ms host round-trip on
+every result fetch and make per-call ``block_until_ready`` unreliable, so
+the frame time is measured as the *marginal* cost of one pipeline iteration
+inside a data-dependent chain of K iterations compiled as one program:
+  t_frame = (t(chain_K) - t(chain_1)) / (K - 1)
+which cancels dispatch/transfer constants exactly.
+
+Prints one JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": fps/100}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 100.0  # reference CUDA end-to-end (BASELINE.md)
+HEIGHT, WIDTH, MAX_DISPARITY = 375, 450, 128
+CHAIN_K = 8
+REPEATS = 5
+
+
+def _chained_pipeline():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+
+    def fn(left, right, n):
+        def body(_, carry):
+            out, __ = carry
+            vol = ssd_cost_volume(out, right,
+                                  max_disparity=MAX_DISPARITY, kernel_size=7)
+            agg = semiglobal_aggregate(vol, out)
+            disp = winner_takes_all(agg)
+            # Feed a negligible function of the result back in so XLA cannot
+            # overlap or elide iterations: each is a true serial frame.
+            out = out + jnp.float32(1e-12) * disp.astype(jnp.float32)
+            return out, disp
+
+        init = (left, jnp.zeros(left.shape, jnp.int32))
+        return lax.fori_loop(0, n, body, init)[1]
+
+    return jax.jit(fn)
+
+
+def _timed_fetch(fn, left, right, n, repeats):
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        np.asarray(fn(left, right, n))
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+def main():
+    import jax
+
+    rng = np.random.default_rng(0)
+    left = jax.device_put(rng.random((HEIGHT, WIDTH), np.float32))
+    right = jax.device_put(rng.random((HEIGHT, WIDTH), np.float32))
+
+    fn = _chained_pipeline()
+    np.asarray(fn(left, right, 1))      # compile
+
+    t1 = _timed_fetch(fn, left, right, 1, REPEATS)
+    tk = _timed_fetch(fn, left, right, CHAIN_K, REPEATS)
+    frame_s = max((tk - t1) / (CHAIN_K - 1), 1e-9)
+
+    fps = 1.0 / frame_s
+    device = jax.devices()[0].device_kind
+    print(f"device={device} chain1={t1 * 1e3:.2f} ms "
+          f"chain{CHAIN_K}={tk * 1e3:.2f} ms "
+          f"frame={frame_s * 1e3:.3f} ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "teddy_sgm_pipeline_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

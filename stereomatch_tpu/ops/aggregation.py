@@ -54,10 +54,17 @@ from ..utils import validation
 _INF = jnp.inf
 
 
-def _sgm_scan(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
-              penalty1: float, penalty2: float,
-              carry_shift: int) -> jnp.ndarray:
-    """Run one SGM sweep over scan-major inputs.
+def sgm_scan_with_carry(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
+                        penalty1: float, penalty2: float,
+                        carry_shift: int,
+                        init_carry=None,
+                        seed_first=True):
+    """Run one SGM sweep over scan-major inputs, exposing the carry.
+
+    This is the chunk-level building block for multi-chip SGM: a sweep over
+    a tile of the scan axis starts from ``init_carry`` (handed off from the
+    neighboring tile owner over ICI) and returns its final carry for the next
+    tile (see stereomatch_tpu.parallel.sharded).
 
     Args:
       cost_sv: [S, N, D] cost volume, S = scan axis (path direction),
@@ -66,9 +73,15 @@ def _sgm_scan(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
       penalty1/penalty2: SGM penalties.
       carry_shift: predecessor offset along N (0 for axis-aligned paths,
         +1 / -1 for diagonals).
+      init_carry: optional (prev_costs [N, D] f32, prev_intensity [N] f32)
+        carried in from the preceding chunk of a split scan axis.  None means
+        path start (+inf costs; first step re-seeds when ``seed_first``).
+      seed_first: whether step 0 is a true path start that re-seeds from the
+        raw cost (semiglobal.cpp:121-127).  Pass False (or a traced bool) for
+        continuation chunks.  May be a traced scalar bool.
 
     Returns:
-      [S, N, D] — this sweep's contribution to the aggregated volume.
+      ((final_prev [N, D], final_intensity [N]), contributions [S, N, D]).
     """
     n = cost_sv.shape[1]
     p1 = jnp.float32(penalty1)
@@ -91,6 +104,8 @@ def _sgm_scan(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
         return jnp.where(edge_start if arr.ndim == 2 else edge_start[:, 0],
                          fill, shifted)
 
+    seed_first = jnp.asarray(seed_first, bool)
+
     def step(carry, inputs):
         prev, prev_int = carry            # [N, D], [N]
         cost, intensity, is_first = inputs
@@ -111,7 +126,8 @@ def _sgm_scan(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
                            jnp.minimum(down + p1, prev_min + p2_adj))
         sgm = cost + band - prev_min
 
-        start = jnp.logical_or(is_first, edge_start)                # [N, 1]
+        start = jnp.logical_or(jnp.logical_and(is_first, seed_first),
+                               edge_start)                          # [N, 1]
         new_prev = jnp.where(start, cost, sgm)
         new_int = intensity
         return (new_prev, new_int), new_prev
@@ -120,9 +136,22 @@ def _sgm_scan(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
     is_first = (lax.broadcasted_iota(jnp.int32, (steps, 1, 1), 0) == 0)
     is_first = jnp.broadcast_to(is_first, (steps, n, 1))
 
-    init = (jnp.full(cost_sv.shape[1:], inf, jnp.float32),
-            jnp.zeros((n,), jnp.float32))
-    _, contributions = lax.scan(step, init, (cost_sv, image_sv, is_first))
+    if init_carry is None:
+        init = (jnp.full(cost_sv.shape[1:], inf, jnp.float32),
+                jnp.zeros((n,), jnp.float32))
+    else:
+        init = (init_carry[0].astype(jnp.float32),
+                init_carry[1].astype(jnp.float32))
+    final, contributions = lax.scan(step, init, (cost_sv, image_sv, is_first))
+    return final, contributions
+
+
+def _sgm_scan(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
+              penalty1: float, penalty2: float,
+              carry_shift: int) -> jnp.ndarray:
+    """One full-axis SGM sweep (single chip); returns contributions only."""
+    _, contributions = sgm_scan_with_carry(
+        cost_sv, image_sv, penalty1, penalty2, carry_shift)
     return contributions
 
 

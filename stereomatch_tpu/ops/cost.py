@@ -133,6 +133,54 @@ def ssd_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     return cost
 
 
+def ssd_cost_from_padded(left_padded: jnp.ndarray, right_padded: jnp.ndarray,
+                         *, pad_before: int, pad_after: int,
+                         max_disparity: int, kernel_size: int = 7,
+                         cost_dtype=jnp.float32) -> jnp.ndarray:
+    """SSD cost for a horizontal band of rows carrying explicit row halos.
+
+    Multi-chip building block: each tile owner computes the cost for its
+    H-rows from its block plus ``pad_before``/``pad_after`` halo rows pulled
+    from neighbors (zeros at the true image edge, which is the additive
+    identity of the clipped window sum — see ssd_cost_volume).  The W-axis
+    window is handled locally since W is never sharded.
+
+    With ``pad_before = k`` and ``pad_after = k - 1`` this reproduces
+    ``ssd_cost_volume`` on the corresponding row block exactly.
+
+    Returns [H_rows, W, D] where H_rows = padded_height - pad_before - pad_after.
+    """
+    k = kernel_size
+    if pad_before > k or pad_after > k - 1:
+        raise ValueError("halos wider than the window change the semantics")
+    compute_dtype = _compute_dtype(left_padded.dtype, cost_dtype)
+    left_c = left_padded.astype(compute_dtype)
+    right_c = right_padded.astype(compute_dtype)
+
+    shifted = shifted_right_stack(right_c, max_disparity)    # [Hp, W, D]
+    diff = left_c[:, :, None] - shifted
+    diff2 = diff * diff
+
+    width = left_padded.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (w_idx >= d_idx)[None, :, :]
+    diff2 = jnp.where(valid, diff2, jnp.zeros((), compute_dtype))
+
+    # W-axis clipped window as usual; H-axis window consumes the explicit
+    # halos: pad only the part of (k, k-1) the caller did not provide.
+    cost = lax.reduce_window(
+        diff2,
+        jnp.zeros((), diff2.dtype),
+        lax.add,
+        window_dimensions=(2 * k, 2 * k, 1),
+        window_strides=(1, 1, 1),
+        padding=((k - pad_before, (k - 1) - pad_after), (k, k - 1), (0, 0)),
+    )
+    cost = jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
+    return cost
+
+
 def _birchfield_match_cost(left: jnp.ndarray, right: jnp.ndarray,
                            max_disparity: int) -> jnp.ndarray:
     """Per-pixel Birchfield–Tomasi dissimilarity m[h, p, d].

@@ -1,0 +1,65 @@
+"""Halo (edge-row) exchange between neighboring tile owners.
+
+TPU-native replacement for the CUDA kernels' shared-memory aprons: each chip
+owns a contiguous block of image rows, and window/scan operators that reach
+across the block boundary pull the needed rows from the neighbor over ICI
+with ``lax.ppermute``.  All functions here are meant to run *inside* a
+``shard_map`` body over the tile axis.
+
+``ppermute`` fills zeros at ring ends (shard 0 has no predecessor), which is
+exactly the additive-identity padding the clipped cost windows want
+(ops/cost.py::_box_sum) and the cold-start identity the SGM warm-up scan
+wants (parallel/sharded.py) — so no masking pass is needed for fill=0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def pull_from_prev(x: jnp.ndarray, count: int, axis: int,
+                   axis_name: str) -> jnp.ndarray:
+    """Last ``count`` slices (along ``axis``) of the previous shard's block.
+
+    Shard 0 receives zeros.  Shape matches ``x`` except ``axis`` has size
+    ``count``.
+    """
+    n = lax.axis_size(axis_name)
+    edge = lax.slice_in_dim(x, x.shape[axis] - count, x.shape[axis], axis=axis)
+    if n == 1:
+        return jnp.zeros_like(edge)
+    return lax.ppermute(edge, axis_name,
+                        perm=[(i, i + 1) for i in range(n - 1)])
+
+
+def pull_from_next(x: jnp.ndarray, count: int, axis: int,
+                   axis_name: str) -> jnp.ndarray:
+    """First ``count`` slices (along ``axis``) of the next shard's block.
+
+    The last shard receives zeros.
+    """
+    n = lax.axis_size(axis_name)
+    edge = lax.slice_in_dim(x, 0, count, axis=axis)
+    if n == 1:
+        return jnp.zeros_like(edge)
+    return lax.ppermute(edge, axis_name,
+                        perm=[(i + 1, i) for i in range(n - 1)])
+
+
+def pad_with_halos(x: jnp.ndarray, before: int, after: int, axis: int,
+                   axis_name: str) -> jnp.ndarray:
+    """Concatenate neighbor halos around this shard's block along ``axis``.
+
+    Out-of-image positions (ring ends) are zero-filled.  ``before``/``after``
+    may be 0.
+    """
+    parts = []
+    if before:
+        parts.append(pull_from_prev(x, before, axis, axis_name))
+    parts.append(x)
+    if after:
+        parts.append(pull_from_next(x, after, axis, axis_name))
+    if len(parts) == 1:
+        return x
+    return jnp.concatenate(parts, axis=axis)

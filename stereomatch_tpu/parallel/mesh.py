@@ -1,0 +1,66 @@
+"""Device-mesh construction for the stereo pipeline.
+
+Mesh axes:
+  * ``batch`` — data parallelism over independent stereo frames (video
+    batching across hosts; maps onto DCN when spanning hosts).  No
+    communication crosses this axis.
+  * ``tile``  — spatial parallelism over image rows (the H axis of the
+    [H, W, D] cost volume).  Halo exchange and SGM carry hand-off ride this
+    axis, so it should be laid out over ICI (within a host / slice).
+
+The disparity axis D is deliberately *not* sharded: it is the TPU lane axis
+(128-wide) of every kernel, and the SGM/DP recurrences reduce over it each
+step (semiglobal.cpp:146-152) — sharding it would put a collective inside
+every scan step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+BATCH_AXIS = "batch"
+TILE_AXIS = "tile"
+
+
+def batch_tile_axes(n_devices: int, n_batch: Optional[int] = None):
+    """Pick a (batch, tile) factorization of ``n_devices``.
+
+    Defaults to the largest power-of-two batch axis that still leaves at
+    least 2 tiles when possible; single-device meshes are (1, 1).
+    """
+    if n_batch is not None:
+        if n_devices % n_batch:
+            raise ValueError(
+                f"n_batch={n_batch} does not divide n_devices={n_devices}")
+        return n_batch, n_devices // n_batch
+    if n_devices == 1:
+        return 1, 1
+    n_batch = 1
+    while (n_devices // n_batch) % 2 == 0 and (n_devices // n_batch) > 4:
+        n_batch *= 2
+    return n_batch, n_devices // n_batch
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              n_batch: Optional[int] = None,
+              n_tile: Optional[int] = None) -> Mesh:
+    """Build a (batch, tile) mesh over the given (default: all) devices.
+
+    The tile axis is contiguous in device order so that ppermute neighbor
+    hops are single ICI hops on a standard slice topology.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    n = len(devices)
+    if n_tile is not None and n_batch is None:
+        if n % n_tile:
+            raise ValueError(f"n_tile={n_tile} does not divide {n} devices")
+        n_batch = n // n_tile
+    n_batch, n_tile = batch_tile_axes(n, n_batch)
+    grid = np.asarray(devices).reshape(n_batch, n_tile)
+    return Mesh(grid, (BATCH_AXIS, TILE_AXIS))

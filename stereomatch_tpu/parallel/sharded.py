@@ -1,0 +1,342 @@
+"""Sharded stereo pipeline: shard_map'd cost, SGM, and reduction.
+
+Partitioning (SURVEY.md §7): the [H, W, D] cost volume is sharded over image
+rows (H) along the ``tile`` mesh axis and over frames along ``batch``; W and
+D stay whole per chip (D is the 128-lane axis every recurrence reduces over).
+
+What crosses tile boundaries, and how:
+
+* SSD's row window — k-row halos of both input images pulled from neighbors
+  (``halo.pad_with_halos``), then the window sum consumes them locally.
+  Birchfield's window is scanline-local (W only): no exchange at all.
+* Horizontal SGM sweeps and the DP reducer scan along W with rows
+  vectorized — row sharding is orthogonal, fully parallel, zero comms.
+* Vertical and diagonal SGM sweeps scan along H, crossing every tile
+  boundary.  Two strategies:
+  - ``exact``:   sequential chunked scan with carry hand-off.  Tile p's
+    sweep starts from tile p-1's final carry, one [W, D] vector + one [W]
+    intensity row ppermuted per boundary.  Wall-clock for these sweeps
+    equals the unsplit scan (it is a dependency chain), so they pipeline
+    across the 6 scan-crossing sweeps while the rest of the pipeline
+    scales linearly.  Bit-exact vs the single-chip kernels.
+  - ``overlap``: warm-up halo scan.  Each tile pulls ``overlap`` extra rows
+    preceding its block in scan order, cold-starts the recurrence there,
+    and discards the warm-up outputs.  Fully parallel (linear scaling);
+    exact wherever every path's last reset (seed or edge re-entry) lies
+    within the overlap window, asymptotically exact as overlap grows
+    because SGM's normalized recurrence forgets its carry geometrically.
+    Tile 0 is always exact: a zero-cost halo is the recurrence's identity
+    (prev == 0 makes band == 0, so L == C, the seeded start).
+
+Diagonal sweeps need no special casing on top of this: their carry shift is
+along W (unsharded), and reversed traversals flip the local block while the
+hand-off/halo direction flips in rank space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.aggregation import sgm_scan_with_carry
+from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
+from ..ops.disparity import dynamic_programming, winner_takes_all
+from . import halo
+from .mesh import BATCH_AXIS, TILE_AXIS
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _varying(x):
+    """Mark a shard_map-internal constant as device-varying.
+
+    shard_map types every value with the mesh axes it varies over; loop and
+    scan carries must keep that type stable, so constants that seed a carry
+    which later mixes with ppermute'd/sharded data need an explicit cast.
+    No-op for axes the value already varies over.
+    """
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(a for a in (BATCH_AXIS, TILE_AXIS) if a not in vma)
+    if not missing:
+        return x
+    return lax.pcast(x, missing, to="varying")
+
+
+# --------------------------------------------------------------------------
+# Cost (local + halo)
+# --------------------------------------------------------------------------
+
+def _local_ssd(left, right, *, max_disparity, kernel_size, cost_dtype,
+               axis_name):
+    """[B, Hl, W] x2 -> [B, Hl, W, D] with neighbor row halos."""
+    k = kernel_size
+    lpad = halo.pad_with_halos(left, k, k - 1, axis=1, axis_name=axis_name)
+    rpad = halo.pad_with_halos(right, k, k - 1, axis=1, axis_name=axis_name)
+    fn = functools.partial(ssd_cost_from_padded, pad_before=k,
+                           pad_after=k - 1, max_disparity=max_disparity,
+                           kernel_size=kernel_size, cost_dtype=cost_dtype)
+    return jax.vmap(fn)(lpad, rpad)
+
+
+def _local_birchfield(left, right, *, max_disparity, kernel_size):
+    """Birchfield cost is scanline-local: no halo exchange needed."""
+    fn = functools.partial(birchfield_cost_volume.__wrapped__,
+                           max_disparity=max_disparity,
+                           kernel_size=kernel_size)
+    return jax.vmap(fn)(left, right)
+
+
+# --------------------------------------------------------------------------
+# SGM sweeps under row sharding
+# --------------------------------------------------------------------------
+
+def _rank_and_perm(axis_name: str, n_tiles: int, reverse: bool):
+    """Scan-order rank of this tile and the carry-passing permutation."""
+    p = lax.axis_index(axis_name)
+    if reverse:
+        return n_tiles - 1 - p, [(i, i - 1) for i in range(1, n_tiles)]
+    return p, [(i, i + 1) for i in range(n_tiles - 1)]
+
+
+def _pull_prev_in_rank(x, count, perm, axis_name, n_tiles):
+    """Last ``count`` rows (axis 1) of the previous-in-scan-order tile."""
+    edge = lax.slice_in_dim(x, x.shape[1] - count, x.shape[1], axis=1)
+    if n_tiles == 1:
+        return jnp.zeros_like(edge)
+    return lax.ppermute(edge, axis_name, perm=perm)
+
+
+def _handoff_sweep(vol, img, p1, p2, carry_shift, *, axis_name, n_tiles,
+                   reverse):
+    """Exact chunked sweep: sequential carry hand-off across tiles.
+
+    vol/img are already W-flipped if the family needs it; this function
+    applies the scan-direction (H) flip locally and reverses rank order.
+    """
+    if reverse:
+        vol, img = vol[:, ::-1], img[:, ::-1]
+    rank, perm = _rank_and_perm(axis_name, n_tiles, reverse)
+    batch, _, width, max_disp = vol.shape
+
+    scan_fn = jax.vmap(
+        lambda c, im, cc, ci, seed: sgm_scan_with_carry(
+            c, im, p1, p2, carry_shift, init_carry=(cc, ci),
+            seed_first=seed),
+        in_axes=(0, 0, 0, 0, None))
+    seed = rank == 0
+
+    def stage(s, state):
+        carry_c, carry_i, out = state
+        (fin_c, fin_i), contrib = scan_fn(vol, img, carry_c, carry_i, seed)
+        mine = rank == s
+        out = jnp.where(mine, contrib, out)
+        carry_c = jnp.where(mine, fin_c, carry_c)
+        carry_i = jnp.where(mine, fin_i, carry_i)
+        if n_tiles > 1:
+            carry_c = lax.ppermute(carry_c, axis_name, perm)
+            carry_i = lax.ppermute(carry_i, axis_name, perm)
+        return carry_c, carry_i, out
+
+    init = (_varying(jnp.full((batch, width, max_disp), _INF)),
+            _varying(jnp.zeros((batch, width), jnp.float32)),
+            _varying(jnp.zeros_like(vol)))
+    _, _, out = lax.fori_loop(0, n_tiles, stage, init)
+
+    if reverse:
+        out = out[:, ::-1]
+    return out
+
+
+def _overlap_sweep(vol, img, p1, p2, carry_shift, *, axis_name, n_tiles,
+                   reverse, overlap):
+    """Warm-up halo sweep: cold-start ``overlap`` rows early, in parallel.
+
+    The halo for the first-in-scan-order tile is ppermute's zero fill, which
+    is the recurrence identity (band == 0 -> L == C), so that tile stays
+    exact regardless of ``overlap``.
+    """
+    if reverse:
+        vol, img = vol[:, ::-1], img[:, ::-1]
+    _, perm = _rank_and_perm(axis_name, n_tiles, reverse)
+    overlap = min(overlap, vol.shape[1])
+
+    halo_v = _pull_prev_in_rank(vol, overlap, perm, axis_name, n_tiles)
+    halo_i = _pull_prev_in_rank(img, overlap, perm, axis_name, n_tiles)
+    vol_x = jnp.concatenate([halo_v, vol], axis=1)
+    img_x = jnp.concatenate([halo_i, img], axis=1)
+
+    scan_fn = jax.vmap(
+        lambda c, im, cc, ci: sgm_scan_with_carry(
+            c, im, p1, p2, carry_shift, init_carry=(cc, ci))[1])
+    batch, _, width, max_disp = vol.shape
+    out = scan_fn(vol_x, img_x,
+                  _varying(jnp.full((batch, width, max_disp), _INF)),
+                  _varying(jnp.zeros((batch, width), jnp.float32)))
+    out = out[:, overlap:]
+
+    if reverse:
+        out = out[:, ::-1]
+    return out
+
+
+def _local_horizontal_sweep(vol, img, p1, p2, reverse):
+    """Horizontal sweeps scan along W: fully local under row sharding."""
+    v = jnp.swapaxes(vol, 1, 2)                    # [B, W, Hl, D]
+    im = jnp.swapaxes(img, 1, 2)
+    if reverse:
+        v, im = v[:, ::-1], im[:, ::-1]
+    batch, _, n_rows, max_disp = v.shape
+    scan_fn = jax.vmap(
+        lambda c, i, cc, ci: sgm_scan_with_carry(
+            c, i, p1, p2, 0, init_carry=(cc, ci))[1])
+    out = scan_fn(v, im,
+                  _varying(jnp.full((batch, n_rows, max_disp), _INF)),
+                  _varying(jnp.zeros((batch, n_rows), jnp.float32)))
+    if reverse:
+        out = out[:, ::-1]
+    return jnp.swapaxes(out, 1, 2)
+
+
+def sharded_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
+                       axis_name, n_tiles, mode="exact", overlap=64):
+    """8-direction SGM over a row-sharded [B, Hl, W, D] volume.
+
+    Matches ops.aggregation.semiglobal_aggregate per tile-block; ``mode``
+    selects how the 6 scan-crossing sweeps split the H axis (see module
+    docstring).
+    """
+    vol = cost_vol.astype(jnp.float32)
+    img = left_image.astype(jnp.float32)
+
+    if mode == "exact":
+        sweep = functools.partial(_handoff_sweep, axis_name=axis_name,
+                                  n_tiles=n_tiles)
+    elif mode == "overlap":
+        sweep = functools.partial(_overlap_sweep, axis_name=axis_name,
+                                  n_tiles=n_tiles, overlap=overlap)
+    else:
+        raise ValueError(f"unknown SGM sharding mode: {mode!r}")
+
+    out = _local_horizontal_sweep(vol, img, penalty1, penalty2, reverse=False)
+    out += _local_horizontal_sweep(vol, img, penalty1, penalty2, reverse=True)
+    # Vertical family: scan over H, no carry shift.
+    out += sweep(vol, img, penalty1, penalty2, 0, reverse=False)
+    out += sweep(vol, img, penalty1, penalty2, 0, reverse=True)
+    # Diagonal (1, 1): predecessor one column left; reverse flips W locally
+    # (the rank flip supplies the H direction), matching _sweep_diagonal.
+    out += sweep(vol, img, penalty1, penalty2, 1, reverse=False)
+    out += sweep(vol[:, :, ::-1], img[:, :, ::-1], penalty1, penalty2, 1,
+                 reverse=True)[:, :, ::-1]
+    # Diagonal (-1, 1): predecessor one column right.
+    out += sweep(vol, img, penalty1, penalty2, -1, reverse=False)
+    out += sweep(vol[:, :, ::-1], img[:, :, ::-1], penalty1, penalty2, -1,
+                 reverse=True)[:, :, ::-1]
+    return out.astype(cost_vol.dtype)
+
+
+# --------------------------------------------------------------------------
+# Whole-pipeline assembly
+# --------------------------------------------------------------------------
+
+def make_sharded_estimate(mesh, *, max_disparity: int,
+                          cost: str = "ssd",
+                          kernel_size: Optional[int] = None,
+                          cost_dtype=jnp.float32,
+                          aggregation: Optional[str] = "sgm",
+                          reducer: str = "wta",
+                          penalty1: float = 0.1, penalty2: float = 0.2,
+                          sgm_mode: str = "exact",
+                          overlap: int = 64) -> Callable:
+    """Compile the full pipeline over a (batch, tile) mesh.
+
+    Returns a jitted ``fn(left, right) -> disparity`` over batched stacks:
+    [B, H, W] float -> [B, H, W] int32, with B divisible by the batch axis
+    and H by the tile axis.  One XLA program: cost construction (with image
+    halo exchange), optional 8-path SGM (carry hand-off or warm-up halos),
+    and the reducer, all fused — no per-stage host sync anywhere.
+    """
+    if cost not in ("ssd", "birchfield"):
+        raise ValueError(f"unknown cost: {cost!r}")
+    if reducer not in ("wta", "dynamic_programming"):
+        raise ValueError(f"unknown reducer: {reducer!r}")
+    if aggregation not in (None, "sgm"):
+        raise ValueError(f"unknown aggregation: {aggregation!r}")
+    if kernel_size is None:
+        kernel_size = 7 if cost == "ssd" else 4
+    n_tiles = mesh.shape[TILE_AXIS]
+
+    def local_fn(left, right):                     # [B_loc, Hl, W]
+        left = left.astype(jnp.float32)
+        right = right.astype(jnp.float32)
+        if cost == "ssd":
+            vol = _local_ssd(left, right, max_disparity=max_disparity,
+                             kernel_size=kernel_size, cost_dtype=cost_dtype,
+                             axis_name=TILE_AXIS)
+        else:
+            vol = _local_birchfield(left, right,
+                                    max_disparity=max_disparity,
+                                    kernel_size=kernel_size)
+        if aggregation == "sgm":
+            vol = sharded_semiglobal(vol, left, penalty1=penalty1,
+                                     penalty2=penalty2, axis_name=TILE_AXIS,
+                                     n_tiles=n_tiles, mode=sgm_mode,
+                                     overlap=overlap)
+        if reducer == "wta":
+            return jax.vmap(winner_takes_all.__wrapped__)(vol)
+        return jax.vmap(dynamic_programming.__wrapped__)(vol)
+
+    spec = P(BATCH_AXIS, TILE_AXIS, None)
+    mapped = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=spec)
+    sharding = NamedSharding(mesh, spec)
+    return jax.jit(mapped, in_shardings=(sharding, sharding),
+                   out_shardings=sharding)
+
+
+class ShardedPipeline:
+    """Batched, mesh-sharded counterpart of :class:`stereomatch_tpu.Pipeline`.
+
+    Configuration is by name (like the CLI registries, cli_common.py) because
+    the sharded program is compiled as one unit rather than composed from
+    stage callables.
+    """
+
+    def __init__(self, mesh, max_disparity: int, *, cost: str = "ssd",
+                 kernel_size: Optional[int] = None,
+                 aggregation: Optional[str] = "sgm", reducer: str = "wta",
+                 penalty1: float = 0.1, penalty2: float = 0.2,
+                 sgm_mode: str = "exact", overlap: int = 64):
+        self.mesh = mesh
+        self.max_disparity = max_disparity
+        self._fn = make_sharded_estimate(
+            mesh, max_disparity=max_disparity, cost=cost,
+            kernel_size=kernel_size, aggregation=aggregation, reducer=reducer,
+            penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
+            overlap=overlap)
+        self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))
+
+    def estimate(self, left, right) -> jnp.ndarray:
+        """[B, H, W] (or [H, W], auto-batched) -> [B, H, W] int32."""
+        left = jnp.asarray(left)
+        right = jnp.asarray(right)
+        squeeze = left.ndim == 2
+        if squeeze:
+            n_batch = self.mesh.shape[BATCH_AXIS]
+            left = jnp.broadcast_to(left, (n_batch,) + left.shape)
+            right = jnp.broadcast_to(right, (n_batch,) + right.shape)
+        n_batch = self.mesh.shape[BATCH_AXIS]
+        n_tiles = self.mesh.shape[TILE_AXIS]
+        if left.shape[0] % n_batch or left.shape[1] % n_tiles:
+            raise ValueError(
+                f"batch {left.shape[0]} / height {left.shape[1]} not "
+                f"divisible by mesh axes {(n_batch, n_tiles)}")
+        left = jax.device_put(left, self._sharding)
+        right = jax.device_put(right, self._sharding)
+        out = self._fn(left, right)
+        return out[0] if squeeze else out

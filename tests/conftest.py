@@ -8,11 +8,18 @@ initializes its backends, hence the top-of-file placement.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Site customization (e.g. a TPU PJRT plugin registered from sitecustomize)
+# may have force-selected another platform before this file ran; the config
+# update wins over both.
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path  # noqa: E402
 import dataclasses  # noqa: E402

@@ -1,0 +1,128 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The oracle pattern follows the reference's CPU<->GPU equivalence tests
+(tests/test_semiglobalmatch.py:39-55 etc.): the single-chip jitted pipeline
+is the trusted implementation, and the sharded program must match it —
+bit-exactly for `exact` SGM hand-off, and for `overlap` mode whenever the
+warm-up window spans the tile height (then every path's state is fully
+reconstructed).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from stereomatch_tpu.aggregation import Semiglobal
+from stereomatch_tpu.cost import SSD, Birchfield
+from stereomatch_tpu.disparity_reduce import DynamicProgramming, WinnerTakesAll
+from stereomatch_tpu.parallel import ShardedPipeline, make_mesh
+from stereomatch_tpu.parallel.mesh import batch_tile_axes
+
+from .conftest import STM_MAX_DISPARITY, synthetic_stereo_pair
+
+D = STM_MAX_DISPARITY
+
+
+@pytest.fixture(scope="module")
+def pair():
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3)
+    return left, right
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "tests need the 8-device CPU mesh"
+    return make_mesh(jax.devices()[:8], n_batch=2)
+
+
+def _reference(left, right, aggregation, reducer):
+    vol = SSD(D, kernel_size=3)(left, right)
+    if aggregation:
+        vol = Semiglobal()(vol, left)
+    return np.asarray(reducer(vol))
+
+
+def test_mesh_factorization():
+    assert batch_tile_axes(1) == (1, 1)
+    assert batch_tile_axes(8) == (2, 4)
+    assert batch_tile_axes(8, n_batch=1) == (1, 8)
+    with pytest.raises(ValueError):
+        batch_tile_axes(8, n_batch=3)
+
+
+@pytest.mark.parametrize("sgm_mode", ["exact", "overlap"])
+def test_sharded_sgm_wta_matches_single_chip(pair, mesh, sgm_mode):
+    left, right = pair
+    ref = _reference(left, right, True, WinnerTakesAll())
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode=sgm_mode,
+                           overlap=left.shape[0])
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_sharded_dp_matches_single_chip(pair, mesh):
+    left, right = pair
+    ref = _reference(left, right, True, DynamicProgramming())
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="dynamic_programming", sgm_mode="exact")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_cost_only(pair, mesh):
+    left, right = pair
+    ref = _reference(left, right, False, WinnerTakesAll())
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation=None,
+                           reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_birchfield(pair, mesh):
+    left, right = pair
+    vol = Birchfield(D)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    pipe = ShardedPipeline(mesh, D, cost="birchfield", aggregation=None,
+                           reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_overlap_mode_close_even_with_small_window(pair, mesh):
+    """Warm-up shorter than the tile: not bit-exact, but disparity maps
+    should disagree on only a small fraction of pixels (SGM forgets its
+    carry geometrically)."""
+    left, right = pair
+    ref = _reference(left, right, True, WinnerTakesAll())
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="overlap", overlap=4)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    assert np.mean(out[0] != ref) < 0.05
+
+
+def test_single_device_mesh(pair):
+    left, right = pair
+    ref = _reference(left, right, True, WinnerTakesAll())
+    mesh1 = make_mesh(jax.devices()[:1])
+    pipe = ShardedPipeline(mesh1, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact")
+    out = np.asarray(pipe.estimate(left[None], right[None]))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_divisibility_errors(pair, mesh):
+    left, right = pair
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation=None,
+                           reducer="wta")
+    with pytest.raises(ValueError):
+        pipe.estimate(np.stack([left] * 3), np.stack([right] * 3))
+    with pytest.raises(ValueError):
+        pipe.estimate(left[None, :30], right[None, :30])
