@@ -38,13 +38,17 @@ def _chained_pipeline():
     from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
     from stereomatch_tpu.ops.cost import ssd_cost_volume
     from stereomatch_tpu.ops.disparity import winner_takes_all
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+
+    aggregate = (semiglobal_aggregate if jax.default_backend() == "cpu"
+                 else semiglobal_aggregate_pallas)
 
     def fn(left, right, n):
         def body(_, carry):
             out, __ = carry
             vol = ssd_cost_volume(out, right,
                                   max_disparity=MAX_DISPARITY, kernel_size=7)
-            agg = semiglobal_aggregate(vol, out)
+            agg = aggregate(vol, out)
             disp = winner_takes_all(agg)
             # Feed a negligible function of the result back in so XLA cannot
             # overlap or elide iterations: each is a true serial frame.

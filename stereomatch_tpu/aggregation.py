@@ -7,8 +7,21 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from .ops.aggregation import semiglobal_aggregate
+from .ops.sgm_pallas import semiglobal_aggregate_pallas
 from .utils import validation
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        # Pallas kernels lower through Mosaic on TPU-class backends only;
+        # elsewhere the XLA scan formulation is the fast native path.
+        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend not in ("pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
 
 
 class Semiglobal:
@@ -24,15 +37,22 @@ class Semiglobal:
     ignored (buffer lifetime is XLA's under jit).
     """
 
-    def __init__(self, penalty1: float = 0.1, penalty2: float = 0.2):
+    def __init__(self, penalty1: float = 0.1, penalty2: float = 0.2,
+                 backend: str = "auto"):
         """
         Args:
             penalty1: cost penalty for changing disparity by one level.
             penalty2: base penalty for larger disparity jumps, scaled by the
               inverse image gradient (P2_adj = max(P1, P2 / |dI|)).
+            backend: "pallas" (streaming TPU kernels, ops/sgm_pallas.py),
+              "xla" (lax.scan formulation), or "auto" — pallas on
+              accelerator backends, xla on CPU.  Both compute the same
+              8-traversal aggregation; results differ only in float
+              summation order (last-ulp).
         """
         self.penalty1 = penalty1
         self.penalty2 = penalty2
+        self.backend = backend
 
     def __call__(self, cost_volume, left_image,
                  sga_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -44,6 +64,10 @@ class Semiglobal:
             raise validation.ShapeError(
                 f"cost_volume spatial dims {cost_volume.shape[:2]} do not "
                 f"match left_image {left_image.shape}")
+        if _resolve_backend(self.backend) == "pallas":
+            return semiglobal_aggregate_pallas(cost_volume, left_image,
+                                               penalty1=float(self.penalty1),
+                                               penalty2=float(self.penalty2))
         return semiglobal_aggregate(cost_volume, left_image,
                                     penalty1=float(self.penalty1),
                                     penalty2=float(self.penalty2))

@@ -1,0 +1,217 @@
+"""Pallas TPU kernels for semiglobal aggregation.
+
+The XLA `lax.scan` formulation (ops/aggregation.py) walks the volume eight
+times — once per traversal — and each scan step is its own fusion.  These
+kernels restructure the work around HBM traffic, the true bottleneck:
+
+* One *pass* streams the [H, W, D] volume row by row (grid over H, one
+  [1, W, D] block per step) and advances ALL path families that scan in
+  that row direction simultaneously — vertical + both diagonals, i.e. 3 of
+  the 4 families.  Their per-family running path costs live in a VMEM
+  scratch carry [F, W, D] that persists across the sequential TPU grid,
+  exactly like the CUDA kernel's shared-memory prev_cost array
+  (semiglobal_gpu.cu:49-105) but for a whole row of paths at once.
+* The reverse traversals are the same kernel with a reversed grid index
+  map and negated diagonal shifts — no flipped copies of the volume are
+  materialized.
+* A pass can *accumulate* onto a partial volume in place
+  (input_output_aliases), so the 6 row-direction traversals cost
+  read-cost + write-partial (forward) + read-cost + read-partial +
+  write-partial (reverse) of HBM traffic in total.
+* The horizontal family (scan along W) reuses the same kernel on a
+  transposed volume — two XLA transposes are cheaper than a
+  strided-DMA column walk.
+* The adaptive penalty P2_adj = max(P1, P2/|dI|) (semiglobal.cpp:137-138)
+  depends only on the image, not the recurrence — it is precomputed in XLA
+  as an [H, W, F] map (one lane-broadcast column read per row step) instead
+  of re-deriving intensities inside the kernel.
+
+Semantics are identical to ops.aggregation.semiglobal_aggregate: same
+recurrence, seeding, edge re-entry reseeds, and 8-traversal accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FAMILY_SHIFTS = (0, 1, -1)      # vertical, diagonal (1,1), diagonal (-1,1)
+
+
+def _shift2d(image: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    """Zero-filled 2-D shift: out[r, x] = image[r - rows, x - cols]."""
+    out = image
+    if rows:
+        out = jnp.roll(out, rows, axis=0)
+        edge = lax.broadcasted_iota(jnp.int32, out.shape, 0)
+        bound = rows - 1 if rows > 0 else out.shape[0] + rows
+        mask = (edge <= bound) if rows > 0 else (edge >= bound)
+        out = jnp.where(mask, 0.0, out)
+    if cols:
+        out = jnp.roll(out, cols, axis=1)
+        edge = lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        bound = cols - 1 if cols > 0 else out.shape[1] + cols
+        mask = (edge <= bound) if cols > 0 else (edge >= bound)
+        out = jnp.where(mask, 0.0, out)
+    return out
+
+
+def _p2_maps(image: jnp.ndarray, penalty1: float, penalty2: float,
+             shifts, reverse: bool) -> jnp.ndarray:
+    """[H, W, F] adaptive-P2 maps for one traversal direction.
+
+    Forward predecessor of (r, x) for family shift s is (r-1, x-s); reverse
+    is (r+1, x+s).  Out-of-image predecessors read as 0, mirroring the
+    single-chip scan's zero-filled intensity shift — those positions are
+    reseed positions whose P2 never takes effect.
+    """
+    maps = []
+    for s in shifts:
+        prev = (_shift2d(image, -1, -s) if reverse
+                else _shift2d(image, 1, s))
+        grad = jnp.abs(image - prev)
+        maps.append(jnp.maximum(jnp.float32(penalty1),
+                                jnp.float32(penalty2) / grad))
+    return jnp.stack(maps, axis=-1)
+
+
+def _roll(x, shift: int, axis: int):
+    """pltpu.roll with negative shifts mapped to their positive equivalent."""
+    size = x.shape[axis]
+    return pltpu.roll(x, shift % size, axis=axis)
+
+
+def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
+                  accumulate: bool):
+    if accumulate:
+        cost_ref, p2_ref, acc_ref, out_ref, carry_ref = refs
+    else:
+        cost_ref, p2_ref, out_ref, carry_ref = refs
+        acc_ref = None
+    i = pl.program_id(0)
+    cost = cost_ref[0]                               # [W, D]
+    n_fam = len(families)
+    p1 = jnp.float32(penalty1)
+    width, max_disp = cost.shape
+
+    base = acc_ref[0] if accumulate else jnp.zeros_like(cost)
+
+    @pl.when(i == 0)
+    def _seed():
+        for idx in range(n_fam):
+            carry_ref[idx] = cost
+        out_ref[0] = base + jnp.float32(n_fam) * cost
+
+    @pl.when(i > 0)
+    def _step():
+        total = base
+        inf = jnp.float32(jnp.inf)
+        lane = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1)
+        col = lax.broadcasted_iota(jnp.int32, (width, 1), 0)
+        new_carries = []
+        for idx, s in enumerate(families):
+            shift = -s if reverse else s
+            prev = carry_ref[idx]                    # [W, D]
+            if shift != 0:
+                prev = _roll(prev, shift, axis=0)
+            prev_min = jnp.min(prev, axis=1, keepdims=True)      # [W, 1]
+            p2a = p2_ref[0, :, idx][:, None]                     # [W, 1]
+            up = jnp.where(lane == 0, inf,
+                           _roll(prev, 1, axis=1))               # d-1
+            down = jnp.where(lane == max_disp - 1, inf,
+                             _roll(prev, -1, axis=1))            # d+1
+            band = jnp.minimum(jnp.minimum(prev, up + p1),
+                               jnp.minimum(down + p1, prev_min + p2a))
+            val = cost + band - prev_min
+            if shift != 0:
+                edge_col = 0 if shift > 0 else width - 1
+                val = jnp.where(col == edge_col, cost, val)
+            new_carries.append(val)
+            total = total + val
+        for idx in range(n_fam):
+            carry_ref[idx] = new_carries[idx]
+        out_ref[0] = total
+
+
+def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
+                reverse: bool, interpret: bool = False):
+    """One streaming traversal over rows; accumulates onto ``partial``."""
+    height, width, max_disp = cost.shape
+    n_fam = len(families)
+    if reverse:
+        row = lambda i: (height - 1 - i, 0, 0)
+    else:
+        row = lambda i: (i, 0, 0)
+
+    accumulate = partial is not None
+    kernel = functools.partial(_sweep_kernel, families=families,
+                               penalty1=penalty1, reverse=reverse,
+                               accumulate=accumulate)
+    in_specs = [
+        pl.BlockSpec((1, width, max_disp), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, n_fam), row, memory_space=pltpu.VMEM),
+    ]
+    args = [cost, p2map]
+    io_aliases = {}
+    if accumulate:
+        in_specs.append(pl.BlockSpec((1, width, max_disp), row,
+                                     memory_space=pltpu.VMEM))
+        args.append(partial)
+        io_aliases = {2: 0}
+
+    return pl.pallas_call(
+        kernel,
+        grid=(height,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, width, max_disp), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((height, width, max_disp),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32)],
+        input_output_aliases=io_aliases,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("penalty1", "penalty2",
+                                             "interpret"))
+def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
+                                left_image: jnp.ndarray, *,
+                                penalty1: float = 0.1,
+                                penalty2: float = 0.2,
+                                interpret: bool = False) -> jnp.ndarray:
+    """8-direction SGM aggregation, Pallas path.
+
+    Drop-in equivalent of ops.aggregation.semiglobal_aggregate
+    (reference: AggregationOps::RunSemiglobal, src/semiglobal.cpp:167-197).
+    """
+    cost = cost_volume.astype(jnp.float32)
+    image = left_image.astype(jnp.float32)
+    p1, p2 = float(penalty1), float(penalty2)
+
+    # Row-direction families (vertical + diagonals): forward then reverse,
+    # accumulated in place.
+    p2_f = _p2_maps(image, p1, p2, _FAMILY_SHIFTS, reverse=False)
+    p2_r = _p2_maps(image, p1, p2, _FAMILY_SHIFTS, reverse=True)
+    partial = _sweep_pass(cost, p2_f, None, families=_FAMILY_SHIFTS,
+                          penalty1=p1, reverse=False, interpret=interpret)
+    partial = _sweep_pass(cost, p2_r, partial, families=_FAMILY_SHIFTS,
+                          penalty1=p1, reverse=True, interpret=interpret)
+
+    # Horizontal family: the same kernel over the transposed volume.
+    cost_t = jnp.swapaxes(cost, 0, 1)
+    image_t = image.T
+    p2t_f = _p2_maps(image_t, p1, p2, (0,), reverse=False)
+    p2t_r = _p2_maps(image_t, p1, p2, (0,), reverse=True)
+    partial_t = _sweep_pass(cost_t, p2t_f, None, families=(0,),
+                            penalty1=p1, reverse=False, interpret=interpret)
+    partial_t = _sweep_pass(cost_t, p2t_r, partial_t, families=(0,),
+                            penalty1=p1, reverse=True, interpret=interpret)
+
+    out = partial + jnp.swapaxes(partial_t, 0, 1)
+    return out.astype(cost_volume.dtype)
