@@ -7,7 +7,10 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from .ops.disparity import dynamic_programming, winner_takes_all
+from .ops.dp_pallas import dynamic_programming_pallas
 from .utils import validation
 
 
@@ -35,10 +38,24 @@ class DynamicProgramming:
     the caller side (disparity_reduce.py:77-84); here those live inside the
     jitted kernel (see ops.disparity.dynamic_programming_with_paths for a
     variant exposing them).
+
+    ``backend``: "pallas" (streaming kernels, ops/dp_pallas.py), "xla"
+    (lax.scan), or "auto" — pallas on accelerator backends.  Both produce
+    identical disparities.
     """
+
+    def __init__(self, backend: str = "auto"):
+        self.backend = backend
 
     def __call__(self, cost_volume,
                  disparity_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cost_volume = jnp.asarray(cost_volume)
         validation.check_cost_volume(cost_volume)
+        backend = self.backend
+        if backend == "auto":
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        if backend == "pallas":
+            return dynamic_programming_pallas(cost_volume)
+        if backend != "xla":
+            raise ValueError(f"unknown backend {backend!r}")
         return dynamic_programming(cost_volume)
