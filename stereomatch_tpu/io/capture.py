@@ -100,6 +100,35 @@ class StereoCapture:
             self.video_capture = None
 
 
+class Y4MCapture:
+    """Side-by-side stereo capture over a YUV4MPEG2 stream (native path).
+
+    Decode runs on a libstmio prefetch thread (stereomatch_tpu.native
+    .Y4MReader), overlapping file I/O with device compute.  Frames are
+    grayscale luma; same read_next contract as :class:`StereoCapture`.
+    Produce streams with ``ffmpeg -i any.mp4 -pix_fmt yuv420p out.y4m``.
+    """
+
+    def __init__(self, path, prefetch: int = 2):
+        from .. import native
+        if not native.available():
+            raise RuntimeError("Y4MCapture needs the native I/O library "
+                               "(native/libstmio.so; `make -C native`)")
+        self._reader = native.Y4MReader(path, prefetch=prefetch)
+        self.width = self._reader.width
+        self.height = self._reader.height
+        self.fps = self._reader.fps
+
+    def read_next(self) -> Tuple[bool, StereoCaptureImage]:
+        frame = self._reader.read()
+        if frame is None:
+            return False, StereoCaptureImage()
+        return True, split_side_by_side(frame)
+
+    def close(self) -> None:
+        self._reader.close()
+
+
 class ImageSequenceCapture:
     """Capture over a directory of side-by-side frames (PNG/JPG), or over
     paired left/right file lists.  cv2-free; useful for tests and replays."""

@@ -24,8 +24,12 @@ def read_pfm(path) -> np.ndarray:
     """Parse a PFM file (the Middlebury disparity format).
 
     Returns float32 [H, W] (grayscale) or [H, W, 3] (color), with the
-    bottom-up scanline order of the format undone.
+    bottom-up scanline order of the format undone.  Uses the native codec
+    (libstmio) when built; this pure-Python parser is the fallback.
     """
+    from .. import native
+    if native.available():
+        return native.read_pfm(path)
     with open(path, "rb") as f:
         header = f.readline().decode("latin-1").strip()
         if header == "PF":
@@ -82,8 +86,24 @@ def parse_middlebury_calib(filepath) -> Dict[str, int]:
 
 
 def load_image(path, grayscale: bool = False) -> np.ndarray:
+    """Load an image; PGM/PPM go through the native codec, rest through PIL.
+
+    The Middlebury 2003 sets (teddy/cones — the reference's test fixtures,
+    tests/conftest.py:15-31) ship PGM/PPM.
+    """
+    suffix = Path(path).suffix.lower()
+    if suffix in (".pgm", ".ppm", ".pnm"):
+        from .. import native
+        if native.available():
+            img = native.read_pnm(path)
+            if grayscale and img.ndim == 3:
+                img = np.round(
+                    img.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                      np.float32)
+                ).astype(np.uint8)
+            return img
     if not _HAS_PIL:  # pragma: no cover
-        raise RuntimeError("PIL is required to load PNG images")
+        raise RuntimeError("PIL is required to load images")
     img = Image.open(path)
     if grayscale:
         img = img.convert("L")
