@@ -1,0 +1,194 @@
+"""Stage-level benchmark suite mirroring the reference's pytest-benchmark
+groups (cost / aggregation / disparity_reduce, README.md:48-75).
+
+Geometries follow the reference fixtures: cost benchmarks on a 512x256
+pair at D=32 (tests/conftest.py:23,86), aggregation/reduce on the
+full-resolution teddy shape 450x375 at D=128 (tests/conftest.py:58-78).
+
+Timing methodology: marginal cost of one op inside a data-dependent
+fori_loop chain compiled as one program — (t(chain_K) - t(chain_1))/(K-1) —
+which cancels dispatch and host-transfer constants that some PJRT
+transports add per call (see bench.py).
+
+Usage:
+    python benchmarks/suite.py [--json OUT.json] [--chain K] [--repeats R]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# Reference GPU numbers (BASELINE.md); None where the reference has no
+# directly comparable benchmark.
+REFERENCE_MS = {
+    "ssd_cost_512x256_d32": 2.49,
+    "ssd_texture_512x256_d32": 7.29,
+    "birchfield_cost_512x256_d32": 2.99,
+    "sgm_450x375_d128": 6.99,
+    "wta_450x375_d128": None,
+    "argmin_baseline_450x375_d128": None,
+    "dynprog_450x375_d128": 0.708,
+    "pipeline_teddy_450x375_d128": 10.0,
+}
+
+
+def _chain(body_fn):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(args, n):
+        out = lax.fori_loop(0, n, lambda _, c: body_fn(c), args)
+        # Reduce to one scalar so the host fetch is a few bytes — large
+        # result fetches through relay transports are slow AND noisy.
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+
+    return run
+
+
+def _time(run, args, n, repeats):
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        float(run(args, n))
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+def _marginal_ms(body_fn, args, chain_k, repeats):
+    """Marginal per-iteration time between two chain lengths (k, 3k)."""
+    run = _chain(body_fn)
+    float(run(args, 1))                  # compile
+    ta = _time(run, args, chain_k, repeats)
+    tb = _time(run, args, 3 * chain_k, repeats)
+    return max(tb - ta, 0.0) / (2 * chain_k) * 1e3
+
+
+def build_benchmarks():
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
+    from stereomatch_tpu.ops.cost import (birchfield_cost_volume,
+                                          ssd_cost_volume)
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    from stereomatch_tpu.ops.dp_pallas import dynamic_programming_pallas
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+    from stereomatch_tpu.texture import TextureImage
+
+    on_cpu = jax.default_backend() == "cpu"
+    aggregate = semiglobal_aggregate if on_cpu else semiglobal_aggregate_pallas
+
+    rng = np.random.default_rng(0)
+
+    # Cost group geometry: 512x256, D=32.
+    h1, w1, d1 = 256, 512, 32
+    l1 = jax.device_put(rng.random((h1, w1), np.float32))
+    r1 = jax.device_put(rng.random((h1, w1), np.float32))
+
+    # Aggregation / reduce group geometry: teddy full-res, D=128.
+    h2, w2, d2 = 375, 450, 128
+    l2 = jax.device_put(rng.random((h2, w2), np.float32))
+    r2 = jax.device_put(rng.random((h2, w2), np.float32))
+    vol2 = jax.device_put(rng.random((h2, w2, d2), np.float32))
+
+    def feedback(img, out):
+        """Tiny data dependency so chained iterations serialize."""
+        flat = out.astype(jnp.float32)
+        while flat.ndim > 2:
+            flat = flat[..., 0]
+        return img + jnp.float32(1e-12) * flat
+
+    benches = {}
+
+    def cost_bench(fn):
+        def body(carry):
+            l, r = carry
+            return feedback(l, fn(l, r)), r
+        return body, (l1, r1)
+
+    benches["ssd_cost_512x256_d32"] = cost_bench(
+        lambda l, r: ssd_cost_volume(l, r, max_disparity=d1, kernel_size=7))
+    benches["ssd_texture_512x256_d32"] = cost_bench(
+        lambda l, r: ssd_cost_volume(
+            TextureImage.from_array(l).sample_grid(),
+            TextureImage.from_array(r).sample_grid(),
+            max_disparity=d1, kernel_size=7))
+    benches["birchfield_cost_512x256_d32"] = cost_bench(
+        lambda l, r: birchfield_cost_volume(l, r, max_disparity=d1))
+
+    def vol_bench(fn):
+        def body(carry):
+            v, img = carry
+            out = fn(v, img)
+            flat = out.astype(jnp.float32)
+            while flat.ndim > 2:
+                flat = flat[..., 0]
+            return v + jnp.float32(1e-12) * flat[:, :, None], img
+        return body, (vol2, l2)
+
+    benches["sgm_450x375_d128"] = vol_bench(lambda v, img: aggregate(v, img))
+    benches["wta_450x375_d128"] = vol_bench(
+        lambda v, img: winner_takes_all(v))
+    benches["argmin_baseline_450x375_d128"] = vol_bench(
+        lambda v, img: jnp.argmin(v, axis=2).astype(jnp.int32))
+    benches["dynprog_450x375_d128"] = vol_bench(
+        lambda v, img: (winner_takes_all(v) if on_cpu
+                        else dynamic_programming_pallas(v)))
+
+    def pipe_body(carry):
+        l, r = carry
+        vol = ssd_cost_volume(l, r, max_disparity=d2, kernel_size=7)
+        agg = aggregate(vol, l)
+        disp = winner_takes_all(agg)
+        return feedback(l, disp), r
+
+    benches["pipeline_teddy_450x375_d128"] = (pipe_body, (l2, r2))
+    return benches
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--chain", type=int, default=16)
+    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--only", default=None,
+                        help="substring filter on benchmark names")
+    args = parser.parse_args()
+
+    import jax
+    device = jax.devices()[0].device_kind
+
+    results = {}
+    print(f"# device: {device}", file=sys.stderr)
+    header = f"{'benchmark':36s} {'ms':>9s} {'ref ms':>8s} {'speedup':>8s}"
+    print(header, file=sys.stderr)
+    for name, (body, init) in build_benchmarks().items():
+        if args.only and args.only not in name:
+            continue
+        ms = _marginal_ms(body, init, args.chain, args.repeats)
+        ref = REFERENCE_MS.get(name)
+        speed = f"{ref / ms:8.2f}" if ref and ms > 0 else "       -"
+        print(f"{name:36s} {ms:9.3f} {ref if ref else float('nan'):8.3f}"
+              f" {speed}", file=sys.stderr)
+        results[name] = {"ms": round(ms, 4), "reference_ms": ref,
+                         "speedup_vs_reference": (round(ref / ms, 3)
+                                                  if ref and ms > 0 else None)}
+
+    payload = {"device": device, "results": results}
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
