@@ -29,10 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     from ..cli_common import (AGGREGATION_METHODS, COST_METHODS,
                               DISPARITY_METHODS)
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("input_mode", choices=["dev", "file", "imgdir"],
+    parser.add_argument("input_mode",
+                        choices=["dev", "file", "imgdir", "y4m"],
                         metavar="input-mode",
-                        help="Camera `dev`ice, video `file`, or `imgdir` of "
-                             "side-by-side frames.")
+                        help="Camera `dev`ice, video `file`, `imgdir` of "
+                             "side-by-side frames, or `y4m` stream "
+                             "(native decode, no OpenCV needed).")
     parser.add_argument("input", type=str,
                         help="Device index, video path, or frame directory.")
     parser.add_argument("max_disparity", metavar="max-disparity", type=int,
@@ -57,11 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _open_capture(args):
-    from ..io.capture import ImageSequenceCapture, StereoCapture
+    from ..io.capture import (ImageSequenceCapture, StereoCapture,
+                              Y4MCapture)
     if args.input_mode == "dev":
         return StereoCapture.from_device(int(args.input))
     if args.input_mode == "file":
         return StereoCapture.from_file(args.input)
+    if args.input_mode == "y4m":
+        return Y4MCapture(args.input)
     return ImageSequenceCapture.from_directory(args.input)
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .cost import SSDTexture
 from .texture import TextureImage
-from .utils import validation
+from .utils import profiling, validation
 
 
 class _TexCostFunctionWrapper:
@@ -83,12 +83,17 @@ class Pipeline:
         self._disparity_image = None
 
     def _run(self, left_image, right_image):
-        cost_volume = self.cost(left_image, right_image)
+        # Stage spans show up in jax.profiler captures
+        # (utils/profiling.trace); the reference has no tracing at all.
+        with profiling.annotate("stm/cost"):
+            cost_volume = self.cost(left_image, right_image)
         if self.aggregation is not None:
-            aggregation_volume = self.aggregation(cost_volume, left_image)
+            with profiling.annotate("stm/aggregation"):
+                aggregation_volume = self.aggregation(cost_volume, left_image)
         else:
             aggregation_volume = cost_volume
-        disparity = self.disparity_reduce(aggregation_volume)
+        with profiling.annotate("stm/disparity_reduce"):
+            disparity = self.disparity_reduce(aggregation_volume)
         return cost_volume, aggregation_volume, disparity
 
     def estimate(self, left_image, right_image) -> jnp.ndarray:

@@ -1,0 +1,152 @@
+"""Batched streaming estimation for stereo video.
+
+The reference's video loop (stereomatch/cli_video.py:77-124) is strictly
+frame-at-a-time: capture, upload, estimate (with per-op device sync),
+display.  The TPU-native steady state instead:
+
+* batches B frames into one [B, H, W] device array so every kernel runs at
+  batch width (vmapped over the same jitted pipeline),
+* relies on XLA async dispatch to overlap the host->device copy of batch
+  k+1 with compute of batch k (no explicit double-buffer bookkeeping),
+* optionally decodes on libstmio's native prefetch thread (io.capture
+  .Y4MCapture), so file I/O, decode, H2D and compute all pipeline.
+
+``StreamingEstimator`` is single-chip; hand a ``parallel.ShardedPipeline``
+the same batches to span a mesh (its batch axis is the DCN-friendly one).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.aggregation import semiglobal_aggregate
+from .ops.cost import birchfield_cost_volume, ssd_cost_volume
+from .ops.disparity import dynamic_programming, winner_takes_all
+from .ops.dp_pallas import dynamic_programming_pallas
+from .ops.sgm_pallas import semiglobal_aggregate_pallas
+
+
+@dataclass
+class StreamStats:
+    frames: int = 0
+    batches: int = 0
+    seconds: float = 0.0
+    _start: Optional[float] = field(default=None, repr=False)
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds > 0 else 0.0
+
+
+def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
+                    aggregation: Optional[str], reducer: str,
+                    penalty1: float, penalty2: float):
+    if kernel_size is None:
+        kernel_size = 7 if cost == "ssd" else 4
+    on_cpu = jax.default_backend() == "cpu"
+
+    def frame_fn(left, right):
+        if cost == "ssd":
+            vol = ssd_cost_volume(left, right, max_disparity=max_disparity,
+                                  kernel_size=kernel_size)
+        elif cost == "birchfield":
+            vol = birchfield_cost_volume(left, right,
+                                         max_disparity=max_disparity,
+                                         kernel_size=kernel_size)
+        else:
+            raise ValueError(f"unknown cost {cost!r}")
+        if aggregation == "sgm":
+            agg = (semiglobal_aggregate if on_cpu
+                   else semiglobal_aggregate_pallas)
+            vol = agg(vol, left, penalty1=penalty1, penalty2=penalty2)
+        elif aggregation is not None:
+            raise ValueError(f"unknown aggregation {aggregation!r}")
+        if reducer == "wta":
+            return winner_takes_all(vol)
+        if reducer == "dynamic_programming":
+            return (dynamic_programming(vol) if on_cpu
+                    else dynamic_programming_pallas(vol))
+        raise ValueError(f"unknown reducer {reducer!r}")
+
+    return frame_fn
+
+
+class StreamingEstimator:
+    """Batched jitted estimator over stereo frame streams."""
+
+    def __init__(self, max_disparity: int, *, batch: int = 4,
+                 cost: str = "ssd", kernel_size: Optional[int] = None,
+                 aggregation: Optional[str] = "sgm", reducer: str = "wta",
+                 penalty1: float = 0.1, penalty2: float = 0.2):
+        self.batch = batch
+        frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
+                                   aggregation, reducer, penalty1, penalty2)
+        self._fn = jax.jit(jax.vmap(frame_fn))
+        self.stats = StreamStats()
+
+    def estimate_batch(self, left: np.ndarray, right: np.ndarray):
+        """[B, H, W] pair stack -> [B, H, W] int32 disparity (device array).
+
+        Returns without blocking: XLA queues the work, so callers can feed
+        the next batch while this one computes.
+        """
+        return self._fn(jnp.asarray(left, jnp.float32),
+                        jnp.asarray(right, jnp.float32))
+
+    def run(self, capture, max_frames: Optional[int] = None
+            ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Drive a capture (read_next() protocol) to completion.
+
+        Yields (gray_left [H, W], disparity [H, W] int32) per frame, in
+        order, while keeping one batch in flight.
+        """
+        self.stats = StreamStats()
+        self.stats._start = time.perf_counter()
+        pending: List[Tuple[List[np.ndarray], object]] = []
+        lefts_buf: List[np.ndarray] = []
+        rights_buf: List[np.ndarray] = []
+        done = False
+        while not done:
+            ok, img = capture.read_next()
+            if ok:
+                gray = img if not hasattr(img, "to_grayscale") else \
+                    img.to_grayscale()
+                left, right = np.asarray(gray.left), np.asarray(gray.right)
+                lefts_buf.append(left)
+                rights_buf.append(right)
+                self.stats.frames += 1
+                if max_frames is not None and self.stats.frames >= max_frames:
+                    done = True
+            else:
+                done = True
+
+            if len(lefts_buf) == self.batch or (done and lefts_buf):
+                pad = 0
+                lefts = lefts_buf
+                rights = rights_buf
+                if len(lefts) < self.batch:
+                    pad = self.batch - len(lefts)
+                    lefts = lefts + [lefts[-1]] * pad
+                    rights = rights + [rights[-1]] * pad
+                out = self.estimate_batch(np.stack(lefts), np.stack(rights))
+                if pad:
+                    out = out[:self.batch - pad]
+                pending.append((lefts_buf, out))
+                self.stats.batches += 1
+                lefts_buf, rights_buf = [], []
+                # Keep at most one batch in flight beyond the current one.
+                while len(pending) > 1:
+                    ready_lefts, ready_out = pending.pop(0)
+                    for i, disp in enumerate(np.asarray(ready_out)):
+                        yield ready_lefts[i], disp
+
+        for ready_lefts, ready_out in pending:
+            for i, disp in enumerate(np.asarray(ready_out)):
+                yield ready_lefts[i], disp
+        self.stats.seconds = time.perf_counter() - self.stats._start

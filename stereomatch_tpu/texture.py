@@ -161,7 +161,16 @@ class TextureImage:
 
     def sample_grid(self) -> jnp.ndarray:
         """Sample every integer pixel centre — identity under nearest
-        filtering (the property the SSD texture path relies on)."""
+        filtering (the property the SSD texture path relies on).
+
+        Nearest + unnormalized is exactly the stored image, so that case
+        skips the gather (a CUDA texture would still route reads through
+        the sampler; a TPU has no such unit to feed, and the gather would
+        cost real HBM traffic for bit-identical output).
+        """
+        if (self.filter_mode == FilterMode.NEAREST
+                and not self.use_normalized_coords):
+            return self.to_array().astype(jnp.float32)
         ys, xs = jnp.meshgrid(jnp.arange(self.height, dtype=jnp.float32),
                               jnp.arange(self.width, dtype=jnp.float32),
                               indexing="ij")

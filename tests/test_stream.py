@@ -1,0 +1,78 @@
+"""Streaming/batched video estimation tests (CPU, synthetic Y4M)."""
+
+import numpy as np
+import pytest
+
+from stereomatch_tpu import native
+from stereomatch_tpu.io.capture import Y4MCapture
+from stereomatch_tpu.stream import StreamingEstimator
+
+from .conftest import STM_MAX_DISPARITY, synthetic_stereo_pair
+
+D = STM_MAX_DISPARITY
+
+
+@pytest.fixture(scope="module")
+def y4m_stream(tmp_path_factory):
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    left, right, gt = synthetic_stereo_pair(32, 48, D, seed=3)
+    sbs = np.concatenate([(left * 255).astype(np.uint8),
+                          (right * 255).astype(np.uint8)], axis=1)
+    path = tmp_path_factory.mktemp("stream") / "v.y4m"
+    native.write_y4m(path, np.stack([sbs] * 10))
+    return path, left, right, gt
+
+
+def _run(path, batch, max_frames=None, **kwargs):
+    est = StreamingEstimator(D, batch=batch, kernel_size=3, **kwargs)
+    cap = Y4MCapture(path, prefetch=2)
+    outs = list(est.run(cap, max_frames=max_frames))
+    cap.close()
+    return est, outs
+
+
+def test_stream_counts_and_consistency(y4m_stream):
+    path, left, right, _ = y4m_stream
+    est, outs = _run(path, batch=4, aggregation="sgm", reducer="wta")
+    assert len(outs) == 10
+    assert est.stats.frames == 10
+    assert est.stats.batches == 3          # 4 + 4 + padded 2
+    for gray, disp in outs:
+        assert disp.shape == gray.shape == (32, 48)
+        np.testing.assert_array_equal(disp, outs[0][1])
+
+
+def test_stream_matches_single_frame_pipeline(y4m_stream):
+    """Batched streaming output equals the unbatched jitted pipeline on the
+    same (uint8-quantized) frames."""
+    path, *_ = y4m_stream
+    _, outs = _run(path, batch=4, aggregation="sgm", reducer="wta",
+                   max_frames=1)
+    from stereomatch_tpu.aggregation import Semiglobal
+    from stereomatch_tpu.cost import SSD
+    from stereomatch_tpu.disparity_reduce import WinnerTakesAll
+    gray, disp = outs[0]
+    cap = Y4MCapture(path)
+    ok, img = cap.read_next()
+    cap.close()
+    assert ok
+    vol = SSD(D, kernel_size=3)(np.float32(img.left), np.float32(img.right))
+    ref = np.asarray(WinnerTakesAll()(Semiglobal()(vol,
+                                                   np.float32(img.left))))
+    np.testing.assert_array_equal(disp, ref)
+
+
+def test_stream_uneven_tail(y4m_stream):
+    path, *_ = y4m_stream
+    est, outs = _run(path, batch=4, aggregation=None, reducer="wta",
+                     max_frames=6)
+    assert len(outs) == 6
+    assert est.stats.frames == 6
+
+
+def test_stream_dp_reducer(y4m_stream):
+    path, *_ = y4m_stream
+    _, outs = _run(path, batch=2, aggregation=None,
+                   reducer="dynamic_programming", max_frames=2)
+    assert len(outs) == 2
