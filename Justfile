@@ -1,0 +1,20 @@
+# Task runner, mirroring the reference's Justfile (pylint / unit-tests /
+# benchmark) plus the native build.
+
+native:
+	make -C native
+
+pylint:
+	pylint --disable=all --enable=E stereomatch_tpu
+
+unit-tests:
+	python -m pytest tests/ -q
+
+benchmark:
+	python benchmarks/suite.py
+
+headline:
+	python bench.py
+
+dryrun-multichip:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import jax; jax.config.update('jax_platforms', 'cpu'); import __graft_entry__ as g; g.dryrun_multichip(8)"

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bad-threshold", type=float, default=2.0)
     parser.add_argument("--json", dest="json_out", default=None,
                         help="Also write raw metric rows to this JSON file.")
+    parser.add_argument("--cache", default=None, metavar="DIR",
+                        help="Cache predicted disparities in DIR and reuse "
+                             "them on re-runs (the reference's Flyte tasks "
+                             "set cache=True, workflow.py:41).")
     parser.add_argument("--device", default=None)
     return parser
 
@@ -92,7 +96,21 @@ def main(argv=None) -> int:
             # Reference mutates max_disparity per scene (workflow.py:34).
             pipeline.cost.max_disparity = next_power_of_2(
                 item["max_disparity"])
-            predicted = np.asarray(pipeline.estimate(left, right))
+            cache_file = None
+            if args.cache:
+                from pathlib import Path
+                cache_dir = Path(args.cache)
+                cache_dir.mkdir(parents=True, exist_ok=True)
+                cache_file = cache_dir / (
+                    f"{name}_{item['stereo_name']}_"
+                    f"{left.shape[0]}x{left.shape[1]}_"
+                    f"d{pipeline.cost.max_disparity}.npy")
+            if cache_file is not None and cache_file.exists():
+                predicted = np.load(cache_file)
+            else:
+                predicted = np.asarray(pipeline.estimate(left, right))
+                if cache_file is not None:
+                    np.save(cache_file, predicted)
             scene_metrics = evaluate(predicted, item["gt_disparity"],
                                      threshold=args.bad_threshold)
             scene_metrics["scene"] = item["stereo_name"]
