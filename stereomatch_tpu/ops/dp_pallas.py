@@ -121,10 +121,20 @@ def _backward_kernel(ptr_ref, final_ref, disp_ref, cur_ref):
                               keepdims=True).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_vma"))
 def dynamic_programming_pallas(cost_volume: jnp.ndarray,
-                               interpret: bool = False) -> jnp.ndarray:
-    """Scanline DP disparity, Pallas path. [H, W, D] -> [H, W] int32."""
+                               interpret: bool = False,
+                               out_vma=None) -> jnp.ndarray:
+    """Scanline DP disparity, Pallas path. [H, W, D] -> [H, W] int32.
+
+    ``out_vma``: mesh axes the outputs vary over — required inside a
+    shard_map body.
+    """
+    def sds(shape, dtype):
+        if out_vma is None:
+            return jax.ShapeDtypeStruct(shape, dtype)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=out_vma)
+
     height, width, max_disp = cost_volume.shape
     cost_t = jnp.swapaxes(cost_volume.astype(jnp.float32), 0, 1)  # [W, H, D]
 
@@ -140,8 +150,8 @@ def dynamic_programming_pallas(cost_volume: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((width, height, max_disp), jnp.int32),
-            jax.ShapeDtypeStruct((height, max_disp), jnp.float32),
+            sds((width, height, max_disp), jnp.int32),
+            sds((height, max_disp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((height, max_disp), jnp.float32)],
         interpret=interpret,
@@ -160,7 +170,7 @@ def dynamic_programming_pallas(cost_volume: jnp.ndarray,
         out_specs=pl.BlockSpec((1, height, 1),
                                lambda i: (width - 1 - i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((width, height, 1), jnp.int32),
+        out_shape=sds((width, height, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((height, max_disp), jnp.float32)],
         interpret=interpret,
     )(ptrs, final)

@@ -139,8 +139,12 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
 
 
 def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
-                reverse: bool, interpret: bool = False):
-    """One streaming traversal over rows; accumulates onto ``partial``."""
+                reverse: bool, interpret: bool = False, out_vma=None):
+    """One streaming traversal over rows; accumulates onto ``partial``.
+
+    ``out_vma``: mesh axes the output varies over — required when called
+    inside a shard_map body (jax types pallas outputs explicitly there).
+    """
     height, width, max_disp = cost.shape
     n_fam = len(families)
     if reverse:
@@ -170,8 +174,11 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, width, max_disp), row,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((height, width, max_disp),
-                                       jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((height, width, max_disp),
+                                        jnp.float32)
+                   if out_vma is None else
+                   jax.ShapeDtypeStruct((height, width, max_disp),
+                                        jnp.float32, vma=out_vma)),
         scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32)],
         input_output_aliases=io_aliases,
         interpret=interpret,

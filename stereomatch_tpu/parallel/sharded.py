@@ -47,6 +47,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.aggregation import sgm_scan_with_carry
 from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
 from ..ops.disparity import dynamic_programming, winner_takes_all
+from ..ops.dp_pallas import dynamic_programming_pallas
+from ..ops import sgm_pallas
 from . import halo
 from .mesh import BATCH_AXIS, TILE_AXIS
 
@@ -203,6 +205,79 @@ def _local_horizontal_sweep(vol, img, p1, p2, reverse):
     return jnp.swapaxes(out, 1, 2)
 
 
+def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
+                               axis_name, n_tiles, overlap,
+                               interpret=False):
+    """8-direction SGM over a row-sharded volume using the Pallas kernels.
+
+    Row-direction families (vertical + diagonals): each tile streams its
+    block plus ``overlap`` warm-up halo rows through the fused 3-family
+    pass (ops/sgm_pallas.py) — forward with the halo prepended, reverse
+    with it appended (the kernel's reversed grid starts there) — and drops
+    the warm-up outputs.  ppermute's zero fill at ring ends is the
+    recurrence identity, so first-in-scan-order tiles are exact.  The
+    horizontal family is tile-local on the transposed block.
+    """
+    vol = cost_vol.astype(jnp.float32)
+    img = left_image.astype(jnp.float32)
+    overlap = min(overlap, vol.shape[1])
+    p1, p2 = float(penalty1), float(penalty2)
+    shifts = sgm_pallas._FAMILY_SHIFTS
+
+    vma = frozenset({BATCH_AXIS, TILE_AXIS})
+
+    def sweep(v, pm, partial, reverse):
+        fn = lambda c, m, acc: sgm_pallas._sweep_pass(
+            c, m, acc, families=shifts, penalty1=p1, reverse=reverse,
+            interpret=interpret, out_vma=vma)
+        if partial is None:
+            return jax.vmap(lambda c, m: fn(c, m, None))(v, pm)
+        return jax.vmap(fn)(v, pm, partial)
+
+    # Forward row pass: warm-up rows precede the block.
+    fwd_perm = [(i, i + 1) for i in range(n_tiles - 1)]
+    halo_v = _pull_prev_in_rank(vol, overlap, fwd_perm, axis_name, n_tiles)
+    halo_i = _pull_prev_in_rank(img, overlap, fwd_perm, axis_name, n_tiles)
+    vx = jnp.concatenate([halo_v, vol], axis=1)
+    ix = jnp.concatenate([halo_i, img], axis=1)
+    pm = jax.vmap(lambda im: sgm_pallas._p2_maps(im, p1, p2, shifts,
+                                                 reverse=False))(ix)
+    out = sweep(vx, pm, None, reverse=False)[:, overlap:]
+
+    # Reverse row pass: warm-up rows follow the block (reversed grid
+    # starts at the last row).
+    rev_perm = [(i + 1, i) for i in range(n_tiles - 1)]
+    edge = lax.slice_in_dim(vol, 0, overlap, axis=1)
+    halo_v = (jnp.zeros_like(edge) if n_tiles == 1
+              else lax.ppermute(edge, axis_name, rev_perm))
+    edge_i = lax.slice_in_dim(img, 0, overlap, axis=1)
+    halo_i = (jnp.zeros_like(edge_i) if n_tiles == 1
+              else lax.ppermute(edge_i, axis_name, rev_perm))
+    vx = jnp.concatenate([vol, halo_v], axis=1)
+    ix = jnp.concatenate([img, halo_i], axis=1)
+    pm = jax.vmap(lambda im: sgm_pallas._p2_maps(im, p1, p2, shifts,
+                                                 reverse=True))(ix)
+    out = out + sweep(vx, pm, None, reverse=True)[:, :vol.shape[1]]
+
+    # Horizontal family: tile-local, transposed block, both directions.
+    vol_t = jnp.swapaxes(vol, 1, 2)
+    img_t = jnp.swapaxes(img, 1, 2)
+
+    def horizontal(v, im):
+        pmf = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=False)
+        pmr = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=True)
+        part = sgm_pallas._sweep_pass(v, pmf, None, families=(0,),
+                                      penalty1=p1, reverse=False,
+                                      interpret=interpret, out_vma=vma)
+        return sgm_pallas._sweep_pass(v, pmr, part, families=(0,),
+                                      penalty1=p1, reverse=True,
+                                      interpret=interpret, out_vma=vma)
+
+    out_t = jax.vmap(horizontal)(vol_t, img_t)
+    out = out + jnp.swapaxes(out_t, 1, 2)
+    return out.astype(cost_vol.dtype)
+
+
 def sharded_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
                        axis_name, n_tiles, mode="exact", overlap=64):
     """8-direction SGM over a row-sharded [B, Hl, W, D] volume.
@@ -252,7 +327,9 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           reducer: str = "wta",
                           penalty1: float = 0.1, penalty2: float = 0.2,
                           sgm_mode: str = "exact",
-                          overlap: int = 64) -> Callable:
+                          overlap: int = 64,
+                          backend: str = "auto",
+                          interpret: bool = False) -> Callable:
     """Compile the full pipeline over a (batch, tile) mesh.
 
     Returns a jitted ``fn(left, right) -> disparity`` over batched stacks:
@@ -271,6 +348,15 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
         kernel_size = 7 if cost == "ssd" else 4
     n_tiles = mesh.shape[TILE_AXIS]
 
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    # The Pallas sweep kernels seed at their first streamed row, which is
+    # exactly the overlap warm-up semantics; the exact hand-off mode needs
+    # a carry-in/out kernel variant and stays on the XLA scan path.
+    use_pallas_sgm = backend == "pallas" and sgm_mode == "overlap"
+
     def local_fn(left, right):                     # [B_loc, Hl, W]
         left = left.astype(jnp.float32)
         right = right.astype(jnp.float32)
@@ -283,17 +369,31 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                                     max_disparity=max_disparity,
                                     kernel_size=kernel_size)
         if aggregation == "sgm":
-            vol = sharded_semiglobal(vol, left, penalty1=penalty1,
-                                     penalty2=penalty2, axis_name=TILE_AXIS,
-                                     n_tiles=n_tiles, mode=sgm_mode,
-                                     overlap=overlap)
+            if use_pallas_sgm:
+                vol = _pallas_overlap_semiglobal(
+                    vol, left, penalty1=penalty1, penalty2=penalty2,
+                    axis_name=TILE_AXIS, n_tiles=n_tiles, overlap=overlap,
+                    interpret=interpret)
+            else:
+                vol = sharded_semiglobal(vol, left, penalty1=penalty1,
+                                         penalty2=penalty2,
+                                         axis_name=TILE_AXIS,
+                                         n_tiles=n_tiles, mode=sgm_mode,
+                                         overlap=overlap)
         if reducer == "wta":
             return jax.vmap(winner_takes_all.__wrapped__)(vol)
+        if backend == "pallas":
+            vma = frozenset({BATCH_AXIS, TILE_AXIS})
+            return jax.vmap(lambda v: dynamic_programming_pallas.__wrapped__(
+                v, interpret=interpret, out_vma=vma))(vol)
         return jax.vmap(dynamic_programming.__wrapped__)(vol)
 
     spec = P(BATCH_AXIS, TILE_AXIS, None)
+    # pallas_call's interpret path hits internal vma mismatches under
+    # shard_map's type checking (jax suggests this workaround itself);
+    # pcast becomes a no-op with the check off, so the XLA paths still work.
     mapped = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
-                       out_specs=spec)
+                       out_specs=spec, check_vma=(backend != "pallas"))
     sharding = NamedSharding(mesh, spec)
     return jax.jit(mapped, in_shardings=(sharding, sharding),
                    out_shardings=sharding)
@@ -311,14 +411,15 @@ class ShardedPipeline:
                  kernel_size: Optional[int] = None,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
-                 sgm_mode: str = "exact", overlap: int = 64):
+                 sgm_mode: str = "exact", overlap: int = 64,
+                 backend: str = "auto", interpret: bool = False):
         self.mesh = mesh
         self.max_disparity = max_disparity
         self._fn = make_sharded_estimate(
             mesh, max_disparity=max_disparity, cost=cost,
             kernel_size=kernel_size, aggregation=aggregation, reducer=reducer,
             penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
-            overlap=overlap)
+            overlap=overlap, backend=backend, interpret=interpret)
         self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))
 
     def estimate(self, left, right) -> jnp.ndarray:

@@ -118,6 +118,34 @@ def test_single_device_mesh(pair):
     np.testing.assert_array_equal(out[0], ref)
 
 
+@pytest.mark.parametrize("reducer", ["wta", "dynamic_programming"])
+def test_pallas_backend_sharded(pair, mesh, reducer):
+    """Sharded pipeline with Pallas kernels (interpret mode): overlap
+    spanning the tile height reproduces the single-chip result exactly."""
+    left, right = pair
+    red = (WinnerTakesAll() if reducer == "wta"
+           else DynamicProgramming(backend="xla"))
+    ref = _reference(left, right, True, red)
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer=reducer, sgm_mode="overlap",
+                           overlap=left.shape[0], backend="pallas",
+                           interpret=True)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_pallas_backend_small_overlap(pair, mesh):
+    left, right = pair
+    ref = _reference(left, right, True, WinnerTakesAll())
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="overlap", overlap=4,
+                           backend="pallas", interpret=True)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    assert np.mean(out[0] != ref) < 0.05
+
+
 def test_divisibility_errors(pair, mesh):
     left, right = pair
     pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation=None,
