@@ -87,55 +87,86 @@ def _roll(x, shift: int, axis: int):
 
 
 def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
-                  accumulate: bool):
+                  accumulate: bool, rows_per_step: int = 1):
     if accumulate:
-        cost_ref, p2_ref, acc_ref, out_ref, carry_ref = refs
+        cost_ref, p2_ref, acc_ref, out_ref, carry_ref, mask_ref = refs
     else:
-        cost_ref, p2_ref, out_ref, carry_ref = refs
+        cost_ref, p2_ref, out_ref, carry_ref, mask_ref = refs
         acc_ref = None
     i = pl.program_id(0)
-    cost = cost_ref[0]                               # [W, D]
     n_fam = len(families)
     p1 = jnp.float32(penalty1)
-    width, max_disp = cost.shape
-
-    base = acc_ref[0] if accumulate else jnp.zeros_like(cost)
+    _, width, max_disp = cost_ref.shape
+    col = lax.broadcasted_iota(jnp.int32, (width, 1), 0)
 
     @pl.when(i == 0)
-    def _seed():
-        for idx in range(n_fam):
-            carry_ref[idx] = cost
-        out_ref[0] = base + jnp.float32(n_fam) * cost
-
-    @pl.when(i > 0)
-    def _step():
-        total = base
+    def _init_masks():
+        # Additive band-edge masks: +inf at the lane a d-1/d+1 shift wraps
+        # into, 0 elsewhere.  x + mask replaces iota/compare/select per
+        # step; computed once, reused every row.
         inf = jnp.float32(jnp.inf)
         lane = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1)
-        col = lax.broadcasted_iota(jnp.int32, (width, 1), 0)
-        new_carries = []
-        for idx, s in enumerate(families):
-            shift = -s if reverse else s
-            prev = carry_ref[idx]                    # [W, D]
-            if shift != 0:
-                prev = _roll(prev, shift, axis=0)
-            prev_min = jnp.min(prev, axis=1, keepdims=True)      # [W, 1]
-            p2a = p2_ref[0, :, idx][:, None]                     # [W, 1]
-            up = jnp.where(lane == 0, inf,
-                           _roll(prev, 1, axis=1))               # d-1
-            down = jnp.where(lane == max_disp - 1, inf,
-                             _roll(prev, -1, axis=1))            # d+1
-            band = jnp.minimum(jnp.minimum(prev, up + p1),
-                               jnp.minimum(down + p1, prev_min + p2a))
-            val = cost + band - prev_min
-            if shift != 0:
-                edge_col = 0 if shift > 0 else width - 1
-                val = jnp.where(col == edge_col, cost, val)
-            new_carries.append(val)
-            total = total + val
-        for idx in range(n_fam):
-            carry_ref[idx] = new_carries[idx]
-        out_ref[0] = total
+        zero = jnp.zeros((width, max_disp), jnp.float32)
+        mask_ref[0] = jnp.where(lane == 0, inf, zero)
+        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, zero)
+
+    # Block rows run in scan order within the block (memory-descending for
+    # reverse sweeps, whose grid also walks blocks back to front); only the
+    # first row of the first block seeds.
+    row_order = (list(reversed(range(rows_per_step))) if reverse
+                 else list(range(rows_per_step)))
+    for step_idx, r in enumerate(row_order):
+        cost = cost_ref[r]                           # [W, D]
+        base = acc_ref[r] if accumulate else jnp.zeros_like(cost)
+
+        if step_idx == 0:
+            @pl.when(i == 0)
+            def _seed(r=r, cost=cost, base=base):
+                for idx in range(n_fam):
+                    carry_ref[idx] = cost
+                out_ref[r] = base + jnp.float32(n_fam) * cost
+
+        def _step(r=r, cost=cost, base=base):
+            total = base
+            mask_up = mask_ref[0]
+            mask_dn = mask_ref[1]
+            new_carries = []
+            for idx, s in enumerate(families):
+                shift = -s if reverse else s
+                prev = carry_ref[idx]                # [W, D]
+                if shift != 0:
+                    prev = _roll(prev, shift, axis=0)
+                prev_min = jnp.min(prev, axis=1, keepdims=True)  # [W, 1]
+                p2a = p2_ref[r, :, idx][:, None]                 # [W, 1]
+                up = _roll(prev, 1, axis=1) + mask_up            # d-1
+                down = _roll(prev, -1, axis=1) + mask_dn         # d+1
+                # min(up+p1, down+p1) == min(up, down)+p1 exactly.
+                band = jnp.minimum(
+                    jnp.minimum(prev, jnp.minimum(up, down) + p1),
+                    prev_min + p2a)
+                val = cost + band - prev_min
+                if shift != 0:
+                    edge_col = 0 if shift > 0 else width - 1
+                    val = jnp.where(col == edge_col, cost, val)
+                new_carries.append(val)
+                total = total + val
+            for idx in range(n_fam):
+                carry_ref[idx] = new_carries[idx]
+            out_ref[r] = total
+
+        if step_idx == 0:
+            pl.when(i > 0)(_step)
+        else:
+            _step()
+
+
+def _pick_rows_per_step(height: int) -> int:
+    """Largest divisor of H in [1, 8]: amortizes per-grid-step overhead
+    while keeping the row-block DMA granularity small."""
+    for r in (8, 6, 5, 4, 3, 2):
+        if height % r == 0:
+            return r
+    return 1
 
 
 def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
@@ -147,39 +178,42 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
     """
     height, width, max_disp = cost.shape
     n_fam = len(families)
+    rows = _pick_rows_per_step(height)
+    n_blocks = height // rows
     if reverse:
-        row = lambda i: (height - 1 - i, 0, 0)
+        row = lambda i: (n_blocks - 1 - i, 0, 0)
     else:
         row = lambda i: (i, 0, 0)
 
     accumulate = partial is not None
     kernel = functools.partial(_sweep_kernel, families=families,
                                penalty1=penalty1, reverse=reverse,
-                               accumulate=accumulate)
+                               accumulate=accumulate, rows_per_step=rows)
     in_specs = [
-        pl.BlockSpec((1, width, max_disp), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, width, n_fam), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, width, max_disp), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, width, n_fam), row, memory_space=pltpu.VMEM),
     ]
     args = [cost, p2map]
     io_aliases = {}
     if accumulate:
-        in_specs.append(pl.BlockSpec((1, width, max_disp), row,
+        in_specs.append(pl.BlockSpec((rows, width, max_disp), row,
                                      memory_space=pltpu.VMEM))
         args.append(partial)
         io_aliases = {2: 0}
 
     return pl.pallas_call(
         kernel,
-        grid=(height,),
+        grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, width, max_disp), row,
+        out_specs=pl.BlockSpec((rows, width, max_disp), row,
                                memory_space=pltpu.VMEM),
         out_shape=(jax.ShapeDtypeStruct((height, width, max_disp),
                                         jnp.float32)
                    if out_vma is None else
                    jax.ShapeDtypeStruct((height, width, max_disp),
                                         jnp.float32, vma=out_vma)),
-        scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32),
+                        pltpu.VMEM((2, width, max_disp), jnp.float32)],
         input_output_aliases=io_aliases,
         interpret=interpret,
     )(*args)
