@@ -160,6 +160,132 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
             _step()
 
 
+def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
+                  carry_out_ref, carry_ref, mask_ref, *,
+                  families, penalty1: float, reverse: bool,
+                  rows_per_step: int):
+    """Chunk sweep with explicit carry I/O — the multi-chip building block.
+
+    Like _sweep_kernel, but the running path costs start from
+    ``carry_in`` (handed over ICI from the neighboring tile owner) and the
+    final carry is emitted for the next tile.  ``seed`` (scalar) marks the
+    true path start: the first streamed row re-seeds from the raw cost
+    (carry_in is then ignored; pass +inf).
+    """
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    n_fam = len(families)
+    p1 = jnp.float32(penalty1)
+    _, width, max_disp = cost_ref.shape
+    col = lax.broadcasted_iota(jnp.int32, (width, 1), 0)
+    seed = seed_ref[0, 0] != 0
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = carry_in_ref[...]
+        inf = jnp.float32(jnp.inf)
+        lane = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1)
+        zero = jnp.zeros((width, max_disp), jnp.float32)
+        mask_ref[0] = jnp.where(lane == 0, inf, zero)
+        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, zero)
+
+    row_order = (list(reversed(range(rows_per_step))) if reverse
+                 else list(range(rows_per_step)))
+    for step_idx, r in enumerate(row_order):
+        cost = cost_ref[r]                           # [W, D]
+        is_chunk_start = step_idx == 0
+
+        def _step(r=r, cost=cost, is_chunk_start=is_chunk_start):
+            total = jnp.zeros_like(cost)
+            mask_up = mask_ref[0]
+            mask_dn = mask_ref[1]
+            new_carries = []
+            # Seed only at the true path start (first row of the whole
+            # scan on the rank-0 tile); the recurrence's NaNs from an
+            # all-inf carry are discarded by the select.
+            start = (jnp.logical_and(seed, i == 0) if is_chunk_start
+                     else None)
+            for idx, s in enumerate(families):
+                shift = -s if reverse else s
+                prev = carry_ref[idx]                # [W, D]
+                if shift != 0:
+                    prev = _roll(prev, shift, axis=0)
+                prev_min = jnp.min(prev, axis=1, keepdims=True)  # [W, 1]
+                p2a = p2_ref[r, :, idx][:, None]                 # [W, 1]
+                up = _roll(prev, 1, axis=1) + mask_up            # d-1
+                down = _roll(prev, -1, axis=1) + mask_dn         # d+1
+                band = jnp.minimum(
+                    jnp.minimum(prev, jnp.minimum(up, down) + p1),
+                    prev_min + p2a)
+                val = cost + band - prev_min
+                if shift != 0:
+                    edge_col = 0 if shift > 0 else width - 1
+                    val = jnp.where(col == edge_col, cost, val)
+                if start is not None:
+                    val = jnp.where(start, cost, val)
+                new_carries.append(val)
+                total = total + val
+            for idx in range(n_fam):
+                carry_ref[idx] = new_carries[idx]
+            out_ref[r] = total
+
+        _step()
+
+    @pl.when(i == nb - 1)
+    def _emit():
+        carry_out_ref[...] = carry_ref[...]
+
+
+def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
+                           penalty1: float, reverse: bool,
+                           interpret: bool = False, out_vma=None):
+    """Chunk traversal: ([Hc,W,D], [Hc,W,F], [F,W,D], scalar) ->
+    (contributions [Hc,W,D], final carry [F,W,D])."""
+    height, width, max_disp = cost.shape
+    n_fam = len(families)
+    rows = _pick_rows_per_step(height)
+    n_blocks = height // rows
+    if reverse:
+        row = lambda i: (n_blocks - 1 - i, 0, 0)
+    else:
+        row = lambda i: (i, 0, 0)
+
+    def sds(shape):
+        if out_vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=out_vma)
+
+    kernel = functools.partial(_chunk_kernel, families=families,
+                               penalty1=penalty1, reverse=reverse,
+                               rows_per_step=rows)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((rows, width, max_disp), row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, width, n_fam), row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fam, width, max_disp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, width, max_disp), row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fam, width, max_disp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(sds((height, width, max_disp)),
+                   sds((n_fam, width, max_disp))),
+        scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32),
+                        pltpu.VMEM((2, width, max_disp), jnp.float32)],
+        interpret=interpret,
+    )(cost, p2map, carry_in.astype(jnp.float32), seed_arr)
+
+
 def _pick_rows_per_step(height: int) -> int:
     """Largest divisor of H in [1, 8]: amortizes per-grid-step overhead
     while keeping the row-block DMA granularity small."""

@@ -278,6 +278,85 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
     return out.astype(cost_vol.dtype)
 
 
+def _pallas_exact_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
+                             axis_name, n_tiles, interpret=False):
+    """8-direction SGM, Pallas kernels, exact cross-tile carry hand-off.
+
+    The six scan-crossing traversals run as a sequential pipeline over
+    tiles: at stage s, the tile with scan-order rank s sweeps its block
+    with ops.sgm_pallas.sweep_chunk_with_carry starting from the carry
+    ppermuted in at the end of stage s-1 (all three row-direction families
+    ride in one [F, W, D] carry per direction).  Bit-matches the
+    single-chip Pallas aggregation.  The horizontal family is tile-local.
+    """
+    vol = cost_vol.astype(jnp.float32)
+    img = left_image.astype(jnp.float32)
+    p1, p2 = float(penalty1), float(penalty2)
+    shifts = sgm_pallas._FAMILY_SHIFTS
+    n_fam = len(shifts)
+    batch, _, width, max_disp = vol.shape
+    vma = frozenset({BATCH_AXIS, TILE_AXIS})
+
+    out_total = None
+    for reverse in (False, True):
+        rank, perm = _rank_and_perm(axis_name, n_tiles, reverse)
+
+        # P2 maps with a one-row image halo so the first local row's
+        # gradient references the true neighboring row.
+        if not reverse:
+            hrow = _pull_prev_in_rank(img, 1, perm, axis_name, n_tiles)
+            ext = jnp.concatenate([hrow, img], axis=1)
+            pm = jax.vmap(lambda im: sgm_pallas._p2_maps(
+                im, p1, p2, shifts, reverse=False))(ext)[:, 1:]
+        else:
+            edge = lax.slice_in_dim(img, 0, 1, axis=1)
+            hrow = (jnp.zeros_like(edge) if n_tiles == 1
+                    else lax.ppermute(edge, axis_name, perm))
+            ext = jnp.concatenate([img, hrow], axis=1)
+            pm = jax.vmap(lambda im: sgm_pallas._p2_maps(
+                im, p1, p2, shifts, reverse=True))(ext)[:, :-1]
+
+        chunk = jax.vmap(
+            lambda c, m, ci, s: sgm_pallas.sweep_chunk_with_carry(
+                c, m, ci, s, families=shifts, penalty1=p1, reverse=reverse,
+                interpret=interpret, out_vma=vma),
+            in_axes=(0, 0, 0, None))
+        seed = rank == 0
+
+        def stage(s, state, chunk=chunk, seed=seed, rank=rank, perm=perm):
+            carry, out = state
+            contrib, fin = chunk(vol, pm, carry, seed)
+            mine = rank == s
+            out = jnp.where(mine, contrib, out)
+            carry = jnp.where(mine, fin, carry)
+            if n_tiles > 1:
+                carry = lax.ppermute(carry, axis_name, perm)
+            return carry, out
+
+        init = (jnp.full((batch, n_fam, width, max_disp), _INF),
+                jnp.zeros_like(vol))
+        _, out = lax.fori_loop(0, n_tiles, stage, init)
+        out_total = out if out_total is None else out_total + out
+
+    # Horizontal family: tile-local on the transposed block.
+    vol_t = jnp.swapaxes(vol, 1, 2)
+    img_t = jnp.swapaxes(img, 1, 2)
+
+    def horizontal(v, im):
+        pmf = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=False)
+        pmr = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=True)
+        part = sgm_pallas._sweep_pass(v, pmf, None, families=(0,),
+                                      penalty1=p1, reverse=False,
+                                      interpret=interpret, out_vma=vma)
+        return sgm_pallas._sweep_pass(v, pmr, part, families=(0,),
+                                      penalty1=p1, reverse=True,
+                                      interpret=interpret, out_vma=vma)
+
+    out_t = jax.vmap(horizontal)(vol_t, img_t)
+    out_total = out_total + jnp.swapaxes(out_t, 1, 2)
+    return out_total.astype(cost_vol.dtype)
+
+
 def sharded_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
                        axis_name, n_tiles, mode="exact", overlap=64):
     """8-direction SGM over a row-sharded [B, Hl, W, D] volume.
@@ -352,10 +431,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
         backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     if backend not in ("xla", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
-    # The Pallas sweep kernels seed at their first streamed row, which is
-    # exactly the overlap warm-up semantics; the exact hand-off mode needs
-    # a carry-in/out kernel variant and stays on the XLA scan path.
-    use_pallas_sgm = backend == "pallas" and sgm_mode == "overlap"
+    use_pallas_sgm = backend == "pallas"
 
     def local_fn(left, right):                     # [B_loc, Hl, W]
         left = left.astype(jnp.float32)
@@ -369,7 +445,12 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                                     max_disparity=max_disparity,
                                     kernel_size=kernel_size)
         if aggregation == "sgm":
-            if use_pallas_sgm:
+            if use_pallas_sgm and sgm_mode == "exact":
+                vol = _pallas_exact_semiglobal(
+                    vol, left, penalty1=penalty1, penalty2=penalty2,
+                    axis_name=TILE_AXIS, n_tiles=n_tiles,
+                    interpret=interpret)
+            elif use_pallas_sgm:
                 vol = _pallas_overlap_semiglobal(
                     vol, left, penalty1=penalty1, penalty2=penalty2,
                     axis_name=TILE_AXIS, n_tiles=n_tiles, overlap=overlap,

@@ -135,6 +135,22 @@ def test_pallas_backend_sharded(pair, mesh, reducer):
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_pallas_backend_exact_handoff(pair, mesh):
+    """Exact carry hand-off on the Pallas path bit-matches the single-chip
+    Pallas aggregation regardless of tiling."""
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = semiglobal_aggregate_pallas(vol, left, interpret=True)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact",
+                           backend="pallas", interpret=True)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
 def test_pallas_backend_small_overlap(pair, mesh):
     left, right = pair
     ref = _reference(left, right, True, WinnerTakesAll())
