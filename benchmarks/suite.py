@@ -35,6 +35,7 @@ REFERENCE_MS = {
     "argmin_baseline_450x375_d128": None,
     "dynprog_450x375_d128": 0.708,
     "pipeline_teddy_450x375_d128": 10.0,
+    "pipeline_batch4_teddy_d128": 40.0,   # 4x the single-frame estimate
 }
 
 
@@ -152,6 +153,23 @@ def build_benchmarks():
         return feedback(l, disp), r
 
     benches["pipeline_teddy_450x375_d128"] = (pipe_body, (l2, r2))
+
+    # Batched video steady state: 4 frames per step through the vmapped
+    # pipeline (stream.StreamingEstimator's compute path).  Reported per
+    # BATCH — divide by 4 for per-frame.
+    lb = jax.device_put(rng.random((4, h2, w2), np.float32))
+    rb = jax.device_put(rng.random((4, h2, w2), np.float32))
+
+    def frame(l, r):
+        vol = ssd_cost_volume(l, r, max_disparity=d2, kernel_size=7)
+        return winner_takes_all(aggregate(vol, l))
+
+    def batch_body(carry):
+        l, r = carry
+        disp = jax.lax.map(lambda p: frame(*p), (l, r))
+        return l + jnp.float32(1e-12) * disp.astype(jnp.float32), r
+
+    benches["pipeline_batch4_teddy_d128"] = (batch_body, (lb, rb))
     return benches
 
 

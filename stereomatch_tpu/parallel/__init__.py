@@ -15,8 +15,9 @@ territory that makes the same algorithms span a TPU pod slice:
   (halo-initialized, linearly scaling).
 """
 
-from .mesh import make_mesh, batch_tile_axes
+from .mesh import (batch_tile_axes, initialize_distributed,
+                   make_hybrid_mesh, make_mesh)
 from .sharded import ShardedPipeline, make_sharded_estimate
 
-__all__ = ["make_mesh", "batch_tile_axes", "ShardedPipeline",
-           "make_sharded_estimate"]
+__all__ = ["batch_tile_axes", "initialize_distributed", "make_hybrid_mesh",
+           "make_mesh", "ShardedPipeline", "make_sharded_estimate"]

@@ -45,6 +45,46 @@ def batch_tile_axes(n_devices: int, n_batch: Optional[int] = None):
     return n_batch, n_devices // n_batch
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host process bootstrap (idempotent).
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-host video
+    configs need no extra plumbing; single-process runs skip it.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # Already initialized, or single-process without coordinator —
+        # both fine: jax.devices() is usable either way.
+        pass
+
+
+def make_hybrid_mesh(n_batch_hosts: Optional[int] = None,
+                     n_tile: Optional[int] = None) -> Mesh:
+    """(batch, tile) mesh for a multi-host slice: batch over DCN, tile ICI.
+
+    Frames are data-parallel across hosts (the ``batch`` axis carries no
+    collectives, so host-to-host DCN latency never sits on the compute
+    path), while each host's chips split image rows over ICI.  Falls back
+    to :func:`make_mesh` in a single-host process.
+    """
+    from jax.experimental import mesh_utils
+
+    n_hosts = jax.process_count()
+    if n_hosts == 1:
+        return make_mesh(n_batch=n_batch_hosts, n_tile=n_tile)
+    per_host = jax.local_device_count()
+    if n_tile is None:
+        n_tile = per_host
+    if n_batch_hosts is None:
+        n_batch_hosts = (n_hosts * per_host) // n_tile
+    grid = mesh_utils.create_hybrid_device_mesh(
+        (1, n_tile), (n_batch_hosts, 1),
+        devices=jax.devices())
+    return Mesh(grid.reshape(n_batch_hosts, n_tile),
+                (BATCH_AXIS, TILE_AXIS))
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               n_batch: Optional[int] = None,
               n_tile: Optional[int] = None) -> Mesh:
