@@ -1,0 +1,76 @@
+"""End-to-end evaluation harness test over a generated Middlebury-format
+dataset (the reference's Flyte workflow path, workflows/evaluation/).
+
+A synthetic scene directory (im0/im1.png, disp0/disp1.pfm, calib.txt) is
+built from the ground-truth generator, then stm-eval runs the reference's
+three configs over it, producing the markdown table, JSON rows, and the
+disparity cache.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from stereomatch_tpu.cli.evaluate import main as evaluate_main
+from stereomatch_tpu.io.data import MiddleburyDataset, write_pfm
+
+from .conftest import STM_MAX_DISPARITY, synthetic_stereo_pair
+
+D = STM_MAX_DISPARITY
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path_factory.mktemp("middlebury")
+    for i, seed in enumerate([3, 11]):
+        left, right, gt = synthetic_stereo_pair(32, 48, D, seed=seed)
+        scene = root / f"scene{i}"
+        scene.mkdir()
+        PIL.fromarray((left * 255).astype(np.uint8)).save(scene / "im0.png")
+        PIL.fromarray((right * 255).astype(np.uint8)).save(scene / "im1.png")
+        write_pfm(scene / "disp0.pfm", gt.astype(np.float32))
+        write_pfm(scene / "disp1.pfm", gt.astype(np.float32))
+        (scene / "calib.txt").write_text(
+            f"width={left.shape[1]}\nheight={left.shape[0]}\nndisp={D}\n")
+    return root
+
+
+def test_dataset_loads(dataset_dir):
+    ds = MiddleburyDataset(dataset_dir)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["left"].shape == (32, 48)
+    assert item["gt_disparity"].shape == (32, 48)
+    assert item["max_disparity"] == D
+
+
+def test_evaluate_cli_end_to_end(dataset_dir, tmp_path, capsys):
+    json_out = tmp_path / "metrics.json"
+    rc = evaluate_main([str(dataset_dir), "--json", str(json_out),
+                        "--configs", "ssd:wta,ssd:wta:sgm",
+                        "--cache", str(tmp_path / "cache")])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "ssd-wta" in table and "ssd-wta-sgm" in table
+
+    rows = json.loads(json_out.read_text())
+    assert len(rows) == 2
+    for row in rows:
+        assert row["rmse"] >= 0
+        assert 0 <= row["bad_pixel_ratio"] <= 1
+        assert len(row["scenes"]) == 2
+    # SGM should not be worse than raw WTA on the synthetic scenes.
+    by_name = {r["name"]: r for r in rows}
+    assert (by_name["ssd-wta-sgm"]["bad_pixel_ratio"]
+            <= by_name["ssd-wta"]["bad_pixel_ratio"] + 0.02)
+
+    # Cached re-run: identical metrics, no recompute needed.
+    rc = evaluate_main([str(dataset_dir), "--json", str(json_out),
+                        "--configs", "ssd:wta",
+                        "--cache", str(tmp_path / "cache")])
+    assert rc == 0
+    rows2 = json.loads(json_out.read_text())
+    assert rows2[0]["rmse"] == pytest.approx(by_name["ssd-wta"]["rmse"])
+    assert list((tmp_path / "cache").glob("*.npy"))
