@@ -1,0 +1,116 @@
+"""Multi-chip scaling-efficiency benchmark for the sharded pipeline.
+
+Measures frames/s of the (batch, tile) mesh pipeline at increasing device
+counts on whatever devices the process can see, reporting per-chip
+throughput and scaling efficiency vs the single-device run — the
+1 chip -> 1 host -> N hosts curve BASELINE.json asks for.  On a multi-host
+pod, launch one process per host with ``--distributed``.
+
+On this repo's single-chip dev box it degenerates to n=1 (the mesh logic
+itself is validated on the 8-device virtual CPU mesh: --force-cpu).
+
+Usage:
+    python benchmarks/scaling.py [--force-cpu] [--distributed]
+        [--height 384] [--width 448] [--disp 128] [--frames-per-chip 2]
+        [--sgm-mode overlap|exact]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def measure(mesh, args):
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatch_tpu.parallel import make_sharded_estimate
+    from stereomatch_tpu.parallel.mesh import BATCH_AXIS, TILE_AXIS
+
+    n_batch = mesh.shape[BATCH_AXIS]
+    n_tile = mesh.shape[TILE_AXIS]
+    n_dev = n_batch * n_tile
+
+    height = args.height - (args.height % n_tile)
+    batch = args.frames_per_chip * n_batch
+    fn = make_sharded_estimate(
+        mesh, max_disparity=args.disp, aggregation="sgm", reducer="wta",
+        sgm_mode=args.sgm_mode, overlap=args.overlap,
+        backend="xla" if args.force_cpu else "auto")
+
+    rng = np.random.default_rng(0)
+    left = rng.random((batch, height, args.width), np.float32)
+    right = rng.random((batch, height, args.width), np.float32)
+
+    np.asarray(fn(left, right))             # compile
+    reps = max(args.reps, 1)
+    best = float("inf")
+    for _ in range(reps):
+        start = time.perf_counter()
+        np.asarray(fn(left, right))
+        best = min(best, time.perf_counter() - start)
+    fps = batch / best
+    return {"devices": n_dev, "mesh": dict(mesh.shape), "batch": batch,
+            "image": [height, args.width], "fps": round(fps, 2),
+            "fps_per_chip": round(fps / n_dev, 2)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--force-cpu", action="store_true",
+                        help="8-device virtual CPU mesh (logic validation).")
+    parser.add_argument("--distributed", action="store_true",
+                        help="Multi-host: call jax.distributed.initialize.")
+    parser.add_argument("--height", type=int, default=384)
+    parser.add_argument("--width", type=int, default=448)
+    parser.add_argument("--disp", type=int, default=128)
+    parser.add_argument("--frames-per-chip", type=int, default=2)
+    parser.add_argument("--sgm-mode", default="overlap",
+                        choices=["overlap", "exact"])
+    parser.add_argument("--overlap", type=int, default=48)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--json", default=None)
+    args = parser.parse_args()
+
+    import os
+    if args.force_cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    import jax
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from stereomatch_tpu.parallel import initialize_distributed
+        initialize_distributed()
+
+    from stereomatch_tpu.parallel import make_mesh
+
+    devices = jax.devices()
+    rows = []
+    n = 1
+    while n <= len(devices):
+        mesh = make_mesh(devices[:n])
+        rows.append(measure(mesh, args))
+        n *= 2
+    base = rows[0]["fps_per_chip"]
+    for row in rows:
+        row["scaling_efficiency"] = round(row["fps_per_chip"] / base, 3)
+        print(f"devices={row['devices']:3d} mesh={row['mesh']} "
+              f"fps={row['fps']:9.2f} /chip={row['fps_per_chip']:8.2f} "
+              f"eff={row['scaling_efficiency']:.2f}", file=sys.stderr)
+
+    payload = {"device_kind": devices[0].device_kind, "rows": rows}
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
