@@ -49,8 +49,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils import validation
-
 _INF = jnp.inf
 
 

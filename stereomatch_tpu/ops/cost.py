@@ -38,8 +38,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils import validation
-
 
 def _inf_value(dtype) -> jnp.ndarray:
     """+infinity for float dtypes, max value for integer dtypes.

@@ -36,8 +36,6 @@ back-pointers are defined as 0, the intended no-predecessor value.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -26,7 +26,6 @@ is kept so reference code migrates without edits (cuda_texture.py:15-16).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
