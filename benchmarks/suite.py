@@ -170,6 +170,21 @@ def build_benchmarks():
         return l + jnp.float32(1e-12) * disp.astype(jnp.float32), r
 
     benches["pipeline_batch4_teddy_d128"] = (batch_body, (lb, rb))
+
+    # Production-scale geometry: HD-class pair, D=256 (1.3 GB f32 volume).
+    # No reference comparison — the CUDA benchmarks stop at teddy size.
+    if not on_cpu:
+        h3, w3, d3 = 1024, 1280, 256
+        l3 = jax.device_put(rng.random((h3, w3), np.float32))
+        r3 = jax.device_put(rng.random((h3, w3), np.float32))
+
+        def hd_body(carry):
+            l, r = carry
+            vol = ssd_cost_volume(l, r, max_disparity=d3, kernel_size=7)
+            disp = winner_takes_all(aggregate(vol, l))
+            return feedback(l, disp), r
+
+        benches["pipeline_hd_1024x1280_d256"] = (hd_body, (l3, r3))
     return benches
 
 

@@ -87,28 +87,35 @@ def _roll(x, shift: int, axis: int):
 
 
 def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
-                  accumulate: bool, rows_per_step: int = 1):
+                  accumulate: bool, rows_per_step: int = 1,
+                  mask_scratch: bool = True, w_chunks: int = 1):
     if accumulate:
-        cost_ref, p2_ref, acc_ref, out_ref, carry_ref, mask_ref = refs
+        cost_ref, p2_ref, acc_ref, out_ref, carry_ref, *rest = refs
     else:
-        cost_ref, p2_ref, out_ref, carry_ref, mask_ref = refs
+        cost_ref, p2_ref, out_ref, carry_ref, *rest = refs
         acc_ref = None
+    mask_ref = rest[0] if mask_scratch else None
     i = pl.program_id(0)
     n_fam = len(families)
     p1 = jnp.float32(penalty1)
     _, width, max_disp = cost_ref.shape
-    col = lax.broadcasted_iota(jnp.int32, (width, 1), 0)
+    cw = width // w_chunks
 
-    @pl.when(i == 0)
-    def _init_masks():
+    def _masks(w):
         # Additive band-edge masks: +inf at the lane a d-1/d+1 shift wraps
-        # into, 0 elsewhere.  x + mask replaces iota/compare/select per
-        # step; computed once, reused every row.
+        # into, 0 elsewhere.  x + mask replaces iota/compare/select.
         inf = jnp.float32(jnp.inf)
-        lane = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1)
-        zero = jnp.zeros((width, max_disp), jnp.float32)
-        mask_ref[0] = jnp.where(lane == 0, inf, zero)
-        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, zero)
+        lane = lax.broadcasted_iota(jnp.int32, (w, max_disp), 1)
+        zero = jnp.zeros((w, max_disp), jnp.float32)
+        return (jnp.where(lane == 0, inf, zero),
+                jnp.where(lane == max_disp - 1, inf, zero))
+
+    if mask_scratch:
+        # Cached in VMEM across grid steps; skipped for very large rows
+        # where the two extra [W, D] buffers would break the VMEM budget.
+        @pl.when(i == 0)
+        def _init_masks():
+            mask_ref[0], mask_ref[1] = _masks(width)
 
     # Block rows run in scan order within the block (memory-descending for
     # reverse sweeps, whose grid also walks blocks back to front); only the
@@ -122,37 +129,77 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
         if step_idx == 0:
             @pl.when(i == 0)
             def _seed(r=r, cost=cost, base=base):
-                for idx in range(n_fam):
-                    carry_ref[idx] = cost
-                out_ref[r] = base + jnp.float32(n_fam) * cost
+                for c in range(w_chunks):
+                    sl = slice(c * cw, (c + 1) * cw)
+                    for idx in range(n_fam):
+                        carry_ref[idx, sl] = cost[sl]
+                    out_ref[r, sl] = (base[sl]
+                                      + jnp.float32(n_fam) * cost[sl])
 
         def _step(r=r, cost=cost, base=base):
-            total = base
-            mask_up = mask_ref[0]
-            mask_dn = mask_ref[1]
-            new_carries = []
+            # W is processed in ``w_chunks`` sub-blocks to bound the live
+            # vector temporaries (the VMEM "stack") for very large W*D
+            # rows.  A diagonal's shifted carry is read as the neighboring
+            # [c*cw-shift, (c+1)*cw-shift) slice; chunks are walked against
+            # the shift direction so a chunk reads its boundary column
+            # before the neighboring chunk overwrites it.  The one wrapped
+            # element in the outermost chunk lands exactly on the edge
+            # column, whose value is overridden by the re-seed.
+            if mask_scratch:
+                full_masks = (mask_ref[0], mask_ref[1])
+            col = lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+            chunk_totals = [None] * w_chunks
             for idx, s in enumerate(families):
                 shift = -s if reverse else s
-                prev = carry_ref[idx]                # [W, D]
-                if shift != 0:
-                    prev = _roll(prev, shift, axis=0)
-                prev_min = jnp.min(prev, axis=1, keepdims=True)  # [W, 1]
-                p2a = p2_ref[r, :, idx][:, None]                 # [W, 1]
-                up = _roll(prev, 1, axis=1) + mask_up            # d-1
-                down = _roll(prev, -1, axis=1) + mask_dn         # d+1
-                # min(up+p1, down+p1) == min(up, down)+p1 exactly.
-                band = jnp.minimum(
-                    jnp.minimum(prev, jnp.minimum(up, down) + p1),
-                    prev_min + p2a)
-                val = cost + band - prev_min
-                if shift != 0:
-                    edge_col = 0 if shift > 0 else width - 1
-                    val = jnp.where(col == edge_col, cost, val)
-                new_carries.append(val)
-                total = total + val
-            for idx in range(n_fam):
-                carry_ref[idx] = new_carries[idx]
-            out_ref[r] = total
+                chunk_order = (range(w_chunks) if shift <= 0
+                               else reversed(range(w_chunks)))
+                for c in chunk_order:
+                    sl = slice(c * cw, (c + 1) * cw)
+                    if shift == 0 or w_chunks == 1:
+                        prev = carry_ref[idx, sl]
+                        if shift != 0:
+                            prev = _roll(prev, shift, axis=0)
+                    elif shift > 0:
+                        if c == 0:
+                            prev = _roll(carry_ref[idx, 0:cw], 1, axis=0)
+                        else:
+                            prev = carry_ref[idx,
+                                             c * cw - 1:(c + 1) * cw - 1]
+                    else:
+                        if c == w_chunks - 1:
+                            prev = _roll(carry_ref[idx, width - cw:width],
+                                         -1, axis=0)
+                        else:
+                            prev = carry_ref[idx,
+                                             c * cw + 1:(c + 1) * cw + 1]
+                    if mask_scratch:
+                        mask_up = full_masks[0][sl]
+                        mask_dn = full_masks[1][sl]
+                    else:
+                        mask_up, mask_dn = _masks(cw)
+                    prev_min = jnp.min(prev, axis=1, keepdims=True)
+                    p2a = p2_ref[r, sl, idx][:, None]            # [cw, 1]
+                    up = _roll(prev, 1, axis=1) + mask_up        # d-1
+                    down = _roll(prev, -1, axis=1) + mask_dn     # d+1
+                    # min(up+p1, down+p1) == min(up, down)+p1 exactly.
+                    band = jnp.minimum(
+                        jnp.minimum(prev, jnp.minimum(up, down) + p1),
+                        prev_min + p2a)
+                    val = cost[sl] + band - prev_min
+                    if shift != 0:
+                        edge_col = 0 if shift > 0 else width - 1
+                        if edge_col // cw == c:
+                            val = jnp.where(col == edge_col - c * cw,
+                                            cost[sl], val)
+                    carry_ref[idx, sl] = val
+                    t = chunk_totals[c]
+                    # Accumulation order matches the unchunked kernel:
+                    # base first, then families in order.
+                    chunk_totals[c] = (base[sl] + val if t is None
+                                       else t + val)
+            for c in range(w_chunks):
+                sl = slice(c * cw, (c + 1) * cw)
+                out_ref[r, sl] = chunk_totals[c]
 
         if step_idx == 0:
             pl.when(i > 0)(_step)
@@ -243,7 +290,7 @@ def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
     (contributions [Hc,W,D], final carry [F,W,D])."""
     height, width, max_disp = cost.shape
     n_fam = len(families)
-    rows = _pick_rows_per_step(height)
+    rows = _pick_rows_per_step(height, width, max_disp, n_fam)
     n_blocks = height // rows
     if reverse:
         row = lambda i: (n_blocks - 1 - i, 0, 0)
@@ -286,11 +333,19 @@ def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
     )(cost, p2map, carry_in.astype(jnp.float32), seed_arr)
 
 
-def _pick_rows_per_step(height: int) -> int:
-    """Largest divisor of H in [1, 8]: amortizes per-grid-step overhead
-    while keeping the row-block DMA granularity small."""
+def _pick_rows_per_step(height: int, width: int, max_disp: int,
+                        n_fam: int) -> int:
+    """Largest divisor of H in [1, 8] whose working set fits VMEM.
+
+    Per-pass VMEM use is roughly rows x row_bytes x 3 buffers (cost, acc,
+    out) x 2 for double buffering, plus the persistent carry (n_fam rows)
+    and edge masks (2 rows); cap the total near 12 MB of the ~16 MB core.
+    """
+    row_bytes = width * max_disp * 4
+    budget = 12 * 1024 * 1024 - (n_fam + 2) * row_bytes
+    max_rows = max(int(budget // (6 * row_bytes)), 1)
     for r in (8, 6, 5, 4, 3, 2):
-        if height % r == 0:
+        if r <= max_rows and height % r == 0:
             return r
     return 1
 
@@ -304,7 +359,7 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
     """
     height, width, max_disp = cost.shape
     n_fam = len(families)
-    rows = _pick_rows_per_step(height)
+    rows = _pick_rows_per_step(height, width, max_disp, n_fam)
     n_blocks = height // rows
     if reverse:
         row = lambda i: (n_blocks - 1 - i, 0, 0)
@@ -312,9 +367,18 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
         row = lambda i: (i, 0, 0)
 
     accumulate = partial is not None
+    row_bytes = width * max_disp * 4
+    mask_scratch = 2 * row_bytes <= 2 * 1024 * 1024
+    # Bound live vector temporaries: sub-chunk very large rows along W.
+    w_chunks = 1
+    for cand in (2, 4, 8, 16):
+        if row_bytes // w_chunks <= 512 * 1024 or width % cand:
+            break
+        w_chunks = cand
     kernel = functools.partial(_sweep_kernel, families=families,
                                penalty1=penalty1, reverse=reverse,
-                               accumulate=accumulate, rows_per_step=rows)
+                               accumulate=accumulate, rows_per_step=rows,
+                               mask_scratch=mask_scratch, w_chunks=w_chunks)
     in_specs = [
         pl.BlockSpec((rows, width, max_disp), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, width, n_fam), row, memory_space=pltpu.VMEM),
@@ -338,11 +402,24 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
                    if out_vma is None else
                    jax.ShapeDtypeStruct((height, width, max_disp),
                                         jnp.float32, vma=out_vma)),
-        scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32),
-                        pltpu.VMEM((2, width, max_disp), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((n_fam, width, max_disp), jnp.float32)]
+            + ([pltpu.VMEM((2, width, max_disp), jnp.float32)]
+               if mask_scratch else [])),
         input_output_aliases=io_aliases,
         interpret=interpret,
     )(*args)
+
+
+def _family_groups(width: int, max_disp: int):
+    """Advance all 3 row-direction families per pass when their carries and
+    block buffers fit VMEM together; otherwise one family per pass (large
+    W*D geometries — 3x the HBM traffic, but no VMEM ceiling)."""
+    row_bytes = width * max_disp * 4
+    if (len(_FAMILY_SHIFTS) + 2) * row_bytes + 6 * row_bytes \
+            <= 12 * 1024 * 1024:
+        return (_FAMILY_SHIFTS,)
+    return tuple((s,) for s in _FAMILY_SHIFTS)
 
 
 @functools.partial(jax.jit, static_argnames=("penalty1", "penalty2",
@@ -363,12 +440,15 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
 
     # Row-direction families (vertical + diagonals): forward then reverse,
     # accumulated in place.
-    p2_f = _p2_maps(image, p1, p2, _FAMILY_SHIFTS, reverse=False)
-    p2_r = _p2_maps(image, p1, p2, _FAMILY_SHIFTS, reverse=True)
-    partial = _sweep_pass(cost, p2_f, None, families=_FAMILY_SHIFTS,
-                          penalty1=p1, reverse=False, interpret=interpret)
-    partial = _sweep_pass(cost, p2_r, partial, families=_FAMILY_SHIFTS,
-                          penalty1=p1, reverse=True, interpret=interpret)
+    partial = None
+    for shifts in _family_groups(*cost.shape[1:]):
+        p2_f = _p2_maps(image, p1, p2, shifts, reverse=False)
+        p2_r = _p2_maps(image, p1, p2, shifts, reverse=True)
+        partial = _sweep_pass(cost, p2_f, partial, families=shifts,
+                              penalty1=p1, reverse=False,
+                              interpret=interpret)
+        partial = _sweep_pass(cost, p2_r, partial, families=shifts,
+                              penalty1=p1, reverse=True, interpret=interpret)
 
     # Horizontal family: the same kernel over the transposed volume.
     cost_t = jnp.swapaxes(cost, 0, 1)
