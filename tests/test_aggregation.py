@@ -67,3 +67,17 @@ def test_sgm_accumulates_eight_sweeps():
     image = np.arange(36, dtype=np.float32).reshape(6, 6)
     got = np.asarray(semiglobal_aggregate(cost, image))
     np.testing.assert_allclose(got, 16.0, rtol=1e-6)
+
+
+def test_sgm_integer_volume_dtype_preserved():
+    """Integer cost volumes aggregate in f32 and return the input dtype,
+    like the reference's dtype-templated kernels (type_dispatch.hpp)."""
+    import numpy as np
+    from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 1000, (8, 12, 8)).astype(np.int32)
+    img = rng.random((8, 12)).astype(np.float32)
+    out = semiglobal_aggregate(vol, img)
+    assert out.dtype == np.int32
+    ref = np.asarray(semiglobal_aggregate(vol.astype(np.float32), img))
+    np.testing.assert_array_equal(np.asarray(out), ref.astype(np.int32))
