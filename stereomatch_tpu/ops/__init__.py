@@ -10,12 +10,16 @@ from .cost import (birchfield_cost_volume, ssd_cost_volume,
                    ssd_texture_cost_volume)
 from .disparity import (dynamic_programming, dynamic_programming_with_paths,
                         winner_takes_all)
+from .dp_pallas import dynamic_programming_pallas
+from .sgm_pallas import semiglobal_aggregate_pallas
 
 __all__ = [
     "birchfield_cost_volume",
     "dynamic_programming",
+    "dynamic_programming_pallas",
     "dynamic_programming_with_paths",
     "semiglobal_aggregate",
+    "semiglobal_aggregate_pallas",
     "ssd_cost_volume",
     "ssd_texture_cost_volume",
     "winner_takes_all",
