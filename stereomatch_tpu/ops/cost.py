@@ -58,17 +58,20 @@ def _compute_dtype(image_dtype, cost_dtype):
     return jnp.int32
 
 
-def shifted_right_stack(right: jnp.ndarray, max_disparity: int) -> jnp.ndarray:
-    """Build S[h, w, d] = right[h, w - d] (zero where w < d).
+def shifted_right_stack(right: jnp.ndarray, max_disparity: int,
+                        disparity_offset=0) -> jnp.ndarray:
+    """Build S[h, w, d] = right[h, w - (d + offset)] (zero out of range).
 
     One vectorized gather with a clamped index; the d axis lands on TPU vector
     lanes.  This is the TPU equivalent of each CUDA thread reading
-    ``right_image[krow][kcol - disp]`` (ssd.cu:49).
+    ``right_image[krow][kcol - disp]`` (ssd.cu:49).  ``disparity_offset``
+    (may be traced) selects a block of the disparity axis — the
+    disparity-sharded pipeline gives each chip its own block.
     """
     width = right.shape[1]
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    src = w_idx - d_idx                          # [W, D]
+    src = w_idx - d_idx - disparity_offset       # [W, D]
     valid = src >= 0
     gathered = jnp.take(right, jnp.maximum(src, 0), axis=1)  # [H, W, D]
     return jnp.where(valid[None, :, :], gathered, jnp.zeros((), right.dtype))
@@ -106,18 +109,24 @@ def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
                                              "cost_dtype"))
 def ssd_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
                     max_disparity: int, kernel_size: int = 7,
-                    cost_dtype=jnp.float32) -> jnp.ndarray:
+                    cost_dtype=jnp.float32,
+                    disparity_offset=0) -> jnp.ndarray:
     """Sum-of-squared-differences cost volume [H, W, D].
 
     Equivalent to CostOps::ComputeSSD (src/ssd.cu:64-81): for each pixel and
     disparity d <= c, the sum over the clipped window of
     (L[r, c] - R[r, c - d])^2; +inf (or int max) where d > c.
+
+    ``disparity_offset`` (static or traced) computes the block
+    [offset, offset + max_disparity) of a larger disparity axis — the
+    building block for disparity-sharded execution.
     """
     compute_dtype = _compute_dtype(left.dtype, cost_dtype)
     left_c = left.astype(compute_dtype)
     right_c = right.astype(compute_dtype)
 
-    shifted = shifted_right_stack(right_c, max_disparity)    # [H, W, D]
+    shifted = shifted_right_stack(right_c, max_disparity,
+                                  disparity_offset)          # [H, W, D]
     diff = left_c[:, :, None] - shifted
     diff2 = diff * diff
 
@@ -126,7 +135,7 @@ def ssd_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     width = left.shape[1]
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    valid = (w_idx >= d_idx)[None, :, :]
+    valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
     diff2 = jnp.where(valid, diff2, jnp.zeros((), compute_dtype))
 
     cost = _box_sum(diff2, kernel_size, axes=(0, 1))
@@ -184,7 +193,8 @@ def ssd_cost_from_padded(left_padded: jnp.ndarray, right_padded: jnp.ndarray,
 
 
 def _birchfield_match_cost(left: jnp.ndarray, right: jnp.ndarray,
-                           max_disparity: int) -> jnp.ndarray:
+                           max_disparity: int,
+                           disparity_offset=0) -> jnp.ndarray:
     """Per-pixel Birchfield–Tomasi dissimilarity m[h, p, d].
 
     Vectorized form of the shared-memory scanline body in
@@ -204,7 +214,7 @@ def _birchfield_match_cost(left: jnp.ndarray, right: jnp.ndarray,
     # padded scanline: rpad[i] = R[i-1], rpad[0] = rpad[W+1] = 0.
     p_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    centre = p_idx - d_idx + 1                  # index of R[p-d] in rpad
+    centre = p_idx - d_idx - disparity_offset + 1   # index of R[p-d] in rpad
     r_c = jnp.take(rpad, jnp.clip(centre, 0, width + 1), axis=1)
     r_m = jnp.take(rpad, jnp.clip(centre - 1, 0, width + 1), axis=1)
     r_p = jnp.take(rpad, jnp.clip(centre + 1, 0, width + 1), axis=1)
@@ -232,22 +242,25 @@ def _birchfield_match_cost(left: jnp.ndarray, right: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size"))
 def birchfield_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
                            max_disparity: int,
-                           kernel_size: int = 4) -> jnp.ndarray:
+                           kernel_size: int = 4,
+                           disparity_offset=0) -> jnp.ndarray:
     """Birchfield–Tomasi sampling-insensitive cost volume [H, W, D] float32.
 
     Equivalent to CostOps::ComputeBirchfield (src/birchfield_cost.cu:153-181)
     in its CUDA form.  ``kernel_size`` defaults to 4 — the reference hardcodes
     it despite accepting an argument (stereomatch/cost.py:98-99).
+    ``disparity_offset`` selects a disparity block, as in ssd_cost_volume.
     """
     left_f = left.astype(jnp.float32)
     right_f = right.astype(jnp.float32)
 
-    m = _birchfield_match_cost(left_f, right_f, max_disparity)
+    m = _birchfield_match_cost(left_f, right_f, max_disparity,
+                               disparity_offset)
 
     width = left.shape[1]
     p_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    valid = (p_idx >= d_idx)[None, :, :]
+    valid = (p_idx >= d_idx + disparity_offset)[None, :, :]
     m = jnp.where(valid, m, 0.0)
 
     cost = _box_sum(m, kernel_size, axes=(1,))

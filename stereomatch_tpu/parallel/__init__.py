@@ -15,9 +15,11 @@ territory that makes the same algorithms span a TPU pod slice:
   (halo-initialized, linearly scaling).
 """
 
+from .disp_sharded import make_disp_mesh, make_disp_sharded_wta
 from .mesh import (batch_tile_axes, initialize_distributed,
                    make_hybrid_mesh, make_mesh)
 from .sharded import ShardedPipeline, make_sharded_estimate
 
-__all__ = ["batch_tile_axes", "initialize_distributed", "make_hybrid_mesh",
-           "make_mesh", "ShardedPipeline", "make_sharded_estimate"]
+__all__ = ["batch_tile_axes", "initialize_distributed", "make_disp_mesh",
+           "make_disp_sharded_wta", "make_hybrid_mesh", "make_mesh",
+           "ShardedPipeline", "make_sharded_estimate"]

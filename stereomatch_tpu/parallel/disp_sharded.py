@@ -1,0 +1,108 @@
+"""Disparity-block sharding: split the D axis of cost + WTA across chips.
+
+Complements the row-tiled pipeline (``sharded.py``).  The disparity axis is
+deliberately *not* sharded under SGM/DP — their recurrences reduce over all
+of D every scan step, so a D-shard would put a collective inside every step
+(see docs/architecture.md).  For cost construction + winner-takes-all,
+however, disparity blocks are embarrassingly parallel: each chip builds the
+cost volume for its block [offset, offset + D/n) from the (replicated,
+small) input images — no halos at all — and takes a local argmin.  The
+global argmin is two tiny ICI reductions over [H, W] maps:
+
+    global_min  = pmin(local_min)
+    disparity   = pmin(local_argmin where local_min == global_min else MAX)
+
+which also reproduces the lowest-disparity tie-break of the single-chip
+reducer exactly (the minimum over candidate indices is the lowest one).
+
+This scales the memory footprint: a D=1024 volume that cannot fit one chip
+runs with D/n per chip, and per-chip work drops linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.cost import birchfield_cost_volume, ssd_cost_volume
+
+DISP_AXIS = "disp"
+
+
+def make_disp_mesh(devices=None, n_disp: Optional[int] = None) -> Mesh:
+    """1-axis mesh over the disparity dimension."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if n_disp is None:
+        n_disp = len(devices)
+    return Mesh(np.asarray(devices[:n_disp]), (DISP_AXIS,))
+
+
+def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
+                          cost: str = "ssd",
+                          kernel_size: Optional[int] = None,
+                          cost_dtype=jnp.float32) -> Callable:
+    """Compile cost + WTA with the disparity axis sharded over ``mesh``.
+
+    Returns ``fn(left, right) -> disparity`` over [H, W] images (replicated
+    to every chip; they are ~KBs against the volume's GBs).  Output matches
+    the single-chip `winner_takes_all(cost(...))` bit-for-bit.
+    """
+    if cost not in ("ssd", "birchfield"):
+        raise ValueError(f"unknown cost {cost!r}")
+    if kernel_size is None:
+        kernel_size = 7 if cost == "ssd" else 4
+    n_disp = mesh.shape[DISP_AXIS]
+    if max_disparity % n_disp:
+        raise ValueError(f"max_disparity {max_disparity} not divisible by "
+                         f"disp axis {n_disp}")
+    block = max_disparity // n_disp
+
+    def local_fn(left, right):
+        left = left.astype(jnp.float32)
+        right = right.astype(jnp.float32)
+        offset = lax.axis_index(DISP_AXIS) * block
+        if cost == "ssd":
+            vol = ssd_cost_volume(left, right, max_disparity=block,
+                                  kernel_size=kernel_size,
+                                  cost_dtype=cost_dtype,
+                                  disparity_offset=offset)
+        else:
+            vol = birchfield_cost_volume(left, right, max_disparity=block,
+                                         kernel_size=kernel_size,
+                                         disparity_offset=offset)
+        vol = vol.astype(jnp.float32)
+        local_min = jnp.min(vol, axis=2)                      # [H, W]
+        local_arg = (jnp.argmin(vol, axis=2).astype(jnp.int32)
+                     + offset)                                # global d
+        global_min = lax.pmin(local_min, DISP_AXIS)
+        candidate = jnp.where(local_min == global_min, local_arg,
+                              jnp.int32(2 ** 30))
+        disparity = lax.pmin(candidate, DISP_AXIS)
+        # Every chip now holds the full result; emit disjoint row slices
+        # so the output spec is sharded, not "replicated".
+        rows = disparity.shape[0] // n_disp
+        idx = lax.axis_index(DISP_AXIS)
+        return lax.dynamic_slice_in_dim(disparity, idx * rows, rows, axis=0)
+
+    mapped = shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(None, None), P(None, None)),
+                       out_specs=P(DISP_AXIS, None))
+    replicated = NamedSharding(mesh, P(None, None))
+
+    def fn(left, right):
+        if left.shape[0] % n_disp:
+            raise ValueError(f"height {left.shape[0]} not divisible by "
+                             f"disp axis {n_disp} (output row slicing)")
+        left = jax.device_put(jnp.asarray(left), replicated)
+        right = jax.device_put(jnp.asarray(right), replicated)
+        return mapped(left, right)
+
+    return jax.jit(fn)

@@ -162,6 +162,44 @@ def test_pallas_backend_small_overlap(pair, mesh):
     assert np.mean(out[0] != ref) < 0.05
 
 
+@pytest.mark.parametrize("cost", ["ssd", "birchfield"])
+def test_disparity_sharded_wta(pair, cost):
+    """Disparity-block sharding: each chip owns D/8 hypotheses; the global
+    argmin (lowest-d tie-break) must bit-match the single-chip reducer."""
+    from stereomatch_tpu.ops.cost import (birchfield_cost_volume,
+                                          ssd_cost_volume)
+    from stereomatch_tpu.parallel import make_disp_mesh, make_disp_sharded_wta
+    left, right = pair
+    d_total = 32
+    mesh = make_disp_mesh(n_disp=8)
+    kwargs = {"kernel_size": 3} if cost == "ssd" else {}
+    fn = make_disp_sharded_wta(mesh, max_disparity=d_total, cost=cost,
+                               **kwargs)
+    out = np.asarray(fn(left, right))
+    if cost == "ssd":
+        vol = ssd_cost_volume(left, right, max_disparity=d_total,
+                              kernel_size=3)
+    else:
+        vol = birchfield_cost_volume(left, right, max_disparity=d_total)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_disparity_offset_blocks_concatenate():
+    """Cost blocks at increasing offsets tile the full-D volume exactly."""
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    rng = np.random.default_rng(0)
+    left = rng.random((16, 40)).astype(np.float32)
+    right = rng.random((16, 40)).astype(np.float32)
+    full = np.asarray(ssd_cost_volume(left, right, max_disparity=16,
+                                      kernel_size=3))
+    blocks = [np.asarray(ssd_cost_volume(left, right, max_disparity=4,
+                                         kernel_size=3,
+                                         disparity_offset=o))
+              for o in (0, 4, 8, 12)]
+    np.testing.assert_array_equal(np.concatenate(blocks, axis=2), full)
+
+
 def test_divisibility_errors(pair, mesh):
     left, right = pair
     pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation=None,
