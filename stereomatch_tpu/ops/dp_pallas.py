@@ -8,10 +8,10 @@ then a right-to-left pointer walk.  The XLA scan formulation
 passes are streaming Pallas kernels over a W-major volume:
 
 * Forward kernel: grid over W, one [1, H, D] block per step, the running
-  accumulator [H, D] in VMEM scratch.  Emits the back-pointer volume (the
-  reference's {-1, 0, +1} int8 encoding, widened to int32 — Mosaic cannot
-  relayout f32-tiled comparison masks onto int8 tiles) and the
-  final-column costs.
+  accumulator [H, D] in VMEM scratch.  Emits the back-pointer volume in
+  the reference's {-1, 0, +1} int8 encoding (selected in f32 and packed
+  on store — Mosaic cannot relayout f32-tiled comparison masks onto int8
+  tiles directly) and the final-column costs.
 * Backward kernel: grid over W in reverse.  The per-row current disparity
   is carried as a ONE-HOT [H, D] mask in VMEM rather than an index vector:
   reading the pointer under the index becomes a lane-masked sum, and
@@ -52,7 +52,7 @@ def _forward_kernel(cost_ref, ptr_ref, final_ref, acc_ref):
         # are effectively uninitialized, dynamic_programming.cu:31,100 —
         # 0 is the intended no-predecessor value).
         acc_ref[...] = cost
-        ptr_ref[0] = jnp.zeros((height, max_disp), jnp.int32)
+        ptr_ref[0] = jnp.zeros((height, max_disp), jnp.int8)
 
     @pl.when(i > 0)
     def _():
@@ -65,12 +65,15 @@ def _forward_kernel(cost_ref, ptr_ref, final_ref, acc_ref):
 
         take1 = jnp.logical_and(c1 < c2, c1 < c3)
         take2 = c2 < c3
+        # Compute the {-1,0,+1} pointer in f32 and narrow on store: Mosaic
+        # cannot relayout f32-tiled comparison masks onto int8 tiles, but
+        # an f32 -> int8 convert is a plain pack.
         direction = jnp.where(
-            take1, jnp.int32(-1),
-            jnp.where(take2, jnp.int32(0), jnp.int32(1)))
+            take1, jnp.float32(-1),
+            jnp.where(take2, jnp.float32(0), jnp.float32(1)))
         min_cost = jnp.where(take1, c1, jnp.where(take2, c2, c3))
         acc_ref[...] = cost + min_cost
-        ptr_ref[0] = direction
+        ptr_ref[0] = direction.astype(jnp.int8)
 
     @pl.when(i == n - 1)
     def _():
@@ -150,7 +153,7 @@ def dynamic_programming_pallas(cost_volume: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            sds((width, height, max_disp), jnp.int32),
+            sds((width, height, max_disp), jnp.int8),
             sds((height, max_disp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((height, max_disp), jnp.float32)],
