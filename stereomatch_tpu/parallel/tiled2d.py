@@ -1,0 +1,171 @@
+"""Full 2-D image tiling: (batch, tile, tile_w) mesh execution.
+
+Completes the image-tile partitioning picture (SURVEY.md §7's
+(tiles_h, tiles_w) axes): rows shard over ``tile`` and columns over
+``tile_w``, so a pod slice can hold images whose [H, W, D] volume dwarfs
+one chip.
+
+The key simplification: instead of per-direction scan splitting (the 1-D
+machinery in ``sharded.py``), every tile extends itself by ``overlap``
+pixels on ALL four sides — two ppermute rounds: row halos along ``tile``,
+then column halos of the row-extended block along ``tile_w``, which carries
+the corners automatically — and runs the plain single-chip 8-direction
+aggregation on the extended tile, cropping the center afterwards.  Every
+one of the eight traversals finds its upstream warm-up region in the halo
+(horizontal sweeps in the side columns, vertical in the top/bottom rows,
+diagonals in the corners).  ppermute's zero fill at true image edges is
+the SGM recurrence identity (prev == 0 -> band == 0 -> L = C), so tiles
+bordering the image are exact on that side; interior accuracy converges
+geometrically in ``overlap`` exactly as in the 1-D overlap mode.
+
+Cost construction gathers the (small) image rows to full width along
+``tile_w`` and keeps the existing row-halo logic along ``tile``; the
+[H, W, D] volume itself — the object that actually needs sharding — is
+never materialized beyond each tile's extended block.
+
+The WTA reducer is pointwise-local.  The DP reducer's backward trace is
+global along W (information flows from the last column to the first), so
+it has no warm-up form; it is not offered here — use the 1-D row-tiled
+pipeline (DP scans are row-local there) when scanline DP is required.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import sgm_pallas
+from ..ops.aggregation import semiglobal_aggregate
+from ..ops.cost import birchfield_cost_volume, ssd_cost_volume
+from ..ops.disparity import winner_takes_all
+from .mesh import BATCH_AXIS, TILE_AXIS
+
+TILE_W_AXIS = "tile_w"
+
+
+def make_mesh_2d(devices=None, n_batch: int = 1, n_tile: int = 2,
+                 n_tile_w: int = 2) -> Mesh:
+    """(batch, tile, tile_w) mesh."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    need = n_batch * n_tile * n_tile_w
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_batch, n_tile, n_tile_w)
+    return Mesh(grid, (BATCH_AXIS, TILE_AXIS, TILE_W_AXIS))
+
+
+def _extend(x, ov: int, axis: int, axis_name: str, n: int):
+    """Concatenate ov-wide neighbor halos on both sides along ``axis``.
+
+    Zero fill at ring ends (ppermute semantics) — the warm-up identity.
+    """
+    if ov == 0 or n == 1:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (ov, ov)
+        return jnp.pad(x, pad)
+    before = lax.ppermute(
+        lax.slice_in_dim(x, x.shape[axis] - ov, x.shape[axis], axis=axis),
+        axis_name, [(i, i + 1) for i in range(n - 1)])
+    after = lax.ppermute(
+        lax.slice_in_dim(x, 0, ov, axis=axis),
+        axis_name, [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([before, x, after], axis=axis)
+
+
+def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
+                          cost: str = "ssd",
+                          kernel_size: Optional[int] = None,
+                          penalty1: float = 0.1, penalty2: float = 0.2,
+                          overlap: int = 48,
+                          backend: str = "auto",
+                          interpret: bool = False) -> Callable:
+    """Compile SSD/Birchfield + 8-path SGM + WTA over a 2-D tile mesh.
+
+    Returns jitted ``fn(left, right) -> disparity`` over [B, H, W] stacks
+    with B, H, W divisible by the batch/tile/tile_w axes respectively.
+    """
+    if cost not in ("ssd", "birchfield"):
+        raise ValueError(f"unknown cost {cost!r}")
+    if kernel_size is None:
+        kernel_size = 7 if cost == "ssd" else 4
+    n_tile = mesh.shape[TILE_AXIS]
+    n_tile_w = mesh.shape[TILE_W_AXIS]
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+
+    p1, p2 = float(penalty1), float(penalty2)
+
+    def aggregate(vol, img):
+        if backend == "pallas":
+            return sgm_pallas.semiglobal_aggregate_pallas.__wrapped__(
+                vol, img, penalty1=p1, penalty2=p2, interpret=interpret)
+        return semiglobal_aggregate.__wrapped__(vol, img, penalty1=p1,
+                                                penalty2=p2)
+
+    def local_fn(left, right):                   # [B_loc, Hl, Wl]
+        left = left.astype(jnp.float32)
+        right = right.astype(jnp.float32)
+        batch, h_loc, w_loc = left.shape
+
+        # Cost: gather image rows to full width (images are tiny against
+        # the volume), add the H-halo rows for the window, compute, then
+        # keep this tile's column range.
+        k = kernel_size
+        left_full = jax.lax.all_gather(left, TILE_W_AXIS, axis=2,
+                                       tiled=True)
+        right_full = jax.lax.all_gather(right, TILE_W_AXIS, axis=2,
+                                        tiled=True)
+        left_ext = _extend(left_full, k, 1, TILE_AXIS, n_tile)
+        right_ext = _extend(right_full, k, 1, TILE_AXIS, n_tile)
+        w0 = lax.axis_index(TILE_W_AXIS) * w_loc
+
+        # The SSD row window is [r-k, r+k): k halo rows above, k-1 below
+        # (ssd_cost_from_padded semantics — zero halos at the true image
+        # top/bottom are the additive identity of the clipped window).
+        # Birchfield's window is scanline-local: the halo rows just drop.
+        def cost_one_padded(le, re):
+            if cost == "ssd":
+                from ..ops.cost import ssd_cost_from_padded
+                vol = ssd_cost_from_padded(
+                    le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
+                    max_disparity=max_disparity, kernel_size=kernel_size)
+            else:
+                vol = birchfield_cost_volume.__wrapped__(
+                    le[k:le.shape[0] - k], re[k:re.shape[0] - k],
+                    max_disparity=max_disparity, kernel_size=kernel_size)
+            return lax.dynamic_slice_in_dim(vol, w0, w_loc, axis=1)
+
+        vol = jax.vmap(cost_one_padded)(left_ext, right_ext)
+
+        # 8-neighborhood halo extension of the volume + image, then the
+        # plain single-chip aggregation on the extended tile.
+        ov_h = min(overlap, h_loc)
+        ov_w = min(overlap, w_loc)
+        ext = _extend(vol, ov_h, 1, TILE_AXIS, n_tile)
+        ext = _extend(ext, ov_w, 2, TILE_W_AXIS, n_tile_w)
+        img_l = lax.dynamic_slice_in_dim(left_full, w0, w_loc, axis=2)
+        img_e = _extend(img_l, ov_h, 1, TILE_AXIS, n_tile)
+        img_e = _extend(img_e, ov_w, 2, TILE_W_AXIS, n_tile_w)
+
+        agg = jax.vmap(aggregate)(ext, img_e)
+        agg = agg[:, ov_h:ov_h + h_loc, ov_w:ov_w + w_loc]
+        return jax.vmap(winner_takes_all.__wrapped__)(agg)
+
+    spec = P(BATCH_AXIS, TILE_AXIS, TILE_W_AXIS)
+    mapped = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
+                      out_specs=spec, check_vma=False)
+    sharding = NamedSharding(mesh, spec)
+
+    def fn(left, right):
+        left = jax.device_put(jnp.asarray(left), sharding)
+        right = jax.device_put(jnp.asarray(right), sharding)
+        return mapped(left, right)
+
+    return jax.jit(fn)

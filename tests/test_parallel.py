@@ -200,6 +200,39 @@ def test_disparity_offset_blocks_concatenate():
     np.testing.assert_array_equal(np.concatenate(blocks, axis=2), full)
 
 
+@pytest.mark.parametrize("cost", ["ssd", "birchfield"])
+def test_tiled2d_exact_with_covering_overlap(pair, cost):
+    """2-D (tile x tile_w) mesh with halos covering the whole tile must
+    reproduce the single-chip SGM+WTA result exactly."""
+    from stereomatch_tpu.cost import Birchfield
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    cost_fn = SSD(D, kernel_size=3) if cost == "ssd" else Birchfield(D)
+    vol = cost_fn(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    kwargs = {"kernel_size": 3} if cost == "ssd" else {}
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, cost=cost,
+                               overlap=max(left.shape), backend="xla",
+                               **kwargs)
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_tiled2d_small_overlap_close(pair):
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               overlap=6, backend="xla")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    assert np.mean(out[0] != ref) < 0.02
+
+
 def test_divisibility_errors(pair, mesh):
     left, right = pair
     pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation=None,
