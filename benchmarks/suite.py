@@ -39,38 +39,9 @@ REFERENCE_MS = {
 }
 
 
-def _chain(body_fn):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    @jax.jit
-    def run(args, n):
-        out = lax.fori_loop(0, n, lambda _, c: body_fn(c), args)
-        # Reduce to one scalar so the host fetch is a few bytes — large
-        # result fetches through relay transports are slow AND noisy.
-        leaves = jax.tree_util.tree_leaves(out)
-        return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
-
-    return run
-
-
-def _time(run, args, n, repeats):
-    best = float("inf")
-    for _ in range(repeats):
-        start = time.perf_counter()
-        float(run(args, n))
-        best = min(best, time.perf_counter() - start)
-    return best
-
-
 def _marginal_ms(body_fn, args, chain_k, repeats):
-    """Marginal per-iteration time between two chain lengths (k, 3k)."""
-    run = _chain(body_fn)
-    float(run(args, 1))                  # compile
-    ta = _time(run, args, chain_k, repeats)
-    tb = _time(run, args, 3 * chain_k, repeats)
-    return max(tb - ta, 0.0) / (2 * chain_k) * 1e3
+    from stereomatch_tpu.utils.benchmarking import marginal_ms
+    return marginal_ms(body_fn, args, chain_k=chain_k, repeats=repeats)
 
 
 def build_benchmarks():
@@ -154,9 +125,10 @@ def build_benchmarks():
 
     benches["pipeline_teddy_450x375_d128"] = (pipe_body, (l2, r2))
 
-    # Batched video steady state: 4 frames per step through the vmapped
-    # pipeline (stream.StreamingEstimator's compute path).  Reported per
-    # BATCH — divide by 4 for per-frame.
+    # Batched video steady state: 4 frames per step, sequentially mapped
+    # inside one jit (stream.StreamingEstimator's compute path; lax.map
+    # beats vmap for the Pallas stages).  Reported per BATCH — divide by
+    # 4 for per-frame.
     lb = jax.device_put(rng.random((4, h2, w2), np.float32))
     rb = jax.device_put(rng.random((4, h2, w2), np.float32))
 
