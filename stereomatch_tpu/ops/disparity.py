@@ -49,8 +49,17 @@ def winner_takes_all(cost_volume: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(cost_volume, axis=2).astype(jnp.int32)
 
 
-def _dp_forward(cost_volume: jnp.ndarray):
-    """Forward pass: returns (back-pointers int8 [H, W, D], final costs [H, D])."""
+def dp_forward_chunk(cost_volume: jnp.ndarray, init_acc=None):
+    """DP forward pass over a chunk of columns, exposing the accumulator.
+
+    ``init_acc`` [H, D] is the accumulator after the column left of this
+    chunk (hand-off from the neighboring tile owner when the W axis is
+    split); None marks the true scanline start, where column 0 seeds from
+    the raw cost and gets back-pointer 0 (the reference's intended
+    no-predecessor value, see module docstring).
+
+    Returns (back-pointers int8 [H, Wc, D], final accumulator [H, D]).
+    """
     height, width, max_disp = cost_volume.shape
     cost_sv = jnp.swapaxes(cost_volume, 0, 1)         # [W, H, D]
 
@@ -68,31 +77,59 @@ def _dp_forward(cost_volume: jnp.ndarray):
         min_cost = jnp.where(take1, c1, jnp.where(take2, c2, c3))
         return cost_col + min_cost, direction
 
-    init = cost_sv[0]                                  # acc at col 0 = C[:, 0, :]
-    final, directions = lax.scan(step, init, cost_sv[1:])  # [W-1, H, D]
+    if init_acc is None:
+        init = cost_sv[0]                              # acc at col 0
+        final, directions = lax.scan(step, init, cost_sv[1:])
+        col0 = jnp.zeros((1, height, max_disp), jnp.int8)
+        path = jnp.concatenate([col0, directions], axis=0)  # [W, H, D]
+    else:
+        final, path = lax.scan(step, init_acc.astype(cost_volume.dtype),
+                               cost_sv)
+    return jnp.swapaxes(path, 0, 1), final             # [H, Wc, D], [H, D]
 
-    col0 = jnp.zeros((1, height, max_disp), jnp.int8)
-    path = jnp.concatenate([col0, directions], axis=0)  # [W, H, D]
-    return jnp.swapaxes(path, 0, 1), final             # [H, W, D], [H, D]
+
+def _dp_forward(cost_volume: jnp.ndarray):
+    """Forward pass: returns (back-pointers int8 [H, W, D], final costs [H, D])."""
+    return dp_forward_chunk(cost_volume)
+
+
+def dp_backward_chunk(path_volume: jnp.ndarray, current: jnp.ndarray,
+                      emit_current: bool):
+    """Right-to-left pointer walk over a chunk of columns.
+
+    ``current`` [H] is the disparity already decided for the column right
+    of this chunk (the scanline end's argmin for the rightmost chunk).
+    When ``emit_current`` (rightmost chunk), ``current`` itself is written
+    at the last local column and the walk consumes pointer columns
+    Wc-2..0; otherwise the walk consumes all Wc pointer columns and emits
+    Wc disparities.  Returns (disparities int32 [H, Wc], outgoing current
+    [H] — the leftmost decided disparity, the next chunk's ``current``).
+    """
+    height, width, max_disp = path_volume.shape
+    cols = path_volume[:, :-1, :] if emit_current else path_volume
+    path_sv = jnp.swapaxes(cols, 0, 1)[::-1]            # [n, H, D]
+
+    def step(cur, path_col):                            # cur: [H]
+        direction = jnp.take_along_axis(
+            path_col, cur[:, None], axis=1)[:, 0].astype(jnp.int32)
+        new = jnp.clip(cur + direction, 0, max_disp - 1)
+        return new, new
+
+    current = current.astype(jnp.int32)
+    out_cur, trace = lax.scan(step, current, path_sv)
+    body = jnp.swapaxes(trace[::-1], 0, 1)              # [H, n]
+    if emit_current:
+        disp = jnp.concatenate([body, current[:, None]], axis=1)
+    else:
+        disp = body
+    return disp, out_cur
 
 
 def _dp_backward(path_volume: jnp.ndarray, end_disparities: jnp.ndarray):
     """Right-to-left pointer walk, vectorized over rows."""
-    height, width, max_disp = path_volume.shape
-    # Columns W-2 .. 0, as the reference walks (dynamic_programming.cu:176-180).
-    path_sv = jnp.swapaxes(path_volume[:, :-1, :], 0, 1)[::-1]   # [W-1, H, D]
-
-    def step(current, path_col):                        # current: [H]
-        direction = jnp.take_along_axis(
-            path_col, current[:, None], axis=1)[:, 0].astype(jnp.int32)
-        new = jnp.clip(current + direction, 0, max_disp - 1)
-        return new, new
-
-    _, trace = lax.scan(step, end_disparities.astype(jnp.int32), path_sv)
-    # trace[i] is the disparity at column W-2-i; flip back to column order.
-    body = jnp.swapaxes(trace[::-1], 0, 1)              # [H, W-1]
-    return jnp.concatenate([body, end_disparities[:, None].astype(jnp.int32)],
-                           axis=1)                      # [H, W]
+    disp, _ = dp_backward_chunk(path_volume, end_disparities,
+                                emit_current=True)
+    return disp
 
 
 @jax.jit

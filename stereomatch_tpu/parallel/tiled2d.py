@@ -25,8 +25,11 @@ never materialized beyond each tile's extended block.
 
 The WTA reducer is pointwise-local.  The DP reducer's backward trace is
 global along W (information flows from the last column to the first), so
-it has no warm-up form; it is not offered here — use the 1-D row-tiled
-pipeline (DP scans are row-local there) when scanline DP is required.
+it has no warm-up form; it runs EXACTLY instead, as a sequential carry
+hand-off over ``tile_w``: the forward accumulator [H_loc, D] passes left
+to right, the rightmost tile takes the scanline argmin, and the decided
+disparity column [H_loc] passes back right to left through the
+back-pointer chunks.
 """
 
 from __future__ import annotations
@@ -42,7 +45,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import sgm_pallas
 from ..ops.aggregation import semiglobal_aggregate
 from ..ops.cost import birchfield_cost_volume, ssd_cost_volume
-from ..ops.disparity import winner_takes_all
+from ..ops.disparity import (dp_backward_chunk, dp_forward_chunk,
+                             winner_takes_all)
 from .mesh import BATCH_AXIS, TILE_AXIS
 
 TILE_W_AXIS = "tile_w"
@@ -79,9 +83,74 @@ def _extend(x, ov: int, axis: int, axis_name: str, n: int):
     return jnp.concatenate([before, x, after], axis=axis)
 
 
+def _dp_tiled_w(vol, n_tile_w: int):
+    """Exact scanline DP with the W axis split over ``tile_w``.
+
+    vol: local [B, Hl, Wl, D] (already aggregated).  Sequential pipeline:
+    forward accumulator hand-off left->right, argmin on the rightmost
+    tile, back-pointer trace hand-off right->left.
+    """
+    batch, h_loc, w_loc, max_disp = vol.shape
+    vol = vol.astype(jnp.float32)
+    rank = lax.axis_index(TILE_W_AXIS)
+    fwd_perm = [(i, i + 1) for i in range(n_tile_w - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n_tile_w)]
+
+    # Forward: a zero accumulator is the seeded start (acc_col0 = cost +
+    # min(0,...) = cost); only the pointer column needs the seed override.
+    fwd = jax.vmap(lambda v, acc: dp_forward_chunk(v, acc))
+
+    def fstage(s, state):
+        acc_in, ptrs, final = state
+        seed_acc = jnp.where(rank == 0, jnp.zeros_like(acc_in), acc_in)
+        p, f = fwd(vol, seed_acc)
+        p = jnp.where((rank == 0)[None],
+                      jnp.concatenate([jnp.zeros_like(p[:, :, :1]),
+                                       p[:, :, 1:]], axis=2), p)
+        mine = rank == s
+        ptrs = jnp.where(mine, p, ptrs)
+        final = jnp.where(mine, f, final)
+        acc = jnp.where(mine, f, acc_in)
+        if n_tile_w > 1:
+            acc = lax.ppermute(acc, TILE_W_AXIS, fwd_perm)
+        return acc, ptrs, final
+
+    init = (jnp.zeros((batch, h_loc, max_disp), jnp.float32),
+            jnp.zeros((batch, h_loc, w_loc, max_disp), jnp.int8),
+            jnp.zeros((batch, h_loc, max_disp), jnp.float32))
+    _, ptrs, final = lax.fori_loop(0, n_tile_w, fstage, init)
+
+    # Backward.  Rightmost tile first: scanline argmin + emit-current walk.
+    end = jnp.argmin(final, axis=-1).astype(jnp.int32)       # [B, Hl]
+    bwd_emit = jax.vmap(
+        lambda p, c: dp_backward_chunk(p, c, emit_current=True))
+    bwd_cont = jax.vmap(
+        lambda p, c: dp_backward_chunk(p, c, emit_current=False))
+
+    d_last, c_last = bwd_emit(ptrs, end)
+    is_last = rank == n_tile_w - 1
+    out = jnp.where(is_last[None], d_last, jnp.zeros_like(d_last))
+    cur = jnp.where(is_last, c_last, jnp.zeros_like(c_last))
+    if n_tile_w > 1:
+        cur = lax.ppermute(cur, TILE_W_AXIS, bwd_perm)
+
+        def bstage(s, state):
+            cur, out = state
+            d_c, c_c = bwd_cont(ptrs, cur)
+            mine = rank == n_tile_w - 1 - s
+            out = jnp.where(mine, d_c, out)
+            cur = jnp.where(mine, c_c, cur)
+            cur = lax.ppermute(cur, TILE_W_AXIS, bwd_perm)
+            return cur, out
+
+        _, out = lax.fori_loop(1, n_tile_w, bstage, (cur, out))
+    return out
+
+
 def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
+                          reducer: str = "wta",
                           penalty1: float = 0.1, penalty2: float = 0.2,
                           overlap: int = 48,
                           backend: str = "auto",
@@ -156,6 +225,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
 
         agg = jax.vmap(aggregate)(ext, img_e)
         agg = agg[:, ov_h:ov_h + h_loc, ov_w:ov_w + w_loc]
+        if reducer == "dynamic_programming":
+            return _dp_tiled_w(agg, n_tile_w)
         return jax.vmap(winner_takes_all.__wrapped__)(agg)
 
     spec = P(BATCH_AXIS, TILE_AXIS, TILE_W_AXIS)

@@ -220,6 +220,25 @@ def test_tiled2d_exact_with_covering_overlap(pair, cost):
     np.testing.assert_array_equal(out[0], ref)
 
 
+@pytest.mark.parametrize("grid", [(2, 2, 2), (2, 1, 4)])
+def test_tiled2d_dp_exact_handoff(pair, grid):
+    """DP under 2-D tiling runs exactly (forward accumulator hand-off,
+    rightmost-tile argmin, backward trace hand-off) — bit-matching the
+    single-chip reducer regardless of the W split."""
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    ref = np.asarray(DynamicProgramming(backend="xla")(agg))
+    nb, nt, nw = grid
+    mesh2 = make_mesh_2d(n_batch=nb, n_tile=nt, n_tile_w=nw)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               reducer="dynamic_programming",
+                               overlap=max(left.shape), backend="xla")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
 def test_tiled2d_small_overlap_close(pair):
     from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
     left, right = pair
