@@ -239,6 +239,21 @@ def test_tiled2d_dp_exact_handoff(pair, grid):
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_tiled2d_pallas_backend(pair):
+    """2-D tiling with the Pallas aggregation kernels (interpret mode)."""
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               overlap=max(left.shape), backend="pallas",
+                               interpret=True)
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
 def test_tiled2d_small_overlap_close(pair):
     from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
     left, right = pair
