@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import sgm_pallas
 from ..ops.aggregation import semiglobal_aggregate
-from ..ops.cost import birchfield_cost_volume, ssd_cost_volume
+from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
 from ..ops.disparity import (dp_backward_chunk, dp_forward_chunk,
                              winner_takes_all)
 from .mesh import BATCH_AXIS, TILE_AXIS
@@ -162,6 +162,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
     """
     if cost not in ("ssd", "birchfield"):
         raise ValueError(f"unknown cost {cost!r}")
+    if reducer not in ("wta", "dynamic_programming"):
+        raise ValueError(f"unknown reducer {reducer!r}")
     if kernel_size is None:
         kernel_size = 7 if cost == "ssd" else 4
     n_tile = mesh.shape[TILE_AXIS]
@@ -201,7 +203,6 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         # Birchfield's window is scanline-local: the halo rows just drop.
         def cost_one_padded(le, re):
             if cost == "ssd":
-                from ..ops.cost import ssd_cost_from_padded
                 vol = ssd_cost_from_padded(
                     le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
                     max_disparity=max_disparity, kernel_size=kernel_size)
@@ -219,8 +220,7 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         ov_w = min(overlap, w_loc)
         ext = _extend(vol, ov_h, 1, TILE_AXIS, n_tile)
         ext = _extend(ext, ov_w, 2, TILE_W_AXIS, n_tile_w)
-        img_l = lax.dynamic_slice_in_dim(left_full, w0, w_loc, axis=2)
-        img_e = _extend(img_l, ov_h, 1, TILE_AXIS, n_tile)
+        img_e = _extend(left, ov_h, 1, TILE_AXIS, n_tile)
         img_e = _extend(img_e, ov_w, 2, TILE_W_AXIS, n_tile_w)
 
         agg = jax.vmap(aggregate)(ext, img_e)
@@ -234,9 +234,18 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                       out_specs=spec, check_vma=False)
     sharding = NamedSharding(mesh, spec)
 
+    n_batch = mesh.shape[BATCH_AXIS]
+
     def fn(left, right):
-        left = jax.device_put(jnp.asarray(left), sharding)
-        right = jax.device_put(jnp.asarray(right), sharding)
+        left = jnp.asarray(left)
+        right = jnp.asarray(right)
+        b, h, w = left.shape
+        if b % n_batch or h % n_tile or w % n_tile_w:
+            raise ValueError(
+                f"batch/height/width {left.shape} not divisible by mesh "
+                f"axes {(n_batch, n_tile, n_tile_w)}")
+        left = jax.device_put(left, sharding)
+        right = jax.device_put(right, sharding)
         return mapped(left, right)
 
     return jax.jit(fn)
