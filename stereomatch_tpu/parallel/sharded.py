@@ -205,6 +205,24 @@ def _local_horizontal_sweep(vol, img, p1, p2, reverse):
     return jnp.swapaxes(out, 1, 2)
 
 
+def _pallas_local_horizontal(vol, img, p1, p2, interpret, vma):
+    """Horizontal-family sweeps: tile-local on the transposed block (the
+    scan axis W is never sharded by the row-tiled pipeline)."""
+    def horizontal(v, im):
+        pmf = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=False)
+        pmr = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=True)
+        part = sgm_pallas._sweep_pass(v, pmf, None, families=(0,),
+                                      penalty1=p1, reverse=False,
+                                      interpret=interpret, out_vma=vma)
+        return sgm_pallas._sweep_pass(v, pmr, part, families=(0,),
+                                      penalty1=p1, reverse=True,
+                                      interpret=interpret, out_vma=vma)
+
+    out_t = jax.vmap(horizontal)(jnp.swapaxes(vol, 1, 2),
+                                 jnp.swapaxes(img, 1, 2))
+    return jnp.swapaxes(out_t, 1, 2)
+
+
 def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
                                axis_name, n_tiles, overlap,
                                interpret=False):
@@ -259,22 +277,7 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
                                                  reverse=True))(ix)
     out = out + sweep(vx, pm, None, reverse=True)[:, :vol.shape[1]]
 
-    # Horizontal family: tile-local, transposed block, both directions.
-    vol_t = jnp.swapaxes(vol, 1, 2)
-    img_t = jnp.swapaxes(img, 1, 2)
-
-    def horizontal(v, im):
-        pmf = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=False)
-        pmr = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=True)
-        part = sgm_pallas._sweep_pass(v, pmf, None, families=(0,),
-                                      penalty1=p1, reverse=False,
-                                      interpret=interpret, out_vma=vma)
-        return sgm_pallas._sweep_pass(v, pmr, part, families=(0,),
-                                      penalty1=p1, reverse=True,
-                                      interpret=interpret, out_vma=vma)
-
-    out_t = jax.vmap(horizontal)(vol_t, img_t)
-    out = out + jnp.swapaxes(out_t, 1, 2)
+    out = out + _pallas_local_horizontal(vol, img, p1, p2, interpret, vma)
     return out.astype(cost_vol.dtype)
 
 
@@ -338,22 +341,8 @@ def _pallas_exact_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
         _, out = lax.fori_loop(0, n_tiles, stage, init)
         out_total = out if out_total is None else out_total + out
 
-    # Horizontal family: tile-local on the transposed block.
-    vol_t = jnp.swapaxes(vol, 1, 2)
-    img_t = jnp.swapaxes(img, 1, 2)
-
-    def horizontal(v, im):
-        pmf = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=False)
-        pmr = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=True)
-        part = sgm_pallas._sweep_pass(v, pmf, None, families=(0,),
-                                      penalty1=p1, reverse=False,
-                                      interpret=interpret, out_vma=vma)
-        return sgm_pallas._sweep_pass(v, pmr, part, families=(0,),
-                                      penalty1=p1, reverse=True,
-                                      interpret=interpret, out_vma=vma)
-
-    out_t = jax.vmap(horizontal)(vol_t, img_t)
-    out_total = out_total + jnp.swapaxes(out_t, 1, 2)
+    out_total = out_total + _pallas_local_horizontal(vol, img, p1, p2,
+                                                     interpret, vma)
     return out_total.astype(cost_vol.dtype)
 
 
