@@ -8,18 +8,25 @@ initializes its backends, hence the top-of-file placement.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# STM_TEST_ON_TPU=1 leaves the accelerator backend selected so
+# tests/test_tpu_hardware.py can compile the real Mosaic kernels;
+# everything else runs on the virtual CPU mesh.
+_ON_TPU = bool(os.environ.get("STM_TEST_ON_TPU"))
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-# Site customization (e.g. a TPU PJRT plugin registered from sitecustomize)
-# may have force-selected another platform before this file ran; the config
-# update wins over both.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # Site customization (e.g. a TPU PJRT plugin registered from
+    # sitecustomize) may have force-selected another platform before this
+    # file ran; the config update wins over both.
+    jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path  # noqa: E402
 import dataclasses  # noqa: E402
