@@ -344,7 +344,7 @@ def _pick_rows_per_step(height: int, width: int, max_disp: int,
     row_bytes = width * max_disp * 4
     budget = 12 * 1024 * 1024 - (n_fam + 2) * row_bytes
     max_rows = max(int(budget // (6 * row_bytes)), 1)
-    for r in (8, 6, 5, 4, 3, 2):
+    for r in (16, 12, 10, 9, 8, 6, 5, 4, 3, 2):
         if r <= max_rows and height % r == 0:
             return r
     return 1
