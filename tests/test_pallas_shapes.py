@@ -20,6 +20,7 @@ SHAPES = [
     (16, 23, 8),     # prime W
     (9, 16, 16),     # odd H
     (12, 20, 32),    # D spanning multiple sub-lane groups
+    (8, 10, 100),    # D not a lane-tile multiple
 ]
 
 
