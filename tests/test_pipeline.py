@@ -101,3 +101,27 @@ def test_package_exports():
     assert stereomatch_tpu.Pipeline is Pipeline
     assert hasattr(stereomatch_tpu, "metrics")
     assert hasattr(stereomatch_tpu, "io")
+
+
+def test_pipeline_is_deterministic(stereo_pair_small):
+    """Two runs produce bit-identical disparities.
+
+    The reference tolerates a benign GPU accumulation race by kernel-launch
+    ordering (SURVEY.md §5 'race detection'); here determinism comes from
+    functional purity, so it is asserted outright.
+    """
+    import numpy as np
+    from stereomatch_tpu.aggregation import Semiglobal
+    from stereomatch_tpu.cost import SSD
+    from stereomatch_tpu.disparity_reduce import WinnerTakesAll
+    from stereomatch_tpu.pipeline import Pipeline
+
+    left, right = stereo_pair_small
+    pipe = Pipeline(SSD(16, kernel_size=3), WinnerTakesAll(),
+                    aggregation=Semiglobal())
+    a = np.asarray(pipe.estimate(left, right))
+    b = np.asarray(pipe.estimate(left, right))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(Pipeline(SSD(16, kernel_size=3), WinnerTakesAll(),
+                            aggregation=Semiglobal()).estimate(left, right))
+    np.testing.assert_array_equal(a, c)
