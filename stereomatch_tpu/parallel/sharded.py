@@ -240,11 +240,10 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
     img = left_image.astype(jnp.float32)
     overlap = min(overlap, vol.shape[1])
     p1, p2 = float(penalty1), float(penalty2)
-    shifts = sgm_pallas._FAMILY_SHIFTS
 
     vma = frozenset({BATCH_AXIS, TILE_AXIS})
 
-    def sweep(v, pm, partial, reverse):
+    def sweep(v, pm, partial, shifts, reverse):
         fn = lambda c, m, acc: sgm_pallas._sweep_pass(
             c, m, acc, families=shifts, penalty1=p1, reverse=reverse,
             interpret=interpret, out_vma=vma)
@@ -252,18 +251,14 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
             return jax.vmap(lambda c, m: fn(c, m, None))(v, pm)
         return jax.vmap(fn)(v, pm, partial)
 
-    # Forward row pass: warm-up rows precede the block.
+    # Halo-extended inputs (forward: warm-up rows precede the block;
+    # reverse: they follow it — the kernel's reversed grid starts there).
     fwd_perm = [(i, i + 1) for i in range(n_tiles - 1)]
     halo_v = _pull_prev_in_rank(vol, overlap, fwd_perm, axis_name, n_tiles)
     halo_i = _pull_prev_in_rank(img, overlap, fwd_perm, axis_name, n_tiles)
-    vx = jnp.concatenate([halo_v, vol], axis=1)
-    ix = jnp.concatenate([halo_i, img], axis=1)
-    pm = jax.vmap(lambda im: sgm_pallas._p2_maps(im, p1, p2, shifts,
-                                                 reverse=False))(ix)
-    out = sweep(vx, pm, None, reverse=False)[:, overlap:]
+    vx_f = jnp.concatenate([halo_v, vol], axis=1)
+    ix_f = jnp.concatenate([halo_i, img], axis=1)
 
-    # Reverse row pass: warm-up rows follow the block (reversed grid
-    # starts at the last row).
     rev_perm = [(i + 1, i) for i in range(n_tiles - 1)]
     edge = lax.slice_in_dim(vol, 0, overlap, axis=1)
     halo_v = (jnp.zeros_like(edge) if n_tiles == 1
@@ -271,11 +266,22 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
     edge_i = lax.slice_in_dim(img, 0, overlap, axis=1)
     halo_i = (jnp.zeros_like(edge_i) if n_tiles == 1
               else lax.ppermute(edge_i, axis_name, rev_perm))
-    vx = jnp.concatenate([vol, halo_v], axis=1)
-    ix = jnp.concatenate([img, halo_i], axis=1)
-    pm = jax.vmap(lambda im: sgm_pallas._p2_maps(im, p1, p2, shifts,
-                                                 reverse=True))(ix)
-    out = out + sweep(vx, pm, None, reverse=True)[:, :vol.shape[1]]
+    vx_r = jnp.concatenate([vol, halo_v], axis=1)
+    ix_r = jnp.concatenate([img, halo_i], axis=1)
+
+    # Same VMEM-driven family grouping as the single-chip path: all three
+    # row-direction families per pass when their carries fit, else one
+    # family per pass (very large W*D tiles).
+    out = None
+    for shifts in sgm_pallas._family_groups(*vol.shape[2:]):
+        pm = jax.vmap(lambda im: sgm_pallas._p2_maps(
+            im, p1, p2, shifts, reverse=False))(ix_f)
+        contrib = sweep(vx_f, pm, None, shifts, reverse=False)[:, overlap:]
+        out = contrib if out is None else out + contrib
+        pm = jax.vmap(lambda im: sgm_pallas._p2_maps(
+            im, p1, p2, shifts, reverse=True))(ix_r)
+        out = out + sweep(vx_r, pm, None, shifts,
+                          reverse=True)[:, :vol.shape[1]]
 
     out = out + _pallas_local_horizontal(vol, img, p1, p2, interpret, vma)
     return out.astype(cost_vol.dtype)
