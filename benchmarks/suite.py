@@ -51,7 +51,8 @@ def build_benchmarks():
     from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
     from stereomatch_tpu.ops.cost import (birchfield_cost_volume,
                                           ssd_cost_volume)
-    from stereomatch_tpu.ops.disparity import winner_takes_all
+    from stereomatch_tpu.ops.disparity import (dynamic_programming,
+                                               winner_takes_all)
     from stereomatch_tpu.ops.dp_pallas import dynamic_programming_pallas
     from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
     from stereomatch_tpu.texture import TextureImage
@@ -112,8 +113,10 @@ def build_benchmarks():
         lambda v, img: winner_takes_all(v))
     benches["argmin_baseline_450x375_d128"] = vol_bench(
         lambda v, img: jnp.argmin(v, axis=2).astype(jnp.int32))
+    # On CPU this times the XLA scan formulation (the Pallas kernel is
+    # TPU-only); the reference_ms comparison is only meaningful on TPU.
     benches["dynprog_450x375_d128"] = vol_bench(
-        lambda v, img: (winner_takes_all(v) if on_cpu
+        lambda v, img: (dynamic_programming(v) if on_cpu
                         else dynamic_programming_pallas(v)))
 
     def pipe_body(carry):

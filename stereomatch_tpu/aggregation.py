@@ -7,21 +7,10 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-import jax
-
 from .ops.aggregation import semiglobal_aggregate
 from .ops.sgm_pallas import semiglobal_aggregate_pallas
 from .utils import validation
-
-
-def _resolve_backend(backend: str) -> str:
-    if backend == "auto":
-        # Pallas kernels lower through Mosaic on TPU-class backends only;
-        # elsewhere the XLA scan formulation is the fast native path.
-        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-    if backend not in ("pallas", "xla"):
-        raise ValueError(f"unknown backend {backend!r}")
-    return backend
+from .utils.backend import resolve_backend
 
 
 class Semiglobal:
@@ -45,8 +34,8 @@ class Semiglobal:
             penalty2: base penalty for larger disparity jumps, scaled by the
               inverse image gradient (P2_adj = max(P1, P2 / |dI|)).
             backend: "pallas" (streaming TPU kernels, ops/sgm_pallas.py),
-              "xla" (lax.scan formulation), or "auto" — pallas on
-              accelerator backends, xla on CPU.  Both compute the same
+              "xla" (lax.scan formulation), or "auto" — pallas on TPU,
+              xla everywhere else.  Both compute the same
               8-traversal aggregation; results differ only in float
               summation order (last-ulp).
         """
@@ -64,7 +53,7 @@ class Semiglobal:
             raise validation.ShapeError(
                 f"cost_volume spatial dims {cost_volume.shape[:2]} do not "
                 f"match left_image {left_image.shape}")
-        if _resolve_backend(self.backend) == "pallas":
+        if resolve_backend(self.backend) == "pallas":
             return semiglobal_aggregate_pallas(cost_volume, left_image,
                                                penalty1=float(self.penalty1),
                                                penalty2=float(self.penalty2))

@@ -37,6 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Show the depthmap interactively.")
     parser.add_argument("-fig", "--figure", action="store_true",
                         help="Render inputs alongside the depthmap.")
+    parser.add_argument("--p1", type=float, default=0.1,
+                        help="SGM penalty for +-1 disparity changes.")
+    parser.add_argument("--p2", type=float, default=0.2,
+                        help="SGM base penalty for larger jumps "
+                             "(adaptively scaled by image gradient).")
+    parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
+                        default="auto",
+                        help="Kernel backend for SGM/DP stages.")
     return parser
 
 
@@ -54,37 +62,58 @@ def main(argv=None) -> int:
 
     pipeline = create_pipeline(args.cost_method, args.disparity_method,
                                args.aggregation_method,
-                               max_disparity=args.max_disparity)
+                               max_disparity=args.max_disparity,
+                               penalty1=args.p1, penalty2=args.p2,
+                               backend=args.backend)
 
     left_rgb = Image.open(args.left_image)
     right_rgb = Image.open(args.right_image)
     left = np.array(left_rgb.convert("L"), np.float32)
     right = np.array(right_rgb.convert("L"), np.float32)
 
-    depthmap = np.asarray(pipeline.estimate(left, right)).astype(np.uint16)
+    disparity = np.asarray(pipeline.estimate(left, right))
+    canvas = render_panels(disparity,
+                           inputs=((left_rgb, right_rgb) if args.figure
+                                   else None))
+    Image.fromarray(canvas).save(args.output_depthmap)
 
-    import matplotlib
-    matplotlib.use("Agg" if not args.show_depthmap else matplotlib.get_backend())
-    import matplotlib.pyplot as plt
-
-    plt.figure()
-    if not args.figure:
-        plt.imshow(depthmap)
-        plt.axis("off")
-    else:
-        fig, axs = plt.subplots(1, 3, figsize=(16, 8))
-        axs[0].imshow(np.array(left_rgb))
-        axs[0].axis("off")
-        axs[1].imshow(np.array(right_rgb))
-        axs[1].axis("off")
-        axs[2].imshow(depthmap)
-        axs[2].axis("off")
-        fig.tight_layout()
     if args.show_depthmap:
+        import matplotlib.pyplot as plt
+        plt.imshow(canvas)
+        plt.axis("off")
         plt.show()
-    plt.savefig(args.output_depthmap)
-    plt.close("all")
     return 0
+
+
+def render_panels(disparity, inputs=None, pad: int = 8):
+    """Render the disparity map — optionally beside the input pair — as one
+    uint8 RGB canvas (pixel-exact, no plotting-library margins/DPI).
+
+    The disparity map is colormapped over its own range; when
+    ``inputs`` is given, the three panels are letterboxed to a common
+    height and separated by white gutters.
+    """
+    import numpy as np
+    from ..utils.viz import colorize_disparity
+
+    panels = [colorize_disparity(disparity)]
+    if inputs is not None:
+        rgb = [np.ascontiguousarray(np.asarray(im.convert("RGB")))
+               for im in inputs]
+        panels = rgb + panels
+
+    height = max(p.shape[0] for p in panels)
+    boxed = []
+    for p in panels:
+        top = (height - p.shape[0]) // 2
+        boxed.append(np.pad(p, ((top, height - p.shape[0] - top),
+                                (0, 0), (0, 0)),
+                            constant_values=255))
+    gutter = np.full((height, pad, 3), 255, np.uint8)
+    strip = [boxed[0]]
+    for p in boxed[1:]:
+        strip += [gutter, p]
+    return np.concatenate(strip, axis=1)
 
 
 if __name__ == "__main__":

@@ -7,11 +7,10 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-import jax
-
 from .ops.disparity import dynamic_programming, winner_takes_all
 from .ops.dp_pallas import dynamic_programming_pallas
 from .utils import validation
+from .utils.backend import resolve_backend
 
 
 class WinnerTakesAll:
@@ -40,7 +39,7 @@ class DynamicProgramming:
     variant exposing them).
 
     ``backend``: "pallas" (streaming kernels, ops/dp_pallas.py), "xla"
-    (lax.scan), or "auto" — pallas on accelerator backends.  Both produce
+    (lax.scan), or "auto" — pallas on TPU, xla elsewhere.  Both produce
     identical disparities.
     """
 
@@ -51,11 +50,6 @@ class DynamicProgramming:
                  disparity_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cost_volume = jnp.asarray(cost_volume)
         validation.check_cost_volume(cost_volume)
-        backend = self.backend
-        if backend == "auto":
-            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
-        if backend == "pallas":
+        if resolve_backend(self.backend) == "pallas":
             return dynamic_programming_pallas(cost_volume)
-        if backend != "xla":
-            raise ValueError(f"unknown backend {backend!r}")
         return dynamic_programming(cost_volume)

@@ -85,6 +85,22 @@ def parse_middlebury_calib(filepath) -> Dict[str, int]:
                 ndisp=int(props["ndisp"]))
 
 
+def rgb_to_grayscale_u8(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 luma with PIL's exact integer arithmetic.
+
+    Both image-loading paths (native PNM codec and the PIL fallback) route
+    through this one function so the same file yields the same gray values
+    regardless of whether the native toolchain is available.  Matches
+    ``Image.convert("L")`` bit-for-bit: PIL's Convert.c uses 16-bit
+    fixed-point luma with round-half-up, (R*19595 + G*38470 + B*7471 +
+    0x8000) >> 16 — not the /1000 formula its docs quote.
+    """
+    rgb = img.astype(np.uint32)
+    luma = (rgb[..., 0] * 19595 + rgb[..., 1] * 38470 + rgb[..., 2] * 7471
+            + 0x8000) >> 16
+    return luma.astype(np.uint8)
+
+
 def load_image(path, grayscale: bool = False) -> np.ndarray:
     """Load an image; PGM/PPM go through the native codec, rest through PIL.
 
@@ -97,10 +113,7 @@ def load_image(path, grayscale: bool = False) -> np.ndarray:
         if native.available():
             img = native.read_pnm(path)
             if grayscale and img.ndim == 3:
-                img = np.round(
-                    img.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
-                                                      np.float32)
-                ).astype(np.uint8)
+                img = rgb_to_grayscale_u8(img)
             return img
     if not _HAS_PIL:  # pragma: no cover
         raise RuntimeError("PIL is required to load images")

@@ -25,6 +25,9 @@ What crosses tile boundaries, and how:
     exact wherever every path's last reset (seed or edge re-entry) lies
     within the overlap window, asymptotically exact as overlap grows
     because SGM's normalized recurrence forgets its carry geometrically.
+    ``overlap`` may exceed the tile height: halos are then pulled from
+    multiple predecessors with multi-hop ppermutes (overlap >= (n-1)*Hl
+    reconstructs every tile's state from the scan start — bit-exact).
     Tile 0 is always exact: a zero-cost halo is the recurrence's identity
     (prev == 0 makes band == 0, so L == C, the seeded start).
 
@@ -49,6 +52,7 @@ from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
 from ..ops.disparity import dynamic_programming, winner_takes_all
 from ..ops.dp_pallas import dynamic_programming_pallas
 from ..ops import sgm_pallas
+from ..utils.backend import resolve_backend
 from . import halo
 from .mesh import BATCH_AXIS, TILE_AXIS
 
@@ -107,11 +111,73 @@ def _rank_and_perm(axis_name: str, n_tiles: int, reverse: bool):
 
 
 def _pull_prev_in_rank(x, count, perm, axis_name, n_tiles):
-    """Last ``count`` rows (axis 1) of the previous-in-scan-order tile."""
+    """Last ``count`` (<= block height) rows of the previous-in-rank tile."""
     edge = lax.slice_in_dim(x, x.shape[1] - count, x.shape[1], axis=1)
     if n_tiles == 1:
         return jnp.zeros_like(edge)
     return lax.ppermute(edge, axis_name, perm=perm)
+
+
+def _pull_preceding_rows(x, count, axis_name, n_tiles, perm_dir=1):
+    """The ``count`` rows (axis 1) immediately preceding this tile's block in
+    scan order, zero-filled before the start of the scan.
+
+    ``count`` may exceed the local block height Hl: rows are then pulled from
+    ceil(count/Hl) predecessors with multi-hop ppermutes, so warm-up windows
+    are not capped at one tile (a tile whose halo reaches the scan start
+    reconstructs the recurrence state exactly — zero fill is the identity).
+
+    ``perm_dir``: +1 when scan order follows increasing rank; -1 for
+    reversed scans operating on locally-flipped blocks.
+    """
+    h_loc = x.shape[1]
+    if count == 0:
+        return lax.slice_in_dim(x, 0, 0, axis=1)
+    n_hops = -(-count // h_loc)
+    pieces = []
+    for j in range(n_hops, 0, -1):          # farthest predecessor first
+        take = count - (j - 1) * h_loc if j == n_hops else h_loc
+        edge = lax.slice_in_dim(x, h_loc - take, h_loc, axis=1)
+        if j >= n_tiles:
+            pieces.append(_varying(jnp.zeros_like(edge)))
+        elif perm_dir > 0:
+            perm = [(i, i + j) for i in range(n_tiles - j)]
+            pieces.append(lax.ppermute(edge, axis_name, perm=perm))
+        else:
+            perm = [(i, i - j) for i in range(j, n_tiles)]
+            pieces.append(lax.ppermute(edge, axis_name, perm=perm))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+
+
+def _pull_following_rows(x, count, axis_name, n_tiles):
+    """First ``count`` rows of the successor tiles in rank order (the rows
+    that follow this block in image order), zero-filled past the end.
+
+    Multi-hop counterpart of :func:`_pull_preceding_rows` for reverse
+    Pallas sweeps, which append the warm-up halo instead of flipping the
+    block (the kernel's reversed grid starts at the end).
+    """
+    h_loc = x.shape[1]
+    if count == 0:
+        return lax.slice_in_dim(x, 0, 0, axis=1)
+    n_hops = -(-count // h_loc)
+    pieces = []
+    for j in range(1, n_hops + 1):          # nearest successor first
+        take = count - (j - 1) * h_loc if j == n_hops else h_loc
+        edge = lax.slice_in_dim(x, 0, take, axis=1)
+        if j >= n_tiles:
+            pieces.append(_varying(jnp.zeros_like(edge)))
+        else:
+            perm = [(i, i - j) for i in range(j, n_tiles)]
+            pieces.append(lax.ppermute(edge, axis_name, perm=perm))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+
+
+def _effective_overlap(overlap: int, h_loc: int, n_tiles: int) -> int:
+    """Clamp the warm-up window to the longest useful span: the deepest tile
+    has (n_tiles-1)*Hl true predecessor rows; anything longer only adds
+    zero-identity rows."""
+    return min(overlap, max((n_tiles - 1) * h_loc, 0))
 
 
 def _handoff_sweep(vol, img, p1, p2, carry_shift, *, axis_name, n_tiles,
@@ -165,11 +231,11 @@ def _overlap_sweep(vol, img, p1, p2, carry_shift, *, axis_name, n_tiles,
     """
     if reverse:
         vol, img = vol[:, ::-1], img[:, ::-1]
-    _, perm = _rank_and_perm(axis_name, n_tiles, reverse)
-    overlap = min(overlap, vol.shape[1])
+    overlap = _effective_overlap(overlap, vol.shape[1], n_tiles)
+    perm_dir = -1 if reverse else 1
 
-    halo_v = _pull_prev_in_rank(vol, overlap, perm, axis_name, n_tiles)
-    halo_i = _pull_prev_in_rank(img, overlap, perm, axis_name, n_tiles)
+    halo_v = _pull_preceding_rows(vol, overlap, axis_name, n_tiles, perm_dir)
+    halo_i = _pull_preceding_rows(img, overlap, axis_name, n_tiles, perm_dir)
     vol_x = jnp.concatenate([halo_v, vol], axis=1)
     img_x = jnp.concatenate([halo_i, img], axis=1)
 
@@ -238,7 +304,7 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
     """
     vol = cost_vol.astype(jnp.float32)
     img = left_image.astype(jnp.float32)
-    overlap = min(overlap, vol.shape[1])
+    overlap = _effective_overlap(overlap, vol.shape[1], n_tiles)
     p1, p2 = float(penalty1), float(penalty2)
 
     vma = frozenset({BATCH_AXIS, TILE_AXIS})
@@ -253,19 +319,13 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
 
     # Halo-extended inputs (forward: warm-up rows precede the block;
     # reverse: they follow it — the kernel's reversed grid starts there).
-    fwd_perm = [(i, i + 1) for i in range(n_tiles - 1)]
-    halo_v = _pull_prev_in_rank(vol, overlap, fwd_perm, axis_name, n_tiles)
-    halo_i = _pull_prev_in_rank(img, overlap, fwd_perm, axis_name, n_tiles)
+    halo_v = _pull_preceding_rows(vol, overlap, axis_name, n_tiles)
+    halo_i = _pull_preceding_rows(img, overlap, axis_name, n_tiles)
     vx_f = jnp.concatenate([halo_v, vol], axis=1)
     ix_f = jnp.concatenate([halo_i, img], axis=1)
 
-    rev_perm = [(i + 1, i) for i in range(n_tiles - 1)]
-    edge = lax.slice_in_dim(vol, 0, overlap, axis=1)
-    halo_v = (jnp.zeros_like(edge) if n_tiles == 1
-              else lax.ppermute(edge, axis_name, rev_perm))
-    edge_i = lax.slice_in_dim(img, 0, overlap, axis=1)
-    halo_i = (jnp.zeros_like(edge_i) if n_tiles == 1
-              else lax.ppermute(edge_i, axis_name, rev_perm))
+    halo_v = _pull_following_rows(vol, overlap, axis_name, n_tiles)
+    halo_i = _pull_following_rows(img, overlap, axis_name, n_tiles)
     vx_r = jnp.concatenate([vol, halo_v], axis=1)
     ix_r = jnp.concatenate([img, halo_i], axis=1)
 
@@ -422,10 +482,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
         kernel_size = 7 if cost == "ssd" else 4
     n_tiles = mesh.shape[TILE_AXIS]
 
-    if backend == "auto":
-        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
-    if backend not in ("xla", "pallas"):
-        raise ValueError(f"unknown backend {backend!r}")
+    backend = resolve_backend(backend)
     use_pallas_sgm = backend == "pallas"
 
     def local_fn(left, right):                     # [B_loc, Hl, W]

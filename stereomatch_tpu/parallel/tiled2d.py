@@ -47,6 +47,7 @@ from ..ops.aggregation import semiglobal_aggregate
 from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
 from ..ops.disparity import (dp_backward_chunk, dp_forward_chunk,
                              winner_takes_all)
+from ..utils.backend import resolve_backend
 from .mesh import BATCH_AXIS, TILE_AXIS
 
 TILE_W_AXIS = "tile_w"
@@ -168,8 +169,7 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         kernel_size = 7 if cost == "ssd" else 4
     n_tile = mesh.shape[TILE_AXIS]
     n_tile_w = mesh.shape[TILE_W_AXIS]
-    if backend == "auto":
-        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    backend = resolve_backend(backend)
 
     p1, p2 = float(penalty1), float(penalty2)
 

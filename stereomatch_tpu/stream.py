@@ -30,6 +30,7 @@ from .ops.cost import birchfield_cost_volume, ssd_cost_volume
 from .ops.disparity import dynamic_programming, winner_takes_all
 from .ops.dp_pallas import dynamic_programming_pallas
 from .ops.sgm_pallas import semiglobal_aggregate_pallas
+from .utils.backend import resolve_backend
 
 
 @dataclass
@@ -49,7 +50,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     penalty1: float, penalty2: float):
     if kernel_size is None:
         kernel_size = 7 if cost == "ssd" else 4
-    on_cpu = jax.default_backend() == "cpu"
+    use_pallas = resolve_backend("auto") == "pallas"
 
     def frame_fn(left, right):
         if cost == "ssd":
@@ -62,16 +63,16 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         else:
             raise ValueError(f"unknown cost {cost!r}")
         if aggregation == "sgm":
-            agg = (semiglobal_aggregate if on_cpu
-                   else semiglobal_aggregate_pallas)
+            agg = (semiglobal_aggregate_pallas if use_pallas
+                   else semiglobal_aggregate)
             vol = agg(vol, left, penalty1=penalty1, penalty2=penalty2)
         elif aggregation is not None:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if reducer == "wta":
             return winner_takes_all(vol)
         if reducer == "dynamic_programming":
-            return (dynamic_programming(vol) if on_cpu
-                    else dynamic_programming_pallas(vol))
+            return (dynamic_programming_pallas(vol) if use_pallas
+                    else dynamic_programming(vol))
         raise ValueError(f"unknown reducer {reducer!r}")
 
     return frame_fn

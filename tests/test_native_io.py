@@ -60,6 +60,18 @@ def test_pnm_via_load_image(tmp_path, rng):
     np.testing.assert_array_equal(data.load_image(tmp_path / "img.pgm"), gray)
 
 
+def test_grayscale_matches_pil_exactly(tmp_path, rng):
+    """Color PPM loaded grayscale must give identical bytes via the native
+    codec path and the PIL fallback (environment-independent metrics)."""
+    from PIL import Image
+    color = (rng.random((23, 31, 3)) * 255).astype(np.uint8)
+    native.write_pnm(tmp_path / "c.ppm", color)
+    native_gray = data.load_image(tmp_path / "c.ppm", grayscale=True)
+    pil_gray = np.array(Image.fromarray(color).convert("L"))
+    np.testing.assert_array_equal(native_gray, pil_gray)
+    np.testing.assert_array_equal(data.rgb_to_grayscale_u8(color), pil_gray)
+
+
 def test_pnm_errors(tmp_path):
     (tmp_path / "bad.pgm").write_bytes(b"P9\n1 1\n255\nx")
     with pytest.raises(native.NativeIOError):

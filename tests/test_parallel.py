@@ -4,8 +4,10 @@ The oracle pattern follows the reference's CPU<->GPU equivalence tests
 (tests/test_semiglobalmatch.py:39-55 etc.): the single-chip jitted pipeline
 is the trusted implementation, and the sharded program must match it —
 bit-exactly for `exact` SGM hand-off, and for `overlap` mode whenever the
-warm-up window spans the tile height (then every path's state is fully
-reconstructed).
+warm-up window covers every preceding tile (multi-hop halos pull from all
+predecessors, so overlap >= (n_tiles-1)*Hl reconstructs the full scan
+state; the deepest halo bottoms out in ppermute zero fill, the recurrence
+identity).
 """
 
 import numpy as np
@@ -106,6 +108,18 @@ def test_overlap_mode_close_even_with_small_window(pair, mesh):
     out = np.asarray(pipe.estimate(np.stack([left] * 2),
                                    np.stack([right] * 2)))
     assert np.mean(out[0] != ref) < 0.05
+
+
+def test_overlap_mode_multi_hop_partial_window(pair, mesh):
+    """Warm-up longer than one tile but short of full coverage: the 2-hop
+    halo path must run and beat the 1-tile-window error."""
+    left, right = pair
+    ref = _reference(left, right, True, WinnerTakesAll())
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="overlap", overlap=12)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    assert np.mean(out[0] != ref) < 0.03
 
 
 def test_single_device_mesh(pair):

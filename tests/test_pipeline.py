@@ -84,6 +84,17 @@ def test_create_pipeline_registry():
     assert p2.aggregation is None
 
 
+def test_create_pipeline_plumbs_penalties_and_backend():
+    """SGM penalties and the kernel backend must reach the stage objects
+    from the factory (VERDICT round-1 weak #7)."""
+    p = create_pipeline("ssd", "dyn", "sgm", max_disparity=8,
+                        penalty1=0.4, penalty2=0.9, backend="xla")
+    assert p.aggregation.penalty1 == 0.4
+    assert p.aggregation.penalty2 == 0.9
+    assert p.aggregation.backend == "xla"
+    assert p.disparity_reduce.backend == "xla"
+
+
 def test_max_disparity_is_mutable(stereo_pair_small):
     """The eval workflow mutates cost.max_disparity per scene
     (workflows/evaluation/workflow.py:34)."""
