@@ -55,10 +55,10 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
     to every chip; they are ~KBs against the volume's GBs).  Output matches
     the single-chip `winner_takes_all(cost(...))` bit-for-bit.
     """
-    if cost not in ("ssd", "birchfield"):
+    if cost not in ("ssd", "ssd-texture", "birchfield"):
         raise ValueError(f"unknown cost {cost!r}")
     if kernel_size is None:
-        kernel_size = 7 if cost == "ssd" else 4
+        kernel_size = 4 if cost == "birchfield" else 7
     n_disp = mesh.shape[DISP_AXIS]
     if max_disparity % n_disp:
         raise ValueError(f"max_disparity {max_disparity} not divisible by "
@@ -69,7 +69,7 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
         left = left.astype(jnp.float32)
         right = right.astype(jnp.float32)
         offset = lax.axis_index(DISP_AXIS) * block
-        if cost == "ssd":
+        if cost in ("ssd", "ssd-texture"):
             vol = ssd_cost_volume(left, right, max_disparity=block,
                                   kernel_size=kernel_size,
                                   cost_dtype=cost_dtype,

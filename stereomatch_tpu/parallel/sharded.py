@@ -472,25 +472,30 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     halo exchange), optional 8-path SGM (carry hand-off or warm-up halos),
     and the reducer, all fused — no per-stage host sync anywhere.
     """
-    if cost not in ("ssd", "birchfield"):
+    if cost not in ("ssd", "ssd-texture", "birchfield"):
         raise ValueError(f"unknown cost: {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer: {reducer!r}")
     if aggregation not in (None, "sgm"):
         raise ValueError(f"unknown aggregation: {aggregation!r}")
     if kernel_size is None:
-        kernel_size = 7 if cost == "ssd" else 4
+        kernel_size = 4 if cost == "birchfield" else 7
     n_tiles = mesh.shape[TILE_AXIS]
 
     backend = resolve_backend(backend)
     use_pallas_sgm = backend == "pallas"
 
     def local_fn(left, right):                     # [B_loc, Hl, W]
+        # "ssd-texture" = the texture sampler (identity over integer pixel
+        # centres under nearest/unnormalized — texture.py sample_grid) into
+        # float32 SSD, bit-matching the single-chip SSDTexture config.
         left = left.astype(jnp.float32)
         right = right.astype(jnp.float32)
-        if cost == "ssd":
+        if cost in ("ssd", "ssd-texture"):
             vol = _local_ssd(left, right, max_disparity=max_disparity,
-                             kernel_size=kernel_size, cost_dtype=cost_dtype,
+                             kernel_size=kernel_size,
+                             cost_dtype=(jnp.float32 if cost == "ssd-texture"
+                                         else cost_dtype),
                              axis_name=TILE_AXIS)
         else:
             vol = _local_birchfield(left, right,

@@ -161,12 +161,15 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
     Returns jitted ``fn(left, right) -> disparity`` over [B, H, W] stacks
     with B, H, W divisible by the batch/tile/tile_w axes respectively.
     """
-    if cost not in ("ssd", "birchfield"):
+    # "ssd-texture" = texture sampler (identity over integer pixel centres
+    # under nearest/unnormalized) into float32 SSD — same compute here,
+    # where inputs arrive as arrays and the cost dtype is already float32.
+    if cost not in ("ssd", "ssd-texture", "birchfield"):
         raise ValueError(f"unknown cost {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer {reducer!r}")
     if kernel_size is None:
-        kernel_size = 7 if cost == "ssd" else 4
+        kernel_size = 4 if cost == "birchfield" else 7
     n_tile = mesh.shape[TILE_AXIS]
     n_tile_w = mesh.shape[TILE_W_AXIS]
     backend = resolve_backend(backend)
@@ -202,7 +205,7 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         # top/bottom are the additive identity of the clipped window).
         # Birchfield's window is scanline-local: the halo rows just drop.
         def cost_one_padded(le, re):
-            if cost == "ssd":
+            if cost in ("ssd", "ssd-texture"):
                 vol = ssd_cost_from_padded(
                     le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
                     max_disparity=max_disparity, kernel_size=kernel_size)

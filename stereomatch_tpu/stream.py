@@ -49,11 +49,11 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     aggregation: Optional[str], reducer: str,
                     penalty1: float, penalty2: float):
     if kernel_size is None:
-        kernel_size = 7 if cost == "ssd" else 4
+        kernel_size = 4 if cost == "birchfield" else 7
     use_pallas = resolve_backend("auto") == "pallas"
 
     def frame_fn(left, right):
-        if cost == "ssd":
+        if cost in ("ssd", "ssd-texture"):
             vol = ssd_cost_volume(left, right, max_disparity=max_disparity,
                                   kernel_size=kernel_size)
         elif cost == "birchfield":

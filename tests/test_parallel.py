@@ -97,6 +97,54 @@ def test_sharded_birchfield(pair, mesh):
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_sharded_ssd_texture(pair, mesh):
+    """Sharded 'ssd-texture' must bit-match the single-chip SSDTexture
+    config (sampler identity + float32 SSD)."""
+    from stereomatch_tpu.cost import SSDTexture
+    from stereomatch_tpu.texture import TextureImage
+    left, right = pair
+    vol = SSDTexture(D, kernel_size=3)(TextureImage.from_array(left),
+                                       TextureImage.from_array(right))
+    ref = np.asarray(WinnerTakesAll()(vol))
+    pipe = ShardedPipeline(mesh, D, cost="ssd-texture", kernel_size=3,
+                           aggregation=None, reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_tiled2d_ssd_texture(pair):
+    from stereomatch_tpu.cost import SSDTexture
+    from stereomatch_tpu.texture import TextureImage
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSDTexture(D, kernel_size=3)(TextureImage.from_array(left),
+                                       TextureImage.from_array(right))
+    agg = Semiglobal(backend="xla")(vol, left)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, cost="ssd-texture",
+                               kernel_size=3, overlap=max(left.shape),
+                               backend="xla")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_disp_sharded_ssd_texture(pair):
+    from stereomatch_tpu.cost import SSDTexture
+    from stereomatch_tpu.texture import TextureImage
+    from stereomatch_tpu.parallel import make_disp_mesh, make_disp_sharded_wta
+    left, right = pair
+    d_total = 32
+    vol = SSDTexture(d_total, kernel_size=3)(TextureImage.from_array(left),
+                                             TextureImage.from_array(right))
+    ref = np.asarray(WinnerTakesAll()(vol))
+    mesh = make_disp_mesh(n_disp=8)
+    fn = make_disp_sharded_wta(mesh, max_disparity=d_total,
+                               cost="ssd-texture", kernel_size=3)
+    np.testing.assert_array_equal(np.asarray(fn(left, right)), ref)
+
+
 def test_overlap_mode_close_even_with_small_window(pair, mesh):
     """Warm-up shorter than the tile: not bit-exact, but disparity maps
     should disagree on only a small fraction of pixels (SGM forgets its
