@@ -42,6 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _FAMILY_SHIFTS = (0, 1, -1)      # vertical, diagonal (1,1), diagonal (-1,1)
 
+# VMEM sizing knobs.  Production values target the ~16 MB/core budget with
+# Mosaic's real overhead (~1.7x naive buffer arithmetic, measured at HD);
+# tests override them to force every large-geometry adaptation —
+# w_chunks > 1, mask_scratch off, per-family passes — at toy shapes,
+# where interpret mode can assert bit-parity with the unchunked kernel.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024      # _pick_rows_per_step ceiling
+_MASK_CACHE_MAX_BYTES = 2 * 1024 * 1024    # 2-row edge-mask scratch cache
+_WCHUNK_TARGET_BYTES = 512 * 1024          # live-temporary bound per chunk
+
 
 def _shift2d(image: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """Zero-filled 2-D shift: out[r, x] = image[r - rows, x - cols]."""
@@ -339,10 +348,11 @@ def _pick_rows_per_step(height: int, width: int, max_disp: int,
 
     Per-pass VMEM use is roughly rows x row_bytes x 3 buffers (cost, acc,
     out) x 2 for double buffering, plus the persistent carry (n_fam rows)
-    and edge masks (2 rows); cap the total near 12 MB of the ~16 MB core.
+    and edge masks (2 rows); cap the total near _VMEM_BUDGET_BYTES of the
+    ~16 MB core.
     """
     row_bytes = width * max_disp * 4
-    budget = 12 * 1024 * 1024 - (n_fam + 2) * row_bytes
+    budget = _VMEM_BUDGET_BYTES - (n_fam + 2) * row_bytes
     max_rows = max(int(budget // (6 * row_bytes)), 1)
     for r in (16, 12, 10, 9, 8, 6, 5, 4, 3, 2):
         if r <= max_rows and height % r == 0:
@@ -368,11 +378,11 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
 
     accumulate = partial is not None
     row_bytes = width * max_disp * 4
-    mask_scratch = 2 * row_bytes <= 2 * 1024 * 1024
+    mask_scratch = 2 * row_bytes <= _MASK_CACHE_MAX_BYTES
     # Bound live vector temporaries: sub-chunk very large rows along W.
     w_chunks = 1
     for cand in (2, 4, 8, 16):
-        if row_bytes // w_chunks <= 512 * 1024 or width % cand:
+        if row_bytes // w_chunks <= _WCHUNK_TARGET_BYTES or width % cand:
             break
         w_chunks = cand
     kernel = functools.partial(_sweep_kernel, families=families,
@@ -417,7 +427,7 @@ def _family_groups(width: int, max_disp: int):
     W*D geometries — 3x the HBM traffic, but no VMEM ceiling)."""
     row_bytes = width * max_disp * 4
     if (len(_FAMILY_SHIFTS) + 2) * row_bytes + 6 * row_bytes \
-            <= 12 * 1024 * 1024:
+            <= _VMEM_BUDGET_BYTES:
         return (_FAMILY_SHIFTS,)
     return tuple((s,) for s in _FAMILY_SHIFTS)
 

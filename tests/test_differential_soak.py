@@ -1,10 +1,17 @@
 """Seeded differential soak: oracle -> XLA -> Pallas across random configs.
 
-Random geometries, window sizes and SGM penalties; the chain
-numpy-oracle == XLA formulation == Pallas kernel must agree at the
-disparity level (bit-exact argmins) and the cost level (fp32 tolerance).
-A 40-trial unseeded version of this ran clean during development; this
-seeded subset guards the same surface in CI time.
+The chain numpy-oracle == XLA formulation == Pallas kernel is the
+load-bearing correctness argument of this build (it substitutes for the
+reference's real-teddy fixtures, which need network): random geometries,
+window sizes and SGM penalties at toy scale against the per-pixel oracles;
+the full reference dtype matrix (uint8/int16 inputs x int32/float32 cost,
+src/type_dispatch.hpp:38-110) on the cost+reduce chain; and a
+production-shape (teddy-class) XLA == Pallas run, where the naive oracles
+are too slow but the XLA formulations are already oracle-anchored at toy
+scale.
+
+A 40-trial unseeded version of the float chain ran clean during
+development; the seeded set guards the same surface in CI time.
 """
 
 import numpy as np
@@ -19,8 +26,11 @@ from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
 from .oracles import (birchfield_oracle, dynamic_programming_oracle,
                       sgm_oracle, ssd_oracle, wta_oracle)
 
+SOAK_SEEDS = [3, 11, 17, 23, 29, 37, 43, 53, 61, 71, 79, 83, 89, 97,
+              101, 107]
 
-@pytest.mark.parametrize("seed", [11, 29, 61, 97])
+
+@pytest.mark.parametrize("seed", SOAK_SEEDS)
 def test_differential_chain(seed):
     rng = np.random.default_rng(seed)
     height = int(rng.integers(6, 24))
@@ -62,3 +72,98 @@ def test_differential_chain(seed):
     bmask = np.isfinite(boracle)
     np.testing.assert_allclose(bvol[bmask], boracle[bmask], rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("image_dtype", [np.uint8, np.int16])
+@pytest.mark.parametrize("cost_dtype", ["int32", "float32"])
+@pytest.mark.parametrize("seed", [5, 19, 47, 73])
+def test_integer_chain(image_dtype, cost_dtype, seed):
+    """The reference dtype matrix (uint8/int16 input x int32/f32 cost,
+    src/type_dispatch.hpp:38-110) on SSD -> WTA/DP.
+
+    Integer cost volumes accumulate exactly (int32 vs the oracle's f32 —
+    values stay below 2**24 at these magnitudes), and invalid cells carry
+    iinfo(int32).max, the NumericLimits<int32>::infinity() analogue
+    (include/stereomatch/numeric.hpp:12-50).  SGM is float-only by
+    construction: its adaptive P2 divides penalties by intensity gradients
+    (semiglobal.cpp:137-138).
+    """
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    height = int(rng.integers(8, 20))
+    width = int(rng.integers(12, 28))
+    max_disp = int(rng.integers(2, 12))
+    k = int(rng.integers(1, 4))
+    left = rng.integers(0, 250, (height, width)).astype(image_dtype)
+    right = rng.integers(0, 250, (height, width)).astype(image_dtype)
+
+    cd = jnp.int32 if cost_dtype == "int32" else jnp.float32
+    vol = np.asarray(ssd_cost_volume(left, right, max_disparity=max_disp,
+                                     kernel_size=k, cost_dtype=cd))
+    assert vol.dtype == np.dtype(cost_dtype)
+    ref_vol = ssd_oracle(left, right, max_disp, k)
+    mask = np.isfinite(ref_vol)
+    if cost_dtype == "int32":
+        assert (vol[~mask] == np.iinfo(np.int32).max).all()
+        np.testing.assert_array_equal(vol[mask],
+                                      ref_vol[mask].astype(np.int64))
+    else:
+        assert np.array_equal(mask, np.isfinite(vol))
+        np.testing.assert_array_equal(vol[mask], ref_vol[mask])
+
+    np.testing.assert_array_equal(wta_oracle(np.where(mask, ref_vol, np.inf)),
+                                  np.asarray(winner_takes_all(vol)))
+    np.testing.assert_array_equal(
+        dynamic_programming_oracle(np.where(mask, ref_vol, np.inf)),
+        np.asarray(dynamic_programming(vol.astype(np.float32))))
+
+
+def test_teddy_class_xla_pallas_parity():
+    """Production-shape (128x160, D=64) XLA == Pallas differential run.
+
+    The per-pixel oracles are too slow here; the XLA formulations carry
+    their toy-scale oracle anchoring to this shape, and the Pallas kernels
+    must match them: identical WTA argmins, identical DP traces, and
+    finite aggregation costs within float tolerance.  This shape drives
+    multi-row grid blocks in the Pallas sweeps (rows_per_step > 1), which
+    toy shapes never reach.
+    """
+    rng = np.random.default_rng(1234)
+    height, width, max_disp = 128, 160, 64
+    left = rng.random((height, width), np.float32)
+    right = rng.random((height, width), np.float32)
+
+    vol = np.asarray(ssd_cost_volume(left, right, max_disparity=max_disp,
+                                     kernel_size=5))
+    agg_x = np.asarray(semiglobal_aggregate(vol, left))
+    agg_p = np.asarray(semiglobal_aggregate_pallas(vol, left,
+                                                   interpret=True))
+    finite = np.isfinite(agg_x)
+    assert np.array_equal(finite, np.isfinite(agg_p))
+    np.testing.assert_allclose(agg_p[finite], agg_x[finite],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(winner_takes_all(agg_x)),
+                                  np.asarray(winner_takes_all(agg_p)))
+    np.testing.assert_array_equal(
+        np.asarray(dynamic_programming(agg_x)),
+        np.asarray(dynamic_programming_pallas(agg_x, interpret=True)))
+
+
+def test_teddy_class_integer_cost_wta():
+    """uint8 input -> int32 cost at production shape: WTA over the integer
+    volume must bit-match WTA over the float64-exact recomputation."""
+    rng = np.random.default_rng(4321)
+    height, width, max_disp = 128, 160, 64
+    left = rng.integers(0, 250, (height, width)).astype(np.uint8)
+    right = rng.integers(0, 250, (height, width)).astype(np.uint8)
+    import jax.numpy as jnp
+    vol_i = np.asarray(ssd_cost_volume(left, right, max_disparity=max_disp,
+                                       kernel_size=7, cost_dtype=jnp.int32))
+    vol_f = np.asarray(ssd_cost_volume(left, right, max_disparity=max_disp,
+                                       kernel_size=7,
+                                       cost_dtype=jnp.float32))
+    # int32 accumulation is exact; f32 path may round above 2**24 — argmins
+    # still agree because window sums at uint8 magnitudes stay below that.
+    assert vol_i[vol_i != np.iinfo(np.int32).max].max() < 2 ** 24
+    np.testing.assert_array_equal(np.asarray(winner_takes_all(vol_i)),
+                                  np.asarray(winner_takes_all(vol_f)))

@@ -57,6 +57,74 @@ def test_pallas_nondefault_penalties(volumes):
     np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-6, atol=1e-5)
 
 
+def _forced_aggregate(vol, left, monkeypatch, **knobs):
+    """Run the un-jitted Pallas aggregation with VMEM knobs overridden
+    (the jitted wrapper's cache would not see monkeypatched globals)."""
+    from stereomatch_tpu.ops import sgm_pallas
+    for name, value in knobs.items():
+        monkeypatch.setattr(sgm_pallas, name, value)
+    return np.asarray(semiglobal_aggregate_pallas.__wrapped__(
+        vol, left, interpret=True))
+
+
+def test_forced_w_chunks(volumes, monkeypatch):
+    """Tiny _WCHUNK_TARGET_BYTES forces the sub-chunked row walk (W=40 ->
+    w_chunks=8, the HD adaptation) — must bit-match the default kernel,
+    including the wrapped-element/edge-column interplay on diagonals."""
+    from stereomatch_tpu.ops import sgm_pallas
+    vol, left = volumes
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    out = _forced_aggregate(vol, left, monkeypatch,
+                            _WCHUNK_TARGET_BYTES=1)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_forced_no_mask_scratch(volumes, monkeypatch):
+    """mask_scratch=False recomputes edge masks per chunk (very large rows
+    drop the cache) — bit-identical output."""
+    vol, left = volumes
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    out = _forced_aggregate(vol, left, monkeypatch,
+                            _MASK_CACHE_MAX_BYTES=0)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_forced_single_family_passes(volumes, monkeypatch):
+    """A tiny VMEM budget forces one-family-per-pass grouping (and
+    rows_per_step=1).  Summation order changes (per-family accumulation),
+    so assert last-ulp agreement + identical disparities instead of bits."""
+    from stereomatch_tpu.ops import sgm_pallas
+    vol, left = volumes
+    row_bytes = vol.shape[1] * vol.shape[2] * 4
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    out = _forced_aggregate(vol, left, monkeypatch,
+                            _VMEM_BUDGET_BYTES=9 * row_bytes)
+    assert len(sgm_pallas._family_groups(vol.shape[1], vol.shape[2])) == 3
+    finite = np.isfinite(ref)
+    assert np.array_equal(finite, np.isfinite(out))
+    np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-6,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(winner_takes_all(out)),
+                                  np.asarray(winner_takes_all(ref)))
+
+
+def test_forced_all_adaptations_together(volumes, monkeypatch):
+    """The full HD-survival mode: per-family passes + no mask cache +
+    w-chunked rows at once, as _sweep_pass selects at 1024x1280xD256."""
+    vol, left = volumes
+    row_bytes = vol.shape[1] * vol.shape[2] * 4
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    out = _forced_aggregate(vol, left, monkeypatch,
+                            _VMEM_BUDGET_BYTES=9 * row_bytes,
+                            _MASK_CACHE_MAX_BYTES=0,
+                            _WCHUNK_TARGET_BYTES=1)
+    finite = np.isfinite(ref)
+    np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-6,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(winner_takes_all(out)),
+                                  np.asarray(winner_takes_all(ref)))
+
+
 def test_pallas_distinct_value_tiebreak():
     """All-distinct volume (reference test design, test_semiglobalmatch.py:44-47)
     so any reduction-order difference would change the argmin."""
