@@ -115,14 +115,21 @@ def sgm_scan_with_carry(cost_sv: jnp.ndarray, image_sv: jnp.ndarray,
         grad = jnp.abs(intensity - prev_int)                        # [N]
         p2_adj = jnp.maximum(p1, p2 / grad)[:, None]                # [N, 1]
 
-        up = jnp.concatenate([jnp.full_like(prev[:, :1], inf),
-                              prev[:, :-1]], axis=1)                # d-1
-        down = jnp.concatenate([prev[:, 1:],
-                                jnp.full_like(prev[:, :1], inf)], axis=1)
+        # Normalize first: band-min over (prev - min) needs no trailing
+        # "- prev_min" and turns the P2 term into a bare broadcast of
+        # P2_adj (min(prev - m) == 0, so the P2 candidate is P2_adj
+        # itself).  Same recurrence as semiglobal.cpp:146-152 with the
+        # subtraction hoisted; the Pallas kernels use the identical
+        # association so both paths round identically.
+        prevn = prev - prev_min
+        up = jnp.concatenate([jnp.full_like(prevn[:, :1], inf),
+                              prevn[:, :-1]], axis=1)               # d-1
+        down = jnp.concatenate([prevn[:, 1:],
+                                jnp.full_like(prevn[:, :1], inf)], axis=1)
 
-        band = jnp.minimum(jnp.minimum(prev, up + p1),
-                           jnp.minimum(down + p1, prev_min + p2_adj))
-        sgm = cost + band - prev_min
+        band = jnp.minimum(jnp.minimum(prevn, up + p1),
+                           jnp.minimum(down + p1, p2_adj))
+        sgm = cost + band
 
         start = jnp.logical_or(jnp.logical_and(is_first, seed_first),
                                edge_start)                          # [N, 1]

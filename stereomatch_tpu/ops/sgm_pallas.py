@@ -50,6 +50,7 @@ _FAMILY_SHIFTS = (0, 1, -1)      # vertical, diagonal (1,1), diagonal (-1,1)
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024      # _pick_rows_per_step ceiling
 _MASK_CACHE_MAX_BYTES = 2 * 1024 * 1024    # 2-row edge-mask scratch cache
 _WCHUNK_TARGET_BYTES = 512 * 1024          # live-temporary bound per chunk
+_WGRID_BUDGET_BYTES = 8 * 1024 * 1024      # W-on-grid mode working set cap
 
 
 def _shift2d(image: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
@@ -111,13 +112,15 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
     cw = width // w_chunks
 
     def _masks(w):
-        # Additive band-edge masks: +inf at the lane a d-1/d+1 shift wraps
-        # into, 0 elsewhere.  x + mask replaces iota/compare/select.
+        # Additive band-edge masks with P1 folded in: +inf at the lane a
+        # d-1/d+1 shift wraps into, P1 elsewhere.  One add applies both the
+        # edge kill and the P1 penalty (replaces iota/compare/select AND
+        # the separate "+ p1").
         inf = jnp.float32(jnp.inf)
         lane = lax.broadcasted_iota(jnp.int32, (w, max_disp), 1)
-        zero = jnp.zeros((w, max_disp), jnp.float32)
-        return (jnp.where(lane == 0, inf, zero),
-                jnp.where(lane == max_disp - 1, inf, zero))
+        ones = jnp.full((w, max_disp), p1, jnp.float32)
+        return (jnp.where(lane == 0, inf, ones),
+                jnp.where(lane == max_disp - 1, inf, ones))
 
     if mask_scratch:
         # Cached in VMEM across grid steps; skipped for very large rows
@@ -186,15 +189,19 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
                         mask_dn = full_masks[1][sl]
                     else:
                         mask_up, mask_dn = _masks(cw)
+                    # Normalized band (see ops/aggregation.py step): with
+                    # prev - min subtracted up front, the P2 candidate is
+                    # the bare P2_adj broadcast and no trailing "-min" is
+                    # needed; the masks carry P1.  Same association as the
+                    # XLA scan — identical rounding.
                     prev_min = jnp.min(prev, axis=1, keepdims=True)
                     p2a = p2_ref[r, sl, idx][:, None]            # [cw, 1]
-                    up = _roll(prev, 1, axis=1) + mask_up        # d-1
-                    down = _roll(prev, -1, axis=1) + mask_dn     # d+1
-                    # min(up+p1, down+p1) == min(up, down)+p1 exactly.
-                    band = jnp.minimum(
-                        jnp.minimum(prev, jnp.minimum(up, down) + p1),
-                        prev_min + p2a)
-                    val = cost[sl] + band - prev_min
+                    prevn = prev - prev_min
+                    up = _roll(prevn, 1, axis=1) + mask_up       # d-1, +P1
+                    down = _roll(prevn, -1, axis=1) + mask_dn    # d+1, +P1
+                    band = jnp.minimum(jnp.minimum(prevn, up),
+                                       jnp.minimum(down, p2a))
+                    val = cost[sl] + band
                     if shift != 0:
                         edge_col = 0 if shift > 0 else width - 1
                         if edge_col // cw == c:
@@ -214,6 +221,103 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
             pl.when(i > 0)(_step)
         else:
             _step()
+
+
+def _sweep_kernel_wgrid(*refs, families, penalty1: float, reverse: bool,
+                        accumulate: bool):
+    """Row sweep with the W axis on the grid: blocks are [1, cw, D] column
+    chunks while the persistent carry stays full-width in VMEM.
+
+    This keeps ALL row-direction families advancing in one pass at
+    geometries whose full-width row blocks break the VMEM budget (the
+    W-chunked-persistent-carry mode; previously such shapes fell back to
+    one-family-per-pass, tripling HBM traffic).
+
+    Chunks run left to right within each row (grid iterates the chunk axis
+    fastest).  Cross-chunk carry reads:
+
+    * effective shift < 0 (reads column c*cw+cw, owned by the chunk to the
+      right): read it directly from the carry scratch — the right chunk
+      has not been updated this row yet, so the value is pre-update.
+    * effective shift > 0 (reads column c*cw-1, owned by the chunk to the
+      left, which HAS already been updated this row): every chunk stashes
+      the pre-update value of its last column in an [F, 1, D] scratch
+      before overwriting its carry slice; the next chunk reads the stash
+      (loaded before it stores its own, so one buffer suffices).
+
+    The global edge column of each diagonal still re-seeds from the raw
+    cost, which also covers the wrapped/garbage lane the border chunks see.
+    One row per grid step: a multi-row block would need future values from
+    right-neighbor chunks for shift < 0.
+    """
+    if accumulate:
+        cost_ref, p2_ref, acc_ref, out_ref, carry_ref, mask_ref, stash_ref \
+            = refs
+    else:
+        cost_ref, p2_ref, out_ref, carry_ref, mask_ref, stash_ref = refs
+        acc_ref = None
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_fam = len(families)
+    p1 = jnp.float32(penalty1)
+    _, cw, max_disp = cost_ref.shape
+    width = carry_ref.shape[1]
+    c0 = c * cw
+    col = lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+
+    @pl.when(jnp.logical_and(i == 0, c == 0))
+    def _init_masks():
+        inf = jnp.float32(jnp.inf)
+        lane = lax.broadcasted_iota(jnp.int32, (cw, max_disp), 1)
+        ones = jnp.full((cw, max_disp), p1, jnp.float32)
+        mask_ref[0] = jnp.where(lane == 0, inf, ones)
+        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, ones)
+
+    cost = cost_ref[0]                                # [cw, D]
+    base = acc_ref[0] if accumulate else jnp.zeros_like(cost)
+
+    @pl.when(i == 0)
+    def _seed():
+        for idx in range(n_fam):
+            carry_ref[idx, pl.ds(c0, cw)] = cost
+        out_ref[0] = base + jnp.float32(n_fam) * cost
+
+    @pl.when(i > 0)
+    def _step():
+        total = base
+        for idx, s in enumerate(families):
+            shift = -s if reverse else s
+            block = carry_ref[idx, pl.ds(c0, cw)]
+            if shift > 0:
+                # Read the left chunk's stashed boundary column, THEN
+                # stash this chunk's own pre-update last column for the
+                # chunk to the right (program order keeps the load ahead
+                # of the store, so one buffer serves the whole row).
+                stash_in = stash_ref[idx]
+                stash_ref[idx] = block[cw - 1:cw]
+                prev = jnp.where(col == 0, stash_in,
+                                 _roll(block, 1, axis=0))
+            elif shift < 0:
+                nxt = carry_ref[idx,
+                                pl.ds(jnp.minimum(c0 + cw, width - 1), 1)]
+                prev = jnp.where(col == cw - 1, nxt,
+                                 _roll(block, -1, axis=0))
+            else:
+                prev = block
+            prev_min = jnp.min(prev, axis=1, keepdims=True)
+            p2a = p2_ref[0, :, idx][:, None]                     # [cw, 1]
+            prevn = prev - prev_min
+            up = _roll(prevn, 1, axis=1) + mask_ref[0]           # d-1, +P1
+            down = _roll(prevn, -1, axis=1) + mask_ref[1]        # d+1, +P1
+            band = jnp.minimum(jnp.minimum(prevn, up),
+                               jnp.minimum(down, p2a))
+            val = cost + band
+            if shift != 0:
+                edge_col = 0 if shift > 0 else width - 1
+                val = jnp.where(col + c0 == edge_col, cost, val)
+            carry_ref[idx, pl.ds(c0, cw)] = val
+            total = total + val
+        out_ref[0] = total
 
 
 def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
@@ -241,9 +345,9 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
         carry_ref[...] = carry_in_ref[...]
         inf = jnp.float32(jnp.inf)
         lane = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1)
-        zero = jnp.zeros((width, max_disp), jnp.float32)
-        mask_ref[0] = jnp.where(lane == 0, inf, zero)
-        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, zero)
+        ones = jnp.full((width, max_disp), p1, jnp.float32)
+        mask_ref[0] = jnp.where(lane == 0, inf, ones)
+        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, ones)
 
     row_order = (list(reversed(range(rows_per_step))) if reverse
                  else list(range(rows_per_step)))
@@ -266,14 +370,16 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
                 prev = carry_ref[idx]                # [W, D]
                 if shift != 0:
                     prev = _roll(prev, shift, axis=0)
+                # Normalized band, same association as _sweep_kernel and
+                # the XLA scan (masks carry P1) — identical rounding.
                 prev_min = jnp.min(prev, axis=1, keepdims=True)  # [W, 1]
                 p2a = p2_ref[r, :, idx][:, None]                 # [W, 1]
-                up = _roll(prev, 1, axis=1) + mask_up            # d-1
-                down = _roll(prev, -1, axis=1) + mask_dn         # d+1
-                band = jnp.minimum(
-                    jnp.minimum(prev, jnp.minimum(up, down) + p1),
-                    prev_min + p2a)
-                val = cost + band - prev_min
+                prevn = prev - prev_min
+                up = _roll(prevn, 1, axis=1) + mask_up           # d-1, +P1
+                down = _roll(prevn, -1, axis=1) + mask_dn        # d+1, +P1
+                band = jnp.minimum(jnp.minimum(prevn, up),
+                                   jnp.minimum(down, p2a))
+                val = cost + band
                 if shift != 0:
                     edge_col = 0 if shift > 0 else width - 1
                     val = jnp.where(col == edge_col, cost, val)
@@ -360,6 +466,75 @@ def _pick_rows_per_step(height: int, width: int, max_disp: int,
     return 1
 
 
+def _fits_full_width(width: int, max_disp: int, n_fam: int) -> bool:
+    """Whether full-width row blocks + carries fit the VMEM budget."""
+    row_bytes = width * max_disp * 4
+    return (n_fam + 2 + 6) * row_bytes <= _VMEM_BUDGET_BYTES
+
+
+def _pick_wgrid_chunks(width: int, max_disp: int, n_fam: int):
+    """Chunk count for the W-on-grid sweep: the smallest power of two whose
+    working set (full-width carry + chunked blocks/masks) fits the cap,
+    with 8-sublane-aligned chunks.  None if even the carry is too big."""
+    row_bytes = width * max_disp * 4
+    for n in (2, 4, 8, 16, 32):
+        cw = width // n
+        if width % n or cw % 8:
+            continue
+        if n_fam * row_bytes + 10 * (row_bytes // n) <= _WGRID_BUDGET_BYTES:
+            return n
+    return None
+
+
+def _sweep_pass_wgrid(cost, p2map, partial, *, families, penalty1: float,
+                      reverse: bool, n_wchunks: int, interpret: bool,
+                      out_vma):
+    """W-on-grid variant of _sweep_pass (see _sweep_kernel_wgrid)."""
+    height, width, max_disp = cost.shape
+    n_fam = len(families)
+    cw = width // n_wchunks
+    if reverse:
+        blk = lambda i, c: (height - 1 - i, c, 0)
+    else:
+        blk = lambda i, c: (i, c, 0)
+
+    accumulate = partial is not None
+    kernel = functools.partial(_sweep_kernel_wgrid, families=families,
+                               penalty1=penalty1, reverse=reverse,
+                               accumulate=accumulate)
+    in_specs = [
+        pl.BlockSpec((1, cw, max_disp), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cw, n_fam), blk, memory_space=pltpu.VMEM),
+    ]
+    args = [cost, p2map]
+    io_aliases = {}
+    if accumulate:
+        in_specs.append(pl.BlockSpec((1, cw, max_disp), blk,
+                                     memory_space=pltpu.VMEM))
+        args.append(partial)
+        io_aliases = {2: 0}
+
+    return pl.pallas_call(
+        kernel,
+        grid=(height, n_wchunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cw, max_disp), blk,
+                               memory_space=pltpu.VMEM),
+        out_shape=(jax.ShapeDtypeStruct((height, width, max_disp),
+                                        jnp.float32)
+                   if out_vma is None else
+                   jax.ShapeDtypeStruct((height, width, max_disp),
+                                        jnp.float32, vma=out_vma)),
+        scratch_shapes=[
+            pltpu.VMEM((n_fam, width, max_disp), jnp.float32),   # carry
+            pltpu.VMEM((2, cw, max_disp), jnp.float32),          # P1 masks
+            pltpu.VMEM((n_fam, 1, max_disp), jnp.float32),       # boundary
+        ],
+        input_output_aliases=io_aliases,
+        interpret=interpret,
+    )(*args)
+
+
 def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
                 reverse: bool, interpret: bool = False, out_vma=None):
     """One streaming traversal over rows; accumulates onto ``partial``.
@@ -369,6 +544,13 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
     """
     height, width, max_disp = cost.shape
     n_fam = len(families)
+    if n_fam > 1 and not _fits_full_width(width, max_disp, n_fam):
+        n_wchunks = _pick_wgrid_chunks(width, max_disp, n_fam)
+        if n_wchunks is not None:
+            return _sweep_pass_wgrid(cost, p2map, partial,
+                                     families=families, penalty1=penalty1,
+                                     reverse=reverse, n_wchunks=n_wchunks,
+                                     interpret=interpret, out_vma=out_vma)
     rows = _pick_rows_per_step(height, width, max_disp, n_fam)
     n_blocks = height // rows
     if reverse:
@@ -422,12 +604,14 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
 
 
 def _family_groups(width: int, max_disp: int):
-    """Advance all 3 row-direction families per pass when their carries and
-    block buffers fit VMEM together; otherwise one family per pass (large
-    W*D geometries — 3x the HBM traffic, but no VMEM ceiling)."""
-    row_bytes = width * max_disp * 4
-    if (len(_FAMILY_SHIFTS) + 2) * row_bytes + 6 * row_bytes \
-            <= _VMEM_BUDGET_BYTES:
+    """Advance all 3 row-direction families per pass when possible: with
+    full-width blocks when they fit VMEM, else with the W-on-grid sweep
+    (chunked blocks, full-width carry).  Only when even the carry alone
+    breaks the cap does it fall back to one family per pass (3x the HBM
+    traffic)."""
+    n_fam = len(_FAMILY_SHIFTS)
+    if _fits_full_width(width, max_disp, n_fam) \
+            or _pick_wgrid_chunks(width, max_disp, n_fam) is not None:
         return (_FAMILY_SHIFTS,)
     return tuple((s,) for s in _FAMILY_SHIFTS)
 

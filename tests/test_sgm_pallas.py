@@ -98,7 +98,8 @@ def test_forced_single_family_passes(volumes, monkeypatch):
     row_bytes = vol.shape[1] * vol.shape[2] * 4
     ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
     out = _forced_aggregate(vol, left, monkeypatch,
-                            _VMEM_BUDGET_BYTES=9 * row_bytes)
+                            _VMEM_BUDGET_BYTES=9 * row_bytes,
+                            _WGRID_BUDGET_BYTES=0)
     assert len(sgm_pallas._family_groups(vol.shape[1], vol.shape[2])) == 3
     finite = np.isfinite(ref)
     assert np.array_equal(finite, np.isfinite(out))
@@ -108,14 +109,33 @@ def test_forced_single_family_passes(volumes, monkeypatch):
                                   np.asarray(winner_takes_all(ref)))
 
 
+@pytest.mark.parametrize("n_chunks", [2, 4])
+def test_forced_wgrid_mode(monkeypatch, n_chunks):
+    """W-on-grid sweeps (chunked blocks, full-width persistent carry — the
+    HD 3-family mode) forced at toy shape: must bit-match the full-width
+    kernel, including both cross-chunk boundary-read mechanisms."""
+    from stereomatch_tpu.ops import sgm_pallas
+    left, right, _ = synthetic_stereo_pair(24, 64, D, seed=9)
+    vol = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3)
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    row_bytes = 64 * D * 4
+    cap = 3 * row_bytes + 10 * (row_bytes // n_chunks)
+    out = _forced_aggregate(vol, left, monkeypatch,
+                            _VMEM_BUDGET_BYTES=0,
+                            _WGRID_BUDGET_BYTES=cap)
+    assert sgm_pallas._pick_wgrid_chunks(64, D, 3) == n_chunks
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_forced_all_adaptations_together(volumes, monkeypatch):
-    """The full HD-survival mode: per-family passes + no mask cache +
-    w-chunked rows at once, as _sweep_pass selects at 1024x1280xD256."""
+    """The extreme fallback: per-family passes + no mask cache + w-chunked
+    rows at once (geometries where even the 3-family carry breaks VMEM)."""
     vol, left = volumes
     row_bytes = vol.shape[1] * vol.shape[2] * 4
     ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
     out = _forced_aggregate(vol, left, monkeypatch,
                             _VMEM_BUDGET_BYTES=9 * row_bytes,
+                            _WGRID_BUDGET_BYTES=0,
                             _MASK_CACHE_MAX_BYTES=0,
                             _WCHUNK_TARGET_BYTES=1)
     finite = np.isfinite(ref)
