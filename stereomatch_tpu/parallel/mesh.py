@@ -78,9 +78,17 @@ def make_hybrid_mesh(n_batch_hosts: Optional[int] = None,
         n_tile = per_host
     if n_batch_hosts is None:
         n_batch_hosts = (n_hosts * per_host) // n_tile
-    grid = mesh_utils.create_hybrid_device_mesh(
-        (1, n_tile), (n_batch_hosts, 1),
-        devices=jax.devices())
+    try:
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, n_tile), (n_batch_hosts, 1),
+            devices=jax.devices())
+    except ValueError:
+        # Devices without slice topology (e.g. multi-process CPU runtimes):
+        # group by process so the tile axis stays host-local — same layout
+        # intent, no slice metadata needed.
+        devs = sorted(jax.devices(),
+                      key=lambda d: (d.process_index, d.id))
+        grid = np.asarray(devs)
     return Mesh(grid.reshape(n_batch_hosts, n_tile),
                 (BATCH_AXIS, TILE_AXIS))
 
