@@ -55,6 +55,26 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Headless output directory.")
     parser.add_argument("--max-frames", type=int, default=None,
                         help="Stop after this many frames.")
+    parser.add_argument("--batch", type=int, default=None, metavar="N",
+                        help="Batched steady state: estimate N frames per "
+                             "jitted step through the StreamingEstimator "
+                             "(keeps one batch in flight).")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Run frames through the sharded mesh pipeline: "
+                             "frames split over the mesh batch axis (DCN "
+                             "across hosts), image rows over the tile axis.")
+    parser.add_argument("--sgm-mode", choices=("exact", "overlap"),
+                        default="exact",
+                        help="Mesh-mode SGM scan splitting strategy.")
+    parser.add_argument("--overlap", type=int, default=64,
+                        help="Warm-up rows for --sgm-mode overlap.")
+    parser.add_argument("--p1", type=float, default=0.1,
+                        help="SGM penalty for +-1 disparity changes.")
+    parser.add_argument("--p2", type=float, default=0.2,
+                        help="SGM base penalty for larger jumps.")
+    parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
+                        default="auto",
+                        help="Kernel backend for SGM/DP stages.")
     return parser
 
 
@@ -70,6 +90,137 @@ def _open_capture(args):
     return ImageSequenceCapture.from_directory(args.input)
 
 
+class _RectifiedCapture:
+    """read_next() adapter applying a StereoRectifier to grayscale frames
+    (for the batched paths, which consume captures directly)."""
+
+    def __init__(self, capture, rectifier):
+        self._capture = capture
+        self._rectifier = rectifier
+
+    def read_next(self):
+        import numpy as np
+        ok, img = self._capture.read_next()
+        if not ok:
+            return ok, img
+        gray = img if not hasattr(img, "to_grayscale") else img.to_grayscale()
+        left, right = self._rectifier(np.asarray(gray.left),
+                                      np.asarray(gray.right))
+
+        class _Pair:
+            pass
+
+        pair = _Pair()
+        pair.left = np.asarray(left)
+        pair.right = np.asarray(right)
+        return True, pair
+
+    def close(self):
+        self._capture.close()
+
+
+def _pick_video_mesh(height: int):
+    """(batch, tile) mesh for video: up to 4 devices shard image rows (the
+    latency axis — must divide the frame height), the rest batch frames
+    (the throughput axis; frames are data-parallel, so it carries no
+    collectives and maps onto DCN across hosts)."""
+    import jax
+
+    from ..parallel.mesh import make_hybrid_mesh
+    n = len(jax.devices())
+    n_tile, t = 1, 2
+    while t <= min(n, 4):
+        if n % t == 0 and height % t == 0:
+            n_tile = t
+        t *= 2
+    return make_hybrid_mesh(n_tile=n_tile)
+
+
+def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
+    """--batch / --mesh consumption: StreamingEstimator over the capture,
+    single-chip lax.map batching or the sharded mesh program."""
+    import numpy as np
+
+    from ..stream import StreamingEstimator
+    from ..utils.viz import colorize_disparity
+
+    if rectifier is not None:
+        capture = _RectifiedCapture(capture, rectifier)
+
+    reducer = ("dynamic_programming" if args.disparity_method == "dyn"
+               else "wta")
+    common = dict(cost=args.cost_method, aggregation=args.aggregation_method,
+                  reducer=reducer, penalty1=args.p1, penalty2=args.p2,
+                  backend=args.backend)
+    if args.mesh:
+        ok, first = capture.read_next()
+        if not ok:
+            print("empty stream")
+            return 1
+        gray = (first if not hasattr(first, "to_grayscale")
+                else first.to_grayscale())
+        height = np.asarray(gray.left).shape[0]
+        mesh = _pick_video_mesh(height)
+        estimator = StreamingEstimator(args.max_disparity, mesh=mesh,
+                                       batch=args.batch or 0,
+                                       sgm_mode=args.sgm_mode,
+                                       overlap=args.overlap, **common)
+        capture = _ReplayFirst(capture, first)
+    else:
+        estimator = StreamingEstimator(args.max_disparity,
+                                       batch=args.batch, **common)
+
+    do_quit = False
+    frame_idx = 0
+    for _, disp in estimator.run(capture, max_frames=args.max_frames):
+        frame_idx += 1
+        rgb = colorize_disparity(disp, args.max_disparity)
+        if headless:
+            from PIL import Image
+            Image.fromarray(rgb).save(out_dir / f"depth_{frame_idx:06d}.png")
+            continue
+        import cv2
+        cv2.imshow("depthmap", rgb[:, :, ::-1])
+        chr_key = chr(cv2.waitKey(1) & 0xFF).lower()
+        if chr_key == "q":
+            do_quit = True
+            break
+        if chr_key == "h":
+            _print_instructions()
+        elif chr_key == "i":
+            import matplotlib.pyplot as plt
+            plt.imshow(disp)
+            plt.show()
+
+    capture.close()
+    if headless:
+        s = estimator.stats
+        print(f"Wrote {frame_idx} depthmaps to {out_dir} "
+              f"({s.fps:.1f} fps over {s.batches} batches)")
+    elif not do_quit:
+        import cv2
+        cv2.destroyAllWindows()
+    return 0
+
+
+class _ReplayFirst:
+    """Capture wrapper re-yielding an already-read first frame (the mesh
+    path peeks at it to size the tile axis)."""
+
+    def __init__(self, capture, first):
+        self._capture = capture
+        self._first = first
+
+    def read_next(self):
+        if self._first is not None:
+            first, self._first = self._first, None
+            return True, first
+        return self._capture.read_next()
+
+    def close(self):
+        self._capture.close()
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -83,9 +234,14 @@ def main(argv=None) -> int:
     from ..io.calibration import StereoRectifier
     from ..utils.viz import colorize_disparity
 
-    pipeline = create_pipeline(args.cost_method, args.disparity_method,
-                               args.aggregation_method,
-                               max_disparity=args.max_disparity)
+    batched = args.batch is not None or args.mesh
+    pipeline = None
+    if not batched:
+        pipeline = create_pipeline(args.cost_method, args.disparity_method,
+                                   args.aggregation_method,
+                                   max_disparity=args.max_disparity,
+                                   penalty1=args.p1, penalty2=args.p2,
+                                   backend=args.backend)
     capture = _open_capture(args)
 
     rectifier = None
@@ -106,6 +262,9 @@ def main(argv=None) -> int:
         from pathlib import Path
         out_dir = Path(args.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
+
+    if batched:
+        return _run_batched(args, capture, rectifier, headless, out_dir)
 
     _print_instructions()
     do_quit = False

@@ -47,10 +47,11 @@ class StreamStats:
 
 def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     aggregation: Optional[str], reducer: str,
-                    penalty1: float, penalty2: float):
+                    penalty1: float, penalty2: float,
+                    backend: str = "auto"):
     if kernel_size is None:
         kernel_size = 4 if cost == "birchfield" else 7
-    use_pallas = resolve_backend("auto") == "pallas"
+    use_pallas = resolve_backend(backend) == "pallas"
 
     def frame_fn(left, right):
         if cost in ("ssd", "ssd-texture"):
@@ -79,21 +80,43 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
 
 
 class StreamingEstimator:
-    """Batched jitted estimator over stereo frame streams."""
+    """Batched jitted estimator over stereo frame streams.
+
+    Single-chip by default; pass a ``(batch, tile)`` ``mesh`` (e.g. from
+    ``parallel.make_hybrid_mesh``) to span chips/hosts — frames then split
+    over the mesh batch axis and image rows over the tile axis with the
+    full ShardedPipeline program (BASELINE "batched pairs across hosts"
+    config), behind the same run()/estimate_batch interface.
+    """
 
     def __init__(self, max_disparity: int, *, batch: int = 4,
                  cost: str = "ssd", kernel_size: Optional[int] = None,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
-                 penalty1: float = 0.1, penalty2: float = 0.2):
-        self.batch = batch
-        frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
-                                   aggregation, reducer, penalty1, penalty2)
-        # lax.map (sequential per-frame programs in one jit) beats vmap for
-        # the Pallas stages: a vmapped kernel grid loses pipelining at
-        # batch boundaries (~1.5x slower per frame measured), while mapped
-        # frames reuse the single-frame schedule back to back.
-        self._fn = jax.jit(
-            lambda l, r: jax.lax.map(lambda p: frame_fn(*p), (l, r)))
+                 penalty1: float = 0.1, penalty2: float = 0.2,
+                 backend: str = "auto", mesh=None,
+                 sgm_mode: str = "exact", overlap: int = 64):
+        if mesh is not None:
+            from .parallel.mesh import BATCH_AXIS
+            from .parallel.sharded import make_sharded_estimate
+            n_batch = mesh.shape[BATCH_AXIS]
+            # Frames per step must fill the mesh batch axis exactly.
+            self.batch = max(batch, n_batch) // n_batch * n_batch
+            self._fn = make_sharded_estimate(
+                mesh, max_disparity=max_disparity, cost=cost,
+                kernel_size=kernel_size, aggregation=aggregation,
+                reducer=reducer, penalty1=penalty1, penalty2=penalty2,
+                sgm_mode=sgm_mode, overlap=overlap, backend=backend)
+        else:
+            self.batch = batch
+            frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
+                                       aggregation, reducer, penalty1,
+                                       penalty2, backend)
+            # lax.map (sequential per-frame programs in one jit) beats vmap
+            # for the Pallas stages: a vmapped kernel grid loses pipelining
+            # at batch boundaries (~1.5x slower per frame measured), while
+            # mapped frames reuse the single-frame schedule back to back.
+            self._fn = jax.jit(
+                lambda l, r: jax.lax.map(lambda p: frame_fn(*p), (l, r)))
         self.stats = StreamStats()
 
     def estimate_batch(self, left: np.ndarray, right: np.ndarray):

@@ -45,3 +45,60 @@ def test_video_cli_headless_y4m(tmp_path):
                      "--headless", "--output-dir", str(out_dir)])
     assert rc == 0
     assert len(list(out_dir.glob("depth_*.png"))) == 3
+
+
+def _write_y4m_stream(tmp_path, n_frames=5):
+    from stereomatch_tpu import native
+    frames = []
+    for i in range(n_frames):
+        left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3 + i)
+        frames.append(np.concatenate([(left * 255).astype(np.uint8),
+                                      (right * 255).astype(np.uint8)],
+                                     axis=1))
+    path = tmp_path / "v.y4m"
+    native.write_y4m(path, np.stack(frames))
+    return path
+
+
+def test_video_cli_batched_y4m(tmp_path):
+    """--batch routes through the StreamingEstimator (batched lax.map
+    steady state) end to end from the CLI."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--batch", "2", "-am", "sgm",
+                     "--headless", "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_mesh_y4m_matches_single_chip(tmp_path):
+    """--mesh routes Y4M frames through the sharded (batch, tile) pipeline
+    on the 8-device CPU mesh; exact SGM mode must reproduce the per-frame
+    single-chip CLI output bit-for-bit (BASELINE config #5 as a CLI run)."""
+    from PIL import Image
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import jax
+    assert len(jax.devices()) >= 8
+
+    path = _write_y4m_stream(tmp_path)
+    mesh_dir = tmp_path / "mesh_out"
+    rc = video_main(["y4m", str(path), str(D), "-am", "sgm", "--mesh",
+                     "--sgm-mode", "exact", "--backend", "xla",
+                     "--headless", "--output-dir", str(mesh_dir)])
+    assert rc == 0
+    mesh_frames = sorted(mesh_dir.glob("depth_*.png"))
+    assert len(mesh_frames) == 5
+
+    ref_dir = tmp_path / "ref_out"
+    rc = video_main(["y4m", str(path), str(D), "-am", "sgm",
+                     "--backend", "xla",
+                     "--headless", "--output-dir", str(ref_dir)])
+    assert rc == 0
+    for mf, rf in zip(mesh_frames, sorted(ref_dir.glob("depth_*.png"))):
+        np.testing.assert_array_equal(np.asarray(Image.open(mf)),
+                                      np.asarray(Image.open(rf)))
