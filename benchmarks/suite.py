@@ -39,6 +39,63 @@ REFERENCE_MS = {
 }
 
 
+def _vol_bytes(h, w, d, itemsize=4):
+    return h * w * d * itemsize
+
+
+# Speed-of-light HBM traffic model per benchmark: the minimum bytes each
+# op must move (volume-sized reads/writes only; images and disparity maps
+# are negligible beside the [H,W,D] volume).  Stages are memory-bound on
+# TPU, so pct_of_roofline = sol_ms(measured BW) / measured_ms is the
+# honest "how fast is it really" number — 100% means the op runs at the
+# empirically measured copy bandwidth of this chip.
+def _traffic_models():
+    v1 = _vol_bytes(256, 512, 32)          # cost group
+    v2 = _vol_bytes(375, 450, 128)         # teddy group
+    v3 = _vol_bytes(1024, 1280, 256)       # HD group
+    return {
+        # cost kernels: write the volume once (input images are ~0.1%)
+        "ssd_cost_512x256_d32": v1,
+        "ssd_texture_512x256_d32": v1,
+        "birchfield_cost_512x256_d32": v1,
+        # SGM: read the cost volume + write the aggregated volume
+        "sgm_450x375_d128": 2 * v2,
+        # reducers: read the volume, write [H, W] int32 (~1/D of it)
+        "wta_450x375_d128": v2,
+        "argmin_baseline_450x375_d128": v2,
+        "dynprog_450x375_d128": v2,
+        # pipeline: vol write (cost) + vol read+write (SGM) + vol read (WTA)
+        "pipeline_teddy_450x375_d128": 4 * v2,
+        "pipeline_batch4_teddy_d128": 16 * v2,
+        "pipeline_hd_1024x1280_d256": 4 * v3,
+        # bf16 volumes: same passes at half the bytes
+        "pipeline_teddy_bf16_450x375_d128": 2 * v2,
+        "pipeline_hd_bf16_1024x1280_d256": 2 * v3,
+    }
+
+
+def measure_hbm_bandwidth(chain_k=8, repeats=5) -> float:
+    """Achievable HBM GB/s: read + write of a 64 MB array per iteration.
+
+    The body is a roll (+ epsilon so iterations can't be algebraically
+    collapsed) — a plain ``x*a+b`` chain measured orders of magnitude
+    above the HBM spec (the compiler reduced it), while a rotation forces
+    a genuine full-array permutation through memory each step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = 16 * 1024 * 1024                   # 64 MB of f32
+    x = jax.device_put(np.arange(n, dtype=np.float32).reshape(4096, 4096))
+
+    def body(carry):
+        return jnp.roll(carry, 1, axis=0) + jnp.float32(1e-7)
+
+    ms = _marginal_ms(body, x, chain_k, repeats)
+    gbytes = 2 * n * 4 / 1e9
+    return gbytes / (ms / 1e3) if ms > 0 else float("nan")
+
+
 def _marginal_ms(body_fn, args, chain_k, repeats):
     from stereomatch_tpu.utils.benchmarking import marginal_ms
     return marginal_ms(body_fn, args, chain_k=chain_k, repeats=repeats)
@@ -128,6 +185,16 @@ def build_benchmarks():
 
     benches["pipeline_teddy_450x375_d128"] = (pipe_body, (l2, r2))
 
+    def pipe_bf16_body(carry):
+        l, r = carry
+        vol = ssd_cost_volume(l, r, max_disparity=d2, kernel_size=7,
+                              cost_dtype=jnp.bfloat16)
+        agg = aggregate(vol, l)
+        disp = winner_takes_all(agg)
+        return feedback(l, disp), r
+
+    benches["pipeline_teddy_bf16_450x375_d128"] = (pipe_bf16_body, (l2, r2))
+
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map
     # beats vmap for the Pallas stages).  Reported per BATCH — divide by
@@ -160,6 +227,15 @@ def build_benchmarks():
             return feedback(l, disp), r
 
         benches["pipeline_hd_1024x1280_d256"] = (hd_body, (l3, r3))
+
+        def hd_bf16_body(carry):
+            l, r = carry
+            vol = ssd_cost_volume(l, r, max_disparity=d3, kernel_size=7,
+                                  cost_dtype=jnp.bfloat16)
+            disp = winner_takes_all(aggregate(vol, l))
+            return feedback(l, disp), r
+
+        benches["pipeline_hd_bf16_1024x1280_d256"] = (hd_bf16_body, (l3, r3))
     return benches
 
 
@@ -177,7 +253,11 @@ def main():
 
     results = {}
     print(f"# device: {device}", file=sys.stderr)
-    header = f"{'benchmark':36s} {'ms':>9s} {'ref ms':>8s} {'speedup':>8s}"
+    hbm_gbps = measure_hbm_bandwidth(args.chain, args.repeats)
+    print(f"# measured copy bandwidth: {hbm_gbps:.0f} GB/s", file=sys.stderr)
+    traffic = _traffic_models()
+    header = (f"{'benchmark':36s} {'ms':>9s} {'ref ms':>8s} {'speedup':>8s}"
+              f" {'GB':>7s} {'%SoL':>6s}")
     print(header, file=sys.stderr)
     for name, (body, init) in build_benchmarks().items():
         if args.only and args.only not in name:
@@ -185,13 +265,27 @@ def main():
         ms = _marginal_ms(body, init, args.chain, args.repeats)
         ref = REFERENCE_MS.get(name)
         speed = f"{ref / ms:8.2f}" if ref and ms > 0 else "       -"
+        min_bytes = traffic.get(name)
+        sol_ms = pct = None
+        if min_bytes and ms > 0 and hbm_gbps == hbm_gbps:
+            sol_ms = min_bytes / 1e9 / hbm_gbps * 1e3
+            pct = 100.0 * sol_ms / ms
         print(f"{name:36s} {ms:9.3f} {ref if ref else float('nan'):8.3f}"
-              f" {speed}", file=sys.stderr)
-        results[name] = {"ms": round(ms, 4), "reference_ms": ref,
-                         "speedup_vs_reference": (round(ref / ms, 3)
-                                                  if ref and ms > 0 else None)}
+              f" {speed} {min_bytes / 1e9 if min_bytes else 0:7.3f}"
+              f" {pct if pct else float('nan'):6.1f}", file=sys.stderr)
+        results[name] = {
+            "ms": round(ms, 4), "reference_ms": ref,
+            "speedup_vs_reference": (round(ref / ms, 3)
+                                     if ref and ms > 0 else None),
+            "min_bytes_moved": min_bytes,
+            "sol_ms_at_measured_bw": (round(sol_ms, 4)
+                                      if sol_ms is not None else None),
+            "pct_of_roofline": round(pct, 1) if pct is not None else None,
+        }
 
-    payload = {"device": device, "results": results}
+    payload = {"device": device,
+               "measured_hbm_gbps": round(hbm_gbps, 1),
+               "results": results}
     if args.json:
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=2)

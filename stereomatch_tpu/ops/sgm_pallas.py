@@ -79,14 +79,27 @@ def _p2_maps(image: jnp.ndarray, penalty1: float, penalty2: float,
     is (r+1, x+s).  Out-of-image predecessors read as 0, mirroring the
     single-chip scan's zero-filled intensity shift — those positions are
     reseed positions whose P2 never takes effect.
+
+    The diagonal edge-column re-seed is baked in here as P2 = 0 at the
+    column the carry shift exposes: the kernels' band candidates are all
+    >= 0 after per-column normalization (prev - min and the rolled
+    variants + P1), so min(..., 0) = 0 exactly and val = cost + 0 — the
+    re-seed — with no per-step select.  (The wrapped lane a chunked or
+    rolled read brings into that column cannot undercut zero.)
     """
     maps = []
     for s in shifts:
         prev = (_shift2d(image, -1, -s) if reverse
                 else _shift2d(image, 1, s))
         grad = jnp.abs(image - prev)
-        maps.append(jnp.maximum(jnp.float32(penalty1),
-                                jnp.float32(penalty2) / grad))
+        p2m = jnp.maximum(jnp.float32(penalty1),
+                          jnp.float32(penalty2) / grad)
+        eff = -s if reverse else s
+        if eff != 0:
+            edge_col = 0 if eff > 0 else image.shape[1] - 1
+            col = lax.broadcasted_iota(jnp.int32, p2m.shape, 1)
+            p2m = jnp.where(col == edge_col, 0.0, p2m)
+        maps.append(p2m)
     return jnp.stack(maps, axis=-1)
 
 
@@ -132,11 +145,15 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
     # Block rows run in scan order within the block (memory-descending for
     # reverse sweeps, whose grid also walks blocks back to front); only the
     # first row of the first block seeds.
+    # Blocks may be stored bfloat16 (half the HBM/VMEM traffic); the
+    # recurrence always runs float32 — widen on load, narrow on store.
+    out_dtype = out_ref.dtype
     row_order = (list(reversed(range(rows_per_step))) if reverse
                  else list(range(rows_per_step)))
     for step_idx, r in enumerate(row_order):
-        cost = cost_ref[r]                           # [W, D]
-        base = acc_ref[r] if accumulate else jnp.zeros_like(cost)
+        cost = cost_ref[r].astype(jnp.float32)       # [W, D]
+        base = (acc_ref[r].astype(jnp.float32) if accumulate
+                else jnp.zeros_like(cost))
 
         if step_idx == 0:
             @pl.when(i == 0)
@@ -145,8 +162,8 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
                     sl = slice(c * cw, (c + 1) * cw)
                     for idx in range(n_fam):
                         carry_ref[idx, sl] = cost[sl]
-                    out_ref[r, sl] = (base[sl]
-                                      + jnp.float32(n_fam) * cost[sl])
+                    out_ref[r, sl] = (base[sl] + jnp.float32(n_fam)
+                                      * cost[sl]).astype(out_dtype)
 
         def _step(r=r, cost=cost, base=base):
             # W is processed in ``w_chunks`` sub-blocks to bound the live
@@ -159,7 +176,6 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
             # column, whose value is overridden by the re-seed.
             if mask_scratch:
                 full_masks = (mask_ref[0], mask_ref[1])
-            col = lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
             chunk_totals = [None] * w_chunks
             for idx, s in enumerate(families):
                 shift = -s if reverse else s
@@ -201,12 +217,9 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
                     down = _roll(prevn, -1, axis=1) + mask_dn    # d+1, +P1
                     band = jnp.minimum(jnp.minimum(prevn, up),
                                        jnp.minimum(down, p2a))
+                    # Diagonal edge-column re-seed comes via p2a == 0 there
+                    # (band = 0 exactly, see _p2_maps) — no select needed.
                     val = cost[sl] + band
-                    if shift != 0:
-                        edge_col = 0 if shift > 0 else width - 1
-                        if edge_col // cw == c:
-                            val = jnp.where(col == edge_col - c * cw,
-                                            cost[sl], val)
                     carry_ref[idx, sl] = val
                     t = chunk_totals[c]
                     # Accumulation order matches the unchunked kernel:
@@ -215,7 +228,7 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
                                        else t + val)
             for c in range(w_chunks):
                 sl = slice(c * cw, (c + 1) * cw)
-                out_ref[r, sl] = chunk_totals[c]
+                out_ref[r, sl] = chunk_totals[c].astype(out_dtype)
 
         if step_idx == 0:
             pl.when(i > 0)(_step)
@@ -272,15 +285,20 @@ def _sweep_kernel_wgrid(*refs, families, penalty1: float, reverse: bool,
         ones = jnp.full((cw, max_disp), p1, jnp.float32)
         mask_ref[0] = jnp.where(lane == 0, inf, ones)
         mask_ref[1] = jnp.where(lane == max_disp - 1, inf, ones)
+        # Finite (never NaN) stash for chunk 0's global-edge column, whose
+        # P2 = 0 re-seed needs min(candidates >= 0, 0) = 0 to hold.
+        stash_ref[...] = jnp.zeros_like(stash_ref)
 
-    cost = cost_ref[0]                                # [cw, D]
-    base = acc_ref[0] if accumulate else jnp.zeros_like(cost)
+    out_dtype = out_ref.dtype
+    cost = cost_ref[0].astype(jnp.float32)            # [cw, D]
+    base = (acc_ref[0].astype(jnp.float32) if accumulate
+            else jnp.zeros_like(cost))
 
     @pl.when(i == 0)
     def _seed():
         for idx in range(n_fam):
             carry_ref[idx, pl.ds(c0, cw)] = cost
-        out_ref[0] = base + jnp.float32(n_fam) * cost
+        out_ref[0] = (base + jnp.float32(n_fam) * cost).astype(out_dtype)
 
     @pl.when(i > 0)
     def _step():
@@ -293,7 +311,10 @@ def _sweep_kernel_wgrid(*refs, families, penalty1: float, reverse: bool,
                 # stash this chunk's own pre-update last column for the
                 # chunk to the right (program order keeps the load ahead
                 # of the store, so one buffer serves the whole row).
-                stash_in = stash_ref[idx]
+                # Chunk 0 owns the global edge: force zeros there — the
+                # P2 = 0 re-seed needs finite (non-NaN) candidates, and
+                # the stale stash could be an all-inf column.
+                stash_in = jnp.where(c == 0, 0.0, stash_ref[idx])
                 stash_ref[idx] = block[cw - 1:cw]
                 prev = jnp.where(col == 0, stash_in,
                                  _roll(block, 1, axis=0))
@@ -311,13 +332,10 @@ def _sweep_kernel_wgrid(*refs, families, penalty1: float, reverse: bool,
             down = _roll(prevn, -1, axis=1) + mask_ref[1]        # d+1, +P1
             band = jnp.minimum(jnp.minimum(prevn, up),
                                jnp.minimum(down, p2a))
-            val = cost + band
-            if shift != 0:
-                edge_col = 0 if shift > 0 else width - 1
-                val = jnp.where(col + c0 == edge_col, cost, val)
+            val = cost + band      # edge re-seed via p2a == 0 (_p2_maps)
             carry_ref[idx, pl.ds(c0, cw)] = val
             total = total + val
-        out_ref[0] = total
+        out_ref[0] = total.astype(out_dtype)
 
 
 def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
@@ -337,7 +355,6 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
     n_fam = len(families)
     p1 = jnp.float32(penalty1)
     _, width, max_disp = cost_ref.shape
-    col = lax.broadcasted_iota(jnp.int32, (width, 1), 0)
     seed = seed_ref[0, 0] != 0
 
     @pl.when(i == 0)
@@ -379,10 +396,7 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
                 down = _roll(prevn, -1, axis=1) + mask_dn        # d+1, +P1
                 band = jnp.minimum(jnp.minimum(prevn, up),
                                    jnp.minimum(down, p2a))
-                val = cost + band
-                if shift != 0:
-                    edge_col = 0 if shift > 0 else width - 1
-                    val = jnp.where(col == edge_col, cost, val)
+                val = cost + band  # edge re-seed via p2a == 0 (_p2_maps)
                 if start is not None:
                     val = jnp.where(start, cost, val)
                 new_carries.append(val)
@@ -398,6 +412,138 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
         carry_out_ref[...] = carry_ref[...]
 
 
+def _chunk_kernel_wgrid(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
+                        carry_out_ref, mask_ref, stash_ref, *,
+                        families, penalty1: float, reverse: bool):
+    """W-on-grid variant of _chunk_kernel: cost/out blocks are column
+    chunks while both carry buffers use grid-invariant index maps, so they
+    are DMA'd once (in at the first visit, out at the end) and stay
+    VMEM-resident in between — ``carry_out`` doubles as the working carry
+    (initialized from ``carry_in`` on each chunk's first visit).  Same
+    cross-chunk boundary mechanics as _sweep_kernel_wgrid; this is what
+    keeps the sharded exact mode inside VMEM at HD geometries."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_fam = len(families)
+    p1 = jnp.float32(penalty1)
+    _, cw, max_disp = cost_ref.shape
+    width = carry_out_ref.shape[1]
+    c0 = c * cw
+    col = lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+    seed = seed_ref[0, 0] != 0
+    out_dtype = out_ref.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        for idx in range(n_fam):
+            carry_out_ref[idx, pl.ds(c0, cw)] = \
+                carry_in_ref[idx, pl.ds(c0, cw)]
+
+    @pl.when(jnp.logical_and(i == 0, c == 0))
+    def _init_masks():
+        inf = jnp.float32(jnp.inf)
+        lane = lax.broadcasted_iota(jnp.int32, (cw, max_disp), 1)
+        ones = jnp.full((cw, max_disp), p1, jnp.float32)
+        mask_ref[0] = jnp.where(lane == 0, inf, ones)
+        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, ones)
+        # Chunk 0's boundary column is the global edge: its value never
+        # matters (P2 = 0 re-seeds there), but it must be FINITE — the
+        # re-seed relies on min(candidates >= 0, 0) = 0, and scratch
+        # garbage can be NaN.
+        stash_ref[...] = jnp.zeros_like(stash_ref)
+
+    cost = cost_ref[0].astype(jnp.float32)
+    start = jnp.logical_and(seed, i == 0)
+    total = jnp.zeros_like(cost)
+    for idx, s in enumerate(families):
+        shift = -s if reverse else s
+        block = carry_out_ref[idx, pl.ds(c0, cw)]
+        if shift > 0:
+            # Chunk 0's global-edge read must be finite for the P2 = 0
+            # re-seed: force zeros (the stash could hold an all-inf
+            # boundary column, e.g. from a +inf seed carry).
+            stash_in = jnp.where(c == 0, 0.0, stash_ref[idx])
+            stash_ref[idx] = block[cw - 1:cw]
+            prev = jnp.where(col == 0, stash_in, _roll(block, 1, axis=0))
+        elif shift < 0:
+            # The right neighbor's boundary column: pre-update by chunk
+            # order for i > 0, but at the scan's first row that chunk has
+            # not copied carry_in into the resident buffer yet — read the
+            # hand-off input directly there.
+            nxt_at = pl.ds(jnp.minimum(c0 + cw, width - 1), 1)
+            nxt = jnp.where(i == 0, carry_in_ref[idx, nxt_at],
+                            carry_out_ref[idx, nxt_at])
+            prev = jnp.where(col == cw - 1, nxt, _roll(block, -1, axis=0))
+        else:
+            prev = block
+        prev_min = jnp.min(prev, axis=1, keepdims=True)
+        p2a = p2_ref[0, :, idx][:, None]
+        prevn = prev - prev_min
+        up = _roll(prevn, 1, axis=1) + mask_ref[0]
+        down = _roll(prevn, -1, axis=1) + mask_ref[1]
+        band = jnp.minimum(jnp.minimum(prevn, up),
+                           jnp.minimum(down, p2a))
+        val = cost + band          # edge re-seed via p2a == 0 (_p2_maps)
+        val = jnp.where(start, cost, val)
+        carry_out_ref[idx, pl.ds(c0, cw)] = val
+        total = total + val
+    out_ref[0] = total.astype(out_dtype)
+
+
+def _sweep_chunk_with_carry_wgrid(cost, p2map, carry_in, seed, *, families,
+                                  penalty1: float, reverse: bool,
+                                  n_wchunks: int, interpret: bool,
+                                  out_vma):
+    height, width, max_disp = cost.shape
+    n_fam = len(families)
+    cw = width // n_wchunks
+    if reverse:
+        blk = lambda i, c: (height - 1 - i, c, 0)
+    else:
+        blk = lambda i, c: (i, c, 0)
+    whole = lambda i, c: (0, 0, 0)
+
+    def sds(shape):
+        if out_vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=out_vma)
+
+    kernel = functools.partial(_chunk_kernel_wgrid, families=families,
+                               penalty1=penalty1, reverse=reverse)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(height, n_wchunks),
+        in_specs=[
+            pl.BlockSpec((1, cw, max_disp), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cw, n_fam), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fam, width, max_disp), whole,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cw, max_disp), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fam, width, max_disp), whole,
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(sds((height, width, max_disp)),
+                   sds((n_fam, width, max_disp))),
+        scratch_shapes=[
+            pltpu.VMEM((2, cw, max_disp), jnp.float32),
+            pltpu.VMEM((n_fam, 1, max_disp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cost, p2map, carry_in.astype(jnp.float32), seed_arr)
+
+
+def _chunk_fits_full_width(width: int, max_disp: int, n_fam: int) -> bool:
+    """VMEM gate for the full-width chunk kernel: carry_in + carry_out +
+    carry scratch (3F rows) + masks + double-buffered row blocks."""
+    row_bytes = width * max_disp * 4
+    return (3 * n_fam + 2 + 6) * row_bytes <= _VMEM_BUDGET_BYTES
+
+
 def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
                            penalty1: float, reverse: bool,
                            interpret: bool = False, out_vma=None):
@@ -405,6 +551,13 @@ def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
     (contributions [Hc,W,D], final carry [F,W,D])."""
     height, width, max_disp = cost.shape
     n_fam = len(families)
+    if not _chunk_fits_full_width(width, max_disp, n_fam):
+        n_wchunks = _pick_wgrid_chunks(width, max_disp, n_fam)
+        if n_wchunks is not None:
+            return _sweep_chunk_with_carry_wgrid(
+                cost, p2map, carry_in, seed, families=families,
+                penalty1=penalty1, reverse=reverse, n_wchunks=n_wchunks,
+                interpret=interpret, out_vma=out_vma)
     rows = _pick_rows_per_step(height, width, max_disp, n_fam)
     n_blocks = height // rows
     if reverse:
@@ -521,10 +674,10 @@ def _sweep_pass_wgrid(cost, p2map, partial, *, families, penalty1: float,
         out_specs=pl.BlockSpec((1, cw, max_disp), blk,
                                memory_space=pltpu.VMEM),
         out_shape=(jax.ShapeDtypeStruct((height, width, max_disp),
-                                        jnp.float32)
+                                        cost.dtype)
                    if out_vma is None else
                    jax.ShapeDtypeStruct((height, width, max_disp),
-                                        jnp.float32, vma=out_vma)),
+                                        cost.dtype, vma=out_vma)),
         scratch_shapes=[
             pltpu.VMEM((n_fam, width, max_disp), jnp.float32),   # carry
             pltpu.VMEM((2, cw, max_disp), jnp.float32),          # P1 masks
@@ -590,10 +743,10 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
         out_specs=pl.BlockSpec((rows, width, max_disp), row,
                                memory_space=pltpu.VMEM),
         out_shape=(jax.ShapeDtypeStruct((height, width, max_disp),
-                                        jnp.float32)
+                                        cost.dtype)
                    if out_vma is None else
                    jax.ShapeDtypeStruct((height, width, max_disp),
-                                        jnp.float32, vma=out_vma)),
+                                        cost.dtype, vma=out_vma)),
         scratch_shapes=(
             [pltpu.VMEM((n_fam, width, max_disp), jnp.float32)]
             + ([pltpu.VMEM((2, width, max_disp), jnp.float32)]
@@ -627,8 +780,16 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
 
     Drop-in equivalent of ops.aggregation.semiglobal_aggregate
     (reference: AggregationOps::RunSemiglobal, src/semiglobal.cpp:167-197).
+
+    bfloat16 volumes stream through the kernels in bfloat16 (half the HBM
+    traffic of the dominant reads/writes); the recurrence itself always
+    runs float32 in VMEM.  Accumulation across passes is then rounded to
+    bfloat16 per pass — disparity-level accuracy cost is small and
+    measured (tests/test_bf16.py, docs/performance.md).
     """
-    cost = cost_volume.astype(jnp.float32)
+    storage = (jnp.bfloat16 if cost_volume.dtype == jnp.bfloat16
+               else jnp.float32)
+    cost = cost_volume.astype(storage)
     image = left_image.astype(jnp.float32)
     p1, p2 = float(penalty1), float(penalty2)
 

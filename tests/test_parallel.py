@@ -213,6 +213,26 @@ def test_pallas_backend_exact_handoff(pair, mesh):
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_pallas_exact_handoff_wgrid_mode(pair, mesh, monkeypatch):
+    """Exact hand-off with the W-on-grid chunk kernel (the HD VMEM mode)
+    forced at toy shape: still bit-matches single-chip Pallas."""
+    from stereomatch_tpu.ops import sgm_pallas
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = semiglobal_aggregate_pallas(vol, left, interpret=True)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 0)
+    assert not sgm_pallas._chunk_fits_full_width(left.shape[1], D, 3)
+    assert sgm_pallas._pick_wgrid_chunks(left.shape[1], D, 3) == 2
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact",
+                           backend="pallas", interpret=True)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
 def test_pallas_backend_small_overlap(pair, mesh):
     left, right = pair
     ref = _reference(left, right, True, WinnerTakesAll())
