@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto",
                         help="Kernel backend for SGM/DP stages.")
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        default="float32",
+                        help="Cost-volume storage dtype (bfloat16 halves "
+                             "HBM traffic; recurrences stay float32).")
     return parser
 
 
@@ -64,7 +68,8 @@ def main(argv=None) -> int:
                                args.aggregation_method,
                                max_disparity=args.max_disparity,
                                penalty1=args.p1, penalty2=args.p2,
-                               backend=args.backend)
+                               backend=args.backend,
+                               volume_dtype=args.dtype)
 
     left_rgb = Image.open(args.left_image)
     right_rgb = Image.open(args.right_image)

@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto",
                         help="Kernel backend for SGM/DP stages.")
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        default="float32",
+                        help="Cost-volume storage dtype (per-frame path).")
     return parser
 
 
@@ -241,7 +244,8 @@ def main(argv=None) -> int:
                                    args.aggregation_method,
                                    max_disparity=args.max_disparity,
                                    penalty1=args.p1, penalty2=args.p2,
-                                   backend=args.backend)
+                                   backend=args.backend,
+                                   volume_dtype=args.dtype)
     capture = _open_capture(args)
 
     rectifier = None

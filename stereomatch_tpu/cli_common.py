@@ -26,11 +26,15 @@ DISPARITY_METHODS = {
 }
 
 
+VOLUME_DTYPES = ("float32", "bfloat16", "int32")
+
+
 def create_pipeline(cost_method: str, disp_method: str,
                     aggr_method: str = None,
                     max_disparity: int = 32,
                     penalty1: float = 0.1, penalty2: float = 0.2,
-                    backend: str = "auto") -> Pipeline:
+                    backend: str = "auto",
+                    volume_dtype: str = "float32") -> Pipeline:
     """Create a pipeline from method names.
 
     Available cost functions: ``list(COST_METHODS)``; disparity methods:
@@ -39,8 +43,20 @@ def create_pipeline(cost_method: str, disp_method: str,
 
     ``penalty1``/``penalty2`` configure SGM (ignored without aggregation);
     ``backend`` selects pallas/xla kernels for the stages that have both
-    (see utils.backend.resolve_backend).
+    (see utils.backend.resolve_backend); ``volume_dtype`` is the cost
+    volume's storage dtype — "bfloat16" halves the HBM traffic of every
+    volume pass (the recurrences still run float32 in VMEM; accuracy
+    bound in tests/test_bf16.py), "int32" is the reference's integer cost
+    path (SSD only, no SGM).
     """
+    import jax.numpy as jnp
+    if volume_dtype not in VOLUME_DTYPES:
+        raise ValueError(f"unknown volume_dtype {volume_dtype!r}; "
+                         f"expected one of {VOLUME_DTYPES}")
+    if volume_dtype == "int32" and aggr_method is not None:
+        raise ValueError("int32 cost volumes do not support SGM "
+                         "aggregation (its adaptive P2 is a float "
+                         "quantity, semiglobal.cpp:137-138)")
     aggregation_cls = AGGREGATION_METHODS.get(aggr_method, None)
     aggregation = (aggregation_cls(penalty1=penalty1, penalty2=penalty2,
                                    backend=backend)
@@ -50,5 +66,11 @@ def create_pipeline(cost_method: str, disp_method: str,
     disparity = (disparity_cls(backend=backend)
                  if disparity_cls is DynamicProgramming else disparity_cls())
 
-    return Pipeline(COST_METHODS[cost_method](max_disparity),
-                    disparity, aggregation=aggregation)
+    cost_cls = COST_METHODS[cost_method]
+    if cost_cls is SSD:
+        cost = cost_cls(max_disparity,
+                        cost_volume_dtype=jnp.dtype(volume_dtype))
+    else:
+        cost = cost_cls(max_disparity)
+
+    return Pipeline(cost, disparity, aggregation=aggregation)

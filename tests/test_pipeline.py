@@ -95,6 +95,21 @@ def test_create_pipeline_plumbs_penalties_and_backend():
     assert p.disparity_reduce.backend == "xla"
 
 
+def test_create_pipeline_volume_dtype(stereo_pair_small):
+    import jax.numpy as jnp
+    left, right = stereo_pair_small
+    p = create_pipeline("ssd", "wta", "sgm", max_disparity=8,
+                        volume_dtype="bfloat16")
+    assert p.cost.cost_volume_dtype == jnp.bfloat16
+    disp = np.asarray(p.estimate(left, right))
+    assert disp.dtype == np.int32
+    with pytest.raises(ValueError):
+        create_pipeline("ssd", "wta", "sgm", volume_dtype="int32")
+    p_int = create_pipeline("ssd", "wta", None, max_disparity=8,
+                            volume_dtype="int32")
+    assert np.asarray(p_int.estimate(left, right)).dtype == np.int32
+
+
 def test_max_disparity_is_mutable(stereo_pair_small):
     """The eval workflow mutates cost.max_disparity per scene
     (workflows/evaluation/workflow.py:34)."""
