@@ -28,7 +28,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def measure(mesh, args):
     import jax
-    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from stereomatch_tpu.parallel import make_sharded_estimate
     from stereomatch_tpu.parallel.mesh import BATCH_AXIS, TILE_AXIS
@@ -47,13 +47,20 @@ def measure(mesh, args):
     rng = np.random.default_rng(0)
     left = rng.random((batch, height, args.width), np.float32)
     right = rng.random((batch, height, args.width), np.float32)
+    # Globally-sharded inputs: required under multi-process execution,
+    # harmless (and copy-free per shard) single-process.
+    sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))
+    gleft = jax.make_array_from_callback(left.shape, sharding,
+                                         lambda idx: left[idx])
+    gright = jax.make_array_from_callback(right.shape, sharding,
+                                          lambda idx: right[idx])
 
-    np.asarray(fn(left, right))             # compile
+    jax.block_until_ready(fn(gleft, gright))     # compile
     reps = max(args.reps, 1)
     best = float("inf")
     for _ in range(reps):
         start = time.perf_counter()
-        np.asarray(fn(left, right))
+        jax.block_until_ready(fn(gleft, gright))
         best = min(best, time.perf_counter() - start)
     fps = batch / best
     return {"devices": n_dev, "mesh": dict(mesh.shape), "batch": batch,
@@ -67,6 +74,11 @@ def main():
                         help="8-device virtual CPU mesh (logic validation).")
     parser.add_argument("--distributed", action="store_true",
                         help="Multi-host: call jax.distributed.initialize.")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator host:port for --distributed "
+                             "(default: cluster auto-detection).")
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=448)
     parser.add_argument("--disp", type=int, default=128)
@@ -79,25 +91,40 @@ def main():
     args = parser.parse_args()
 
     import os
-    if args.force_cpu:
+    if args.force_cpu and ("--xla_force_host_platform_device_count"
+                           not in os.environ.get("XLA_FLAGS", "")):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_force_host_platform_device_count=8")
     import jax
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.distributed:
-        from stereomatch_tpu.parallel import initialize_distributed
-        initialize_distributed()
+        # Directly (not via stereomatch_tpu.parallel): importing the
+        # package initializes the XLA backend, after which distributed
+        # init is rejected.
+        kwargs = {}
+        if args.coordinator:
+            kwargs = dict(coordinator_address=args.coordinator,
+                          process_id=args.process_id,
+                          num_processes=args.num_processes)
+        jax.distributed.initialize(**kwargs)
 
     from stereomatch_tpu.parallel import make_mesh
+    from stereomatch_tpu.parallel.mesh import make_hybrid_mesh
 
     devices = jax.devices()
     rows = []
-    n = 1
-    while n <= len(devices):
-        mesh = make_mesh(devices[:n])
-        rows.append(measure(mesh, args))
-        n *= 2
+    if jax.process_count() > 1:
+        # Multi-process SPMD: every process must join every computation,
+        # so measure only the full hybrid mesh (frames over hosts, rows
+        # in-host) — the DCN-axis data point BASELINE.json asks for.
+        rows.append(measure(make_hybrid_mesh(), args))
+    else:
+        n = 1
+        while n <= len(devices):
+            mesh = make_mesh(devices[:n])
+            rows.append(measure(mesh, args))
+            n *= 2
     base = rows[0]["fps_per_chip"]
     for row in rows:
         row["scaling_efficiency"] = round(row["fps_per_chip"] / base, 3)

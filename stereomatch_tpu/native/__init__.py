@@ -11,7 +11,6 @@ package works (slower) without a toolchain.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -50,12 +50,23 @@ def initialize_distributed(**kwargs) -> None:
 
     Thin wrapper over ``jax.distributed.initialize`` so multi-host video
     configs need no extra plumbing; single-process runs skip it.
+
+    NOTE: must run before anything initializes the XLA backend —
+    *importing stereomatch_tpu already does*, so multi-process entry
+    points should call ``jax.distributed.initialize`` before their first
+    stereomatch_tpu import (see tests/distributed_worker.py,
+    benchmarks/scaling.py); this helper is for code that already runs
+    inside an initialized runtime and wants idempotence.
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # Already initialized, or single-process without coordinator —
-        # both fine: jax.devices() is usable either way.
+    except RuntimeError as err:
+        if "already" in str(err).lower():
+            return                      # idempotent re-entry: fine
+        raise
+    except ValueError:
+        # Single process without a coordinator/cluster environment —
+        # fine: jax.devices() is usable without distributed state.
         pass
 
 
