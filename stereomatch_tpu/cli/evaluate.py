@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "them on re-runs (the reference's Flyte tasks "
                              "set cache=True, workflow.py:41).")
     parser.add_argument("--device", default=None)
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        default="float32",
+                        help="Cost-volume storage dtype; run the table "
+                             "twice to quantify bfloat16's accuracy cost "
+                             "on real data.")
     return parser
 
 
@@ -87,7 +92,10 @@ def main(argv=None) -> int:
     rows = []
     for cost_m, disp_m, aggr_m in configs:
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
-        pipeline = create_pipeline(cost_m, disp_m, aggr_m)
+        if args.dtype != "float32":
+            name += f"-{args.dtype}"
+        pipeline = create_pipeline(cost_m, disp_m, aggr_m,
+                                   volume_dtype=args.dtype)
         per_scene = []
         for idx in range(len(dataset)):
             item = dataset[idx]
