@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         default="float32",
                         help="Cost-volume storage dtype (bfloat16 halves "
                              "HBM traffic; recurrences stay float32).")
+    parser.add_argument("--refine", action="store_true",
+                        help="Post-process: 3x3 median + parabolic "
+                             "sub-pixel interpolation.")
+    parser.add_argument("--lr-check", action="store_true",
+                        help="Left-right consistency check with background "
+                             "occlusion fill (runs the pipeline twice).")
     return parser
 
 
@@ -76,7 +82,12 @@ def main(argv=None) -> int:
     left = np.array(left_rgb.convert("L"), np.float32)
     right = np.array(right_rgb.convert("L"), np.float32)
 
-    disparity = np.asarray(pipeline.estimate(left, right))
+    if args.refine or args.lr_check:
+        disparity = np.asarray(pipeline.estimate_refined(
+            left, right, subpixel=args.refine, median=args.refine,
+            lr_check=args.lr_check))
+    else:
+        disparity = np.asarray(pipeline.estimate(left, right))
     canvas = render_panels(disparity,
                            inputs=((left_rgb, right_rgb) if args.figure
                                    else None))

@@ -11,6 +11,8 @@ from .cost import (birchfield_cost_volume, ssd_cost_volume,
 from .disparity import (dynamic_programming, dynamic_programming_with_paths,
                         winner_takes_all)
 from .dp_pallas import dynamic_programming_pallas
+from .refine import (fill_inconsistent, left_right_consistency,
+                     median_filter_3x3, right_disparity, subpixel_refine)
 from .sgm_pallas import semiglobal_aggregate_pallas
 
 __all__ = [
@@ -18,9 +20,14 @@ __all__ = [
     "dynamic_programming",
     "dynamic_programming_pallas",
     "dynamic_programming_with_paths",
+    "fill_inconsistent",
+    "left_right_consistency",
+    "median_filter_3x3",
+    "right_disparity",
     "semiglobal_aggregate",
     "semiglobal_aggregate_pallas",
     "ssd_cost_volume",
     "ssd_texture_cost_volume",
+    "subpixel_refine",
     "winner_takes_all",
 ]

@@ -1,0 +1,131 @@
+"""Disparity post-processing: sub-pixel refinement, median filtering,
+left-right consistency (functional, jittable).
+
+Beyond the reference's capability surface (its pipeline stops at integer
+WTA/DP disparities) — these are the standard production-stereo refinement
+steps, built TPU-style: everything is a vectorized [H, W] map operation
+(lane-friendly gathers and sorting networks), no data-dependent control
+flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@jax.jit
+def subpixel_refine(cost_volume: jnp.ndarray,
+                    disparity: jnp.ndarray) -> jnp.ndarray:
+    """Parabolic sub-pixel interpolation around the winning disparity.
+
+    Fits a quadratic through (d-1, d, d+1) cost samples and returns the
+    float32 disparity at its vertex:
+
+        d* = d + (c[d-1] - c[d+1]) / (2 * (c[d-1] - 2 c[d] + c[d+1]))
+
+    Border disparities (d = 0 or D-1) and degenerate/flat parabolas fall
+    back to the integer estimate; the offset is clamped to [-0.5, 0.5]
+    (the vertex of a valid local minimum always lies within).
+    """
+    height, width, max_disp = cost_volume.shape
+    cost = cost_volume.astype(jnp.float32)
+    d = disparity.astype(jnp.int32)
+
+    def gather(idx):
+        return jnp.take_along_axis(cost, idx[:, :, None], axis=2)[:, :, 0]
+
+    c0 = gather(d)
+    cm = gather(jnp.maximum(d - 1, 0))
+    cp = gather(jnp.minimum(d + 1, max_disp - 1))
+
+    denom = cm - 2.0 * c0 + cp
+    offset = jnp.where(jnp.abs(denom) > 1e-12,
+                       (cm - cp) / (2.0 * denom), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+    interior = jnp.logical_and(d > 0, d < max_disp - 1)
+    valid = jnp.logical_and(interior, jnp.isfinite(denom))
+    return jnp.where(valid, d + offset, d).astype(jnp.float32)
+
+
+@jax.jit
+def median_filter_3x3(disparity: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median (edge-replicated), the classic speckle cleaner.
+
+    Stacks the 9 neighbor planes and takes the middle of a lane-parallel
+    sort — O(H*W*9 log 9) elementwise work, no gathers.
+    """
+    x = disparity.astype(jnp.float32)
+    padded = jnp.pad(x, 1, mode="edge")
+    height, width = x.shape
+    planes = [padded[dy:dy + height, dx:dx + width]
+              for dy in range(3) for dx in range(3)]
+    stacked = jnp.stack(planes, axis=-1)
+    return jnp.sort(stacked, axis=-1)[:, :, 4].astype(disparity.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_diff",))
+def left_right_consistency(disp_left: jnp.ndarray,
+                           disp_right: jnp.ndarray,
+                           max_diff: int = 1) -> jnp.ndarray:
+    """Occlusion mask via the left-right cross check.
+
+    A left-image pixel x with disparity d maps to right-image pixel x-d;
+    it is consistent when the right disparity there agrees within
+    ``max_diff``: |dL(x) - dR(x - dL(x))| <= max_diff.  Out-of-image
+    projections are inconsistent.  Returns a bool [H, W] mask (True =
+    consistent).
+    """
+    width = disp_left.shape[1]
+    d_l = disp_left.astype(jnp.int32)
+    x = lax.broadcasted_iota(jnp.int32, d_l.shape, 1)
+    target = x - d_l
+    in_range = target >= 0
+    d_r = jnp.take_along_axis(disp_right.astype(jnp.int32),
+                              jnp.clip(target, 0, width - 1), axis=1)
+    return jnp.logical_and(in_range,
+                           jnp.abs(d_l - d_r) <= max_diff)
+
+
+def right_disparity(pipeline_fn, left: jnp.ndarray,
+                    right: jnp.ndarray) -> jnp.ndarray:
+    """Right-image disparity from a left-disparity pipeline.
+
+    Right-to-left matching is left-to-right matching on horizontally
+    mirrored images: estimate on (flip(right), flip(left)) and flip the
+    result back.  ``pipeline_fn(left, right) -> disparity``.
+    """
+    return pipeline_fn(jnp.asarray(right)[:, ::-1],
+                       jnp.asarray(left)[:, ::-1])[:, ::-1]
+
+
+def fill_inconsistent(disparity: jnp.ndarray,
+                      mask: jnp.ndarray) -> jnp.ndarray:
+    """Fill masked-out (occluded) pixels with the standard occlusion fill:
+    the SMALLER of the nearest consistent disparities to the left and
+    right (occluded pixels belong to the background, which has the lower
+    disparity).  Implemented as a pair of prefix scans along W; a side
+    with no consistent neighbor defers to the other, and a fully
+    inconsistent row keeps its original values.
+    """
+    d = disparity.astype(jnp.float32)
+    valid = mask.astype(bool)
+
+    def propagate(vals, ok):
+        def step(carry, inp):
+            v, o = inp
+            carry = jnp.where(o, v, carry)
+            return carry, carry
+        init = jnp.full((vals.shape[0],), jnp.nan, jnp.float32)
+        _, out = lax.scan(step, init, (vals.T, ok.T))
+        return out.T                       # [H, W] last-valid-to-the-left
+
+    left_fill = propagate(d, valid)
+    right_fill = propagate(d[:, ::-1], valid[:, ::-1])[:, ::-1]
+
+    fill = jnp.fmin(left_fill, right_fill)  # fmin ignores NaN sides
+    filled = jnp.where(valid, d, fill)
+    return jnp.where(jnp.isnan(filled), d, filled)

@@ -105,6 +105,38 @@ class Pipeline:
          self._disparity_image) = self._run(left_image, right_image)
         return self._disparity_image
 
+    def estimate_refined(self, left_image, right_image, *,
+                         subpixel: bool = True, median: bool = True,
+                         lr_check: bool = False,
+                         max_diff: int = 1) -> jnp.ndarray:
+        """Estimate + post-processing (beyond the reference's surface).
+
+        Optional stages, in order: left-right consistency check with
+        background occlusion fill (``lr_check``; runs the pipeline twice),
+        3x3 median (``median``), and parabolic sub-pixel interpolation on
+        the aggregated volume (``subpixel`` — output becomes float32).
+        See ops/refine.py.
+        """
+        from .ops import refine
+
+        disp_r = None
+        if lr_check:
+            disp_r = refine.right_disparity(
+                lambda l, r: self._run(l, r)[2],
+                jnp.asarray(left_image), jnp.asarray(right_image))
+        disp = self.estimate(left_image, right_image)
+        if lr_check:
+            mask = refine.left_right_consistency(disp, disp_r, max_diff)
+            disp = refine.fill_inconsistent(disp, mask)
+        if median:
+            disp = refine.median_filter_3x3(disp)
+        if subpixel:
+            idx = jnp.clip(jnp.round(disp), 0,
+                           self._aggregation_volume.shape[2] - 1)
+            disp = refine.subpixel_refine(self._aggregation_volume,
+                                          idx.astype(jnp.int32))
+        return disp
+
     def estimate_fn(self) -> Callable:
         """The pipeline as a pure function for jit / sharding composition.
 
