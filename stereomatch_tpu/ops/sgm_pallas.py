@@ -366,10 +366,11 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
         mask_ref[0] = jnp.where(lane == 0, inf, ones)
         mask_ref[1] = jnp.where(lane == max_disp - 1, inf, ones)
 
+    out_dtype = out_ref.dtype
     row_order = (list(reversed(range(rows_per_step))) if reverse
                  else list(range(rows_per_step)))
     for step_idx, r in enumerate(row_order):
-        cost = cost_ref[r]                           # [W, D]
+        cost = cost_ref[r].astype(jnp.float32)       # [W, D]
         is_chunk_start = step_idx == 0
 
         def _step(r=r, cost=cost, is_chunk_start=is_chunk_start):
@@ -403,7 +404,7 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
                 total = total + val
             for idx in range(n_fam):
                 carry_ref[idx] = new_carries[idx]
-            out_ref[r] = total
+            out_ref[r] = total.astype(out_dtype)
 
         _step()
 
@@ -503,10 +504,10 @@ def _sweep_chunk_with_carry_wgrid(cost, p2map, carry_in, seed, *, families,
         blk = lambda i, c: (i, c, 0)
     whole = lambda i, c: (0, 0, 0)
 
-    def sds(shape):
+    def sds(shape, dtype=jnp.float32):
         if out_vma is None:
-            return jax.ShapeDtypeStruct(shape, jnp.float32)
-        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=out_vma)
+            return jax.ShapeDtypeStruct(shape, dtype)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=out_vma)
 
     kernel = functools.partial(_chunk_kernel_wgrid, families=families,
                                penalty1=penalty1, reverse=reverse)
@@ -527,7 +528,7 @@ def _sweep_chunk_with_carry_wgrid(cost, p2map, carry_in, seed, *, families,
             pl.BlockSpec((n_fam, width, max_disp), whole,
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(sds((height, width, max_disp)),
+        out_shape=(sds((height, width, max_disp), cost.dtype),
                    sds((n_fam, width, max_disp))),
         scratch_shapes=[
             pltpu.VMEM((2, cw, max_disp), jnp.float32),
@@ -565,10 +566,10 @@ def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
     else:
         row = lambda i: (i, 0, 0)
 
-    def sds(shape):
+    def sds(shape, dtype=jnp.float32):
         if out_vma is None:
-            return jax.ShapeDtypeStruct(shape, jnp.float32)
-        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=out_vma)
+            return jax.ShapeDtypeStruct(shape, dtype)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=out_vma)
 
     kernel = functools.partial(_chunk_kernel, families=families,
                                penalty1=penalty1, reverse=reverse,
@@ -593,7 +594,7 @@ def sweep_chunk_with_carry(cost, p2map, carry_in, seed, *, families,
             pl.BlockSpec((n_fam, width, max_disp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(sds((height, width, max_disp)),
+        out_shape=(sds((height, width, max_disp), cost.dtype),
                    sds((n_fam, width, max_disp))),
         scratch_shapes=[pltpu.VMEM((n_fam, width, max_disp), jnp.float32),
                         pltpu.VMEM((2, width, max_disp), jnp.float32)],

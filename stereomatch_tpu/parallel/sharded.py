@@ -302,7 +302,10 @@ def _pallas_overlap_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
     recurrence identity, so first-in-scan-order tiles are exact.  The
     horizontal family is tile-local on the transposed block.
     """
-    vol = cost_vol.astype(jnp.float32)
+    # bfloat16 volumes stream through the kernels in bf16 (storage);
+    # recurrences run f32 in VMEM (see ops/sgm_pallas.py).
+    vol = (cost_vol if cost_vol.dtype == jnp.bfloat16
+           else cost_vol.astype(jnp.float32))
     img = left_image.astype(jnp.float32)
     overlap = _effective_overlap(overlap, vol.shape[1], n_tiles)
     p1, p2 = float(penalty1), float(penalty2)
@@ -358,7 +361,8 @@ def _pallas_exact_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
     ride in one [F, W, D] carry per direction).  Bit-matches the
     single-chip Pallas aggregation.  The horizontal family is tile-local.
     """
-    vol = cost_vol.astype(jnp.float32)
+    vol = (cost_vol if cost_vol.dtype == jnp.bfloat16
+           else cost_vol.astype(jnp.float32))
     img = left_image.astype(jnp.float32)
     p1, p2 = float(penalty1), float(penalty2)
     shifts = sgm_pallas._FAMILY_SHIFTS
@@ -547,6 +551,7 @@ class ShardedPipeline:
 
     def __init__(self, mesh, max_disparity: int, *, cost: str = "ssd",
                  kernel_size: Optional[int] = None,
+                 cost_dtype=jnp.float32,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  sgm_mode: str = "exact", overlap: int = 64,
@@ -555,7 +560,8 @@ class ShardedPipeline:
         self.max_disparity = max_disparity
         self._fn = make_sharded_estimate(
             mesh, max_disparity=max_disparity, cost=cost,
-            kernel_size=kernel_size, aggregation=aggregation, reducer=reducer,
+            kernel_size=kernel_size, cost_dtype=cost_dtype,
+            aggregation=aggregation, reducer=reducer,
             penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
             overlap=overlap, backend=backend, interpret=interpret)
         self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))

@@ -87,3 +87,31 @@ def test_bf16_reaches_api_layer(scene):
     left, right, _ = scene
     vol = SSD(D, kernel_size=3, cost_volume_dtype=jnp.bfloat16)(left, right)
     assert vol.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("sgm_mode", ["exact", "overlap"])
+def test_bf16_sharded_pipeline(scene, sgm_mode):
+    """bf16 volumes through the row-sharded mesh pipeline (Pallas
+    interpret): disparities must closely track the single-chip bf16 path
+    (pass-accumulation rounding differs between the sharded and
+    single-chip orders, so the claim is tolerance, not bits)."""
+    import jax
+    from stereomatch_tpu.parallel import ShardedPipeline, make_mesh
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+
+    left, right, _ = scene
+    assert len(jax.devices()) >= 8
+    vol = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3,
+                          cost_dtype=jnp.bfloat16)
+    agg = semiglobal_aggregate_pallas(vol, left, interpret=True)
+    ref = np.asarray(winner_takes_all(agg))
+
+    mesh = make_mesh(jax.devices()[:8], n_batch=2)
+    pipe = ShardedPipeline(mesh, D, kernel_size=3,
+                           cost_dtype=jnp.bfloat16, aggregation="sgm",
+                           reducer="wta", sgm_mode=sgm_mode,
+                           overlap=left.shape[0], backend="pallas",
+                           interpret=True)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    assert np.mean(out[0] != ref) < 0.02
