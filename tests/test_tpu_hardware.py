@@ -77,3 +77,53 @@ def test_tiled2d_pallas_on_hardware(fixtures):
                                overlap=max(left.shape), backend="pallas")
     out = np.asarray(fn(left[None], right[None]))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_wgrid_sweep_on_hardware(fixtures, monkeypatch):
+    """The W-on-grid sweep (HD VMEM mode) compiled by real Mosaic at toy
+    shape via forced budgets — bit-matches the full-width kernel."""
+    from stereomatch_tpu.ops import sgm_pallas
+    _, left, _, vol, agg, _ = fixtures
+    monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 0)
+    row_bytes = vol.shape[1] * vol.shape[2] * 4
+    monkeypatch.setattr(sgm_pallas, "_WGRID_BUDGET_BYTES",
+                        3 * row_bytes + 10 * (row_bytes // 2))
+    assert sgm_pallas._pick_wgrid_chunks(vol.shape[1], vol.shape[2], 3) == 2
+    out = np.asarray(sgm_pallas.semiglobal_aggregate_pallas.__wrapped__(
+        vol, left))
+    np.testing.assert_array_equal(out, np.asarray(agg))
+
+
+def test_wgrid_chunk_carry_on_hardware(fixtures, monkeypatch):
+    """The W-on-grid exact-hand-off chunk kernel (resident carry I/O) on
+    real Mosaic — bit-matches the full-width chunk kernel."""
+    import jax.numpy as jnp
+    from stereomatch_tpu.ops import sgm_pallas
+    _, left, _, vol, _, _ = fixtures
+    fams = sgm_pallas._FAMILY_SHIFTS
+    pm = sgm_pallas._p2_maps(jnp.asarray(left, jnp.float32), 0.1, 0.2,
+                             fams, reverse=False)
+    carry = jnp.full((3,) + vol.shape[1:], jnp.inf, jnp.float32)
+    ref_out, ref_fin = sgm_pallas.sweep_chunk_with_carry(
+        vol, pm, carry, True, families=fams, penalty1=0.1, reverse=False)
+    wo, wf = sgm_pallas._sweep_chunk_with_carry_wgrid(
+        vol, pm, carry, True, families=fams, penalty1=0.1, reverse=False,
+        n_wchunks=2, interpret=False, out_vma=None)
+    np.testing.assert_array_equal(np.asarray(wo), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(wf), np.asarray(ref_fin))
+
+
+def test_bf16_pipeline_on_hardware(fixtures):
+    """bf16 volume streaming end-to-end on the chip: dtype survives and
+    disparities track the f32 path."""
+    import jax.numpy as jnp
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+    D, left, right, _, _, ref = fixtures
+    vol16 = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3,
+                            cost_dtype=jnp.bfloat16)
+    agg16 = semiglobal_aggregate_pallas(vol16, left)
+    assert agg16.dtype == jnp.bfloat16
+    d16 = np.asarray(winner_takes_all(agg16))
+    assert np.mean(d16 != ref) < 0.05
