@@ -6,7 +6,7 @@ Mirrors the reference (stereomatch/cli_common.py:9-52).
 from __future__ import annotations
 
 from .aggregation import Semiglobal
-from .cost import SSD, Birchfield, SSDTexture
+from .cost import SSD, Birchfield, Census, SSDTexture
 from .disparity_reduce import DynamicProgramming, WinnerTakesAll
 from .pipeline import Pipeline
 
@@ -14,6 +14,7 @@ COST_METHODS = {
     "ssd": SSD,
     "ssd-texture": SSDTexture,
     "birchfield": Birchfield,
+    "census": Census,               # beyond the reference's cost surface
 }
 
 AGGREGATION_METHODS = {
@@ -67,7 +68,7 @@ def create_pipeline(cost_method: str, disp_method: str,
                  if disparity_cls is DynamicProgramming else disparity_cls())
 
     cost_cls = COST_METHODS[cost_method]
-    if cost_cls is SSD:
+    if cost_cls in (SSD, Census):
         cost = cost_cls(max_disparity,
                         cost_volume_dtype=jnp.dtype(volume_dtype))
     else:

@@ -21,8 +21,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from .ops.cost import (birchfield_cost_volume, ssd_cost_volume,
-                       ssd_texture_cost_volume)
+from .ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
+                       ssd_cost_volume, ssd_texture_cost_volume)
 from .texture import TextureImage
 from .utils import validation
 
@@ -72,6 +72,42 @@ class SSDTexture:
         return ssd_texture_cost_volume(left_image, right_image,
                                        max_disparity=self.max_disparity,
                                        kernel_size=self.kernel_size)
+
+
+class Census:
+    """Census-transform + Hamming-distance cost (Zabih–Woodfill).
+
+    Beyond the reference's cost surface: census codes are invariant to any
+    monotonic per-image intensity transform (exposure/gamma mismatch),
+    where SSD and Birchfield both degrade.  Pairs naturally with SGM.
+
+    Attributes:
+        max_disparity: number of disparity hypotheses.
+        window_size: census window (odd, <= 33 cells; 5x5 -> 24-bit codes).
+        kernel_size: optional clipped box-sum window over the Hamming
+            costs (1 = pixelwise, the usual choice before SGM).
+        cost_volume_dtype: output dtype (float32 / bfloat16 / int32).
+    """
+
+    def __init__(self, max_disparity: int, window_size: int = 5,
+                 kernel_size: int = 1, cost_volume_dtype=jnp.float32):
+        validation.check_positive("max_disparity", max_disparity)
+        validation.check_positive("window_size", window_size)
+        validation.check_positive("kernel_size", kernel_size)
+        self.max_disparity = max_disparity
+        self.window_size = window_size
+        self.kernel_size = kernel_size
+        self.cost_volume_dtype = cost_volume_dtype
+
+    def __call__(self, left_image, right_image,
+                 cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        return census_hamming_cost_volume(
+            left_image, right_image, max_disparity=self.max_disparity,
+            window_size=self.window_size, kernel_size=self.kernel_size,
+            cost_dtype=self.cost_volume_dtype)
 
 
 class Birchfield:

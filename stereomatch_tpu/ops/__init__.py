@@ -6,7 +6,8 @@ them with the reference's Python surface.
 """
 
 from .aggregation import semiglobal_aggregate
-from .cost import (birchfield_cost_volume, ssd_cost_volume,
+from .cost import (birchfield_cost_volume, census_hamming_cost_volume,
+                   census_transform, ssd_cost_volume,
                    ssd_texture_cost_volume)
 from .disparity import (dynamic_programming, dynamic_programming_with_paths,
                         winner_takes_all)
@@ -17,6 +18,8 @@ from .sgm_pallas import semiglobal_aggregate_pallas
 
 __all__ = [
     "birchfield_cost_volume",
+    "census_hamming_cost_volume",
+    "census_transform",
     "dynamic_programming",
     "dynamic_programming_pallas",
     "dynamic_programming_with_paths",

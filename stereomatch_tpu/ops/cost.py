@@ -267,6 +267,87 @@ def birchfield_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     return jnp.where(valid, cost, jnp.inf)
 
 
+def _shift2d_zero(image: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    """Zero-filled shift: out[y, x] = image[y + rows, x + cols]."""
+    out = image
+    if rows:
+        out = jnp.roll(out, -rows, axis=0)
+        edge = lax.broadcasted_iota(jnp.int32, out.shape, 0)
+        mask = (edge >= image.shape[0] - rows) if rows > 0 else (edge < -rows)
+        out = jnp.where(mask, jnp.zeros((), image.dtype), out)
+    if cols:
+        out = jnp.roll(out, -cols, axis=1)
+        edge = lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        mask = (edge >= image.shape[1] - cols) if cols > 0 else (edge < -cols)
+        out = jnp.where(mask, jnp.zeros((), image.dtype), out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def census_transform(image: jnp.ndarray, window_size: int = 5) -> jnp.ndarray:
+    """Census descriptor per pixel: one bit per window neighbor,
+    set when neighbor < center (Zabih-Woodfill census; the robust binary
+    cost family — see e.g. "Binary Stereo Matching", arXiv:1402.2020).
+
+    ``window_size`` must be odd with at most 33 cells (bits fit int32;
+    5x5 -> 24 bits).  Out-of-image neighbors read as 0, consistent between
+    the two images.  Returns int32 [H, W] codes.
+
+    Beyond the reference's capability surface (its costs are SSD and
+    Birchfield-Tomasi); census + Hamming is invariant to any monotonic
+    per-image intensity transform, which neither reference cost is.
+    """
+    if window_size % 2 == 0 or window_size * window_size - 1 > 32:
+        raise ValueError("window_size must be odd with <= 33 cells "
+                         f"(got {window_size})")
+    img = image.astype(jnp.float32)
+    half = window_size // 2
+    code = jnp.zeros(image.shape, jnp.int32)
+    bit = 0
+    for dy in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            if dy == 0 and dx == 0:
+                continue
+            neighbor = _shift2d_zero(img, dy, dx)
+            code = code | ((neighbor < img).astype(jnp.int32) << bit)
+            bit += 1
+    return code
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "window_size",
+                                             "kernel_size", "cost_dtype"))
+def census_hamming_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
+                               max_disparity: int,
+                               window_size: int = 5,
+                               kernel_size: int = 1,
+                               cost_dtype=jnp.float32,
+                               disparity_offset=0) -> jnp.ndarray:
+    """Hamming distance between census codes, as an [H, W, D] cost volume.
+
+    cost[y, x, d] = popcount(census(L)[y, x] XOR census(R)[y, x - d]),
+    optionally box-summed over the same clipped window the SSD kernel
+    uses when ``kernel_size > 1``; d > x cells carry +inf / int-max,
+    matching the other cost kernels' validity convention.
+    """
+    cl = census_transform(left, window_size)
+    cr = census_transform(right, window_size)
+
+    shifted = shifted_right_stack(cr, max_disparity,
+                                  disparity_offset)        # [H, W, D] int32
+    ham = lax.population_count(cl[:, :, None] ^ shifted)
+
+    width = left.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
+
+    compute_dtype = _compute_dtype(left.dtype, cost_dtype)
+    cost = jnp.where(valid, ham, 0).astype(compute_dtype)
+    if kernel_size > 1:
+        cost = _box_sum(cost, kernel_size, axes=(0, 1))
+    return jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
+
+
 def ssd_texture_cost_volume(left_texture, right_texture, *,
                             max_disparity: int,
                             kernel_size: int = 7) -> jnp.ndarray:

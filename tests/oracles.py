@@ -145,6 +145,51 @@ def sgm_oracle(cost: np.ndarray, image: np.ndarray,
     return out.astype(np.float32)
 
 
+def census_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
+                  window_size: int = 5, kernel_size: int = 1) -> np.ndarray:
+    """Naive census + Hamming cost (Zabih–Woodfill; zero out-of-image
+    neighbors, d > x cells +inf, optional clipped box window like SSD)."""
+    height, width = left.shape
+    half = window_size // 2
+
+    def census(img):
+        img = img.astype(np.float32)
+        codes = np.zeros((height, width), np.int64)
+        bit = 0
+        for dy in range(-half, half + 1):
+            for dx in range(-half, half + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                for y in range(height):
+                    for x in range(width):
+                        ny, nx = y + dy, x + dx
+                        nb = (img[ny, nx]
+                              if 0 <= ny < height and 0 <= nx < width
+                              else 0.0)
+                        if nb < img[y, x]:
+                            codes[y, x] |= 1 << bit
+                bit += 1
+        return codes
+
+    cl, cr = census(left), census(right)
+    cost = np.full((height, width, max_disparity), INF, np.float32)
+    for y in range(height):
+        for x in range(width):
+            for d in range(min(x + 1, max_disparity)):
+                cost[y, x, d] = bin(cl[y, x] ^ cr[y, x - d]).count("1")
+    if kernel_size > 1:
+        k = kernel_size
+        summed = np.zeros_like(cost)
+        masked = np.where(np.isfinite(cost), cost, 0.0)
+        for y in range(height):
+            for x in range(width):
+                ys, ye = max(y - k, 0), min(y + k, height)
+                xs, xe = max(x - k, 0), min(x + k, width)
+                summed[y, x] = masked[ys:ye, xs:xe].sum(axis=(0, 1))
+        cost = np.where(np.isfinite(cost), summed, INF)
+    return cost
+
+
 def wta_oracle(cost: np.ndarray) -> np.ndarray:
     """src/winners_take_all.cu:21-40 (CPU linear scan, ties -> lower index)."""
     return np.argmin(cost, axis=2).astype(np.int32)
