@@ -57,6 +57,7 @@ def _traffic_models():
         "ssd_cost_512x256_d32": v1,
         "ssd_texture_512x256_d32": v1,
         "birchfield_cost_512x256_d32": v1,
+        "census_cost_512x256_d32": v1,
         # SGM: read the cost volume + write the aggregated volume
         "sgm_450x375_d128": 2 * v2,
         # reducers: read the volume, write [H, W] int32 (~1/D of it)
@@ -106,6 +107,7 @@ def build_benchmarks():
 
     from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
     from stereomatch_tpu.ops.cost import (birchfield_cost_volume,
+                                          census_hamming_cost_volume,
                                           ssd_cost_volume)
     from stereomatch_tpu.ops.disparity import (dynamic_programming,
                                                winner_takes_all)
@@ -153,6 +155,8 @@ def build_benchmarks():
             max_disparity=d1, kernel_size=7))
     benches["birchfield_cost_512x256_d32"] = cost_bench(
         lambda l, r: birchfield_cost_volume(l, r, max_disparity=d1))
+    benches["census_cost_512x256_d32"] = cost_bench(
+        lambda l, r: census_hamming_cost_volume(l, r, max_disparity=d1))
 
     def vol_bench(fn):
         def body(carry):

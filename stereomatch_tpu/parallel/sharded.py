@@ -48,7 +48,8 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.aggregation import sgm_scan_with_carry
-from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
+from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
+                        ssd_cost_from_padded)
 from ..ops.disparity import dynamic_programming, winner_takes_all
 from ..ops.dp_pallas import dynamic_programming_pallas
 from ..ops import sgm_pallas
@@ -96,6 +97,27 @@ def _local_birchfield(left, right, *, max_disparity, kernel_size):
                            max_disparity=max_disparity,
                            kernel_size=kernel_size)
     return jax.vmap(fn)(left, right)
+
+
+def _local_census(left, right, *, max_disparity, window_size):
+    """Census + Hamming under row sharding: ±(window//2) image-row halos
+    feed the census window; the Hamming stage is row-local.
+
+    ppermute's zero fill at the true image edges IS the census
+    transform's out-of-image convention (neighbors read 0), so computing
+    on the halo-extended block and cropping reproduces the single-chip
+    volume exactly.
+    """
+    h = window_size // 2
+    lpad = halo.pad_with_halos(left, h, h, axis=1, axis_name=TILE_AXIS)
+    rpad = halo.pad_with_halos(right, h, h, axis=1, axis_name=TILE_AXIS)
+
+    def one(lp, rp):
+        vol = census_hamming_cost_volume.__wrapped__(
+            lp, rp, max_disparity=max_disparity, window_size=window_size)
+        return vol[h:vol.shape[0] - h]
+
+    return jax.vmap(one)(lpad, rpad)
 
 
 # --------------------------------------------------------------------------
@@ -476,7 +498,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     halo exchange), optional 8-path SGM (carry hand-off or warm-up halos),
     and the reducer, all fused — no per-stage host sync anywhere.
     """
-    if cost not in ("ssd", "ssd-texture", "birchfield"):
+    if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
         raise ValueError(f"unknown cost: {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer: {reducer!r}")
@@ -501,6 +523,9 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                              cost_dtype=(jnp.float32 if cost == "ssd-texture"
                                          else cost_dtype),
                              axis_name=TILE_AXIS)
+        elif cost == "census":
+            vol = _local_census(left, right, max_disparity=max_disparity,
+                                window_size=5)
         else:
             vol = _local_birchfield(left, right,
                                     max_disparity=max_disparity,

@@ -145,6 +145,20 @@ def test_disp_sharded_ssd_texture(pair):
     np.testing.assert_array_equal(np.asarray(fn(left, right)), ref)
 
 
+def test_sharded_census(pair, mesh):
+    """Sharded census cost must bit-match the single-chip Census config
+    (ppermute zero halos == the census out-of-image convention)."""
+    from stereomatch_tpu.cost import Census
+    left, right = pair
+    vol = Census(D)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    pipe = ShardedPipeline(mesh, D, cost="census", aggregation=None,
+                           reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
 def test_overlap_mode_close_even_with_small_window(pair, mesh):
     """Warm-up shorter than the tile: not bit-exact, but disparity maps
     should disagree on only a small fraction of pixels (SGM forgets its
