@@ -29,7 +29,9 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.cost import birchfield_cost_volume, ssd_cost_volume
+from ..ops.cost import (birchfield_cost_volume,
+                        census_hamming_cost_volume,
+                        ssd_cost_volume)
 
 DISP_AXIS = "disp"
 
@@ -55,7 +57,7 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
     to every chip; they are ~KBs against the volume's GBs).  Output matches
     the single-chip `winner_takes_all(cost(...))` bit-for-bit.
     """
-    if cost not in ("ssd", "ssd-texture", "birchfield"):
+    if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
         raise ValueError(f"unknown cost {cost!r}")
     if kernel_size is None:
         kernel_size = 4 if cost == "birchfield" else 7
@@ -74,6 +76,10 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
                                   kernel_size=kernel_size,
                                   cost_dtype=cost_dtype,
                                   disparity_offset=offset)
+        elif cost == "census":
+            vol = census_hamming_cost_volume(left, right,
+                                             max_disparity=block,
+                                             disparity_offset=offset)
         else:
             vol = birchfield_cost_volume(left, right, max_disparity=block,
                                          kernel_size=kernel_size,

@@ -258,11 +258,12 @@ def test_pallas_backend_small_overlap(pair, mesh):
     assert np.mean(out[0] != ref) < 0.05
 
 
-@pytest.mark.parametrize("cost", ["ssd", "birchfield"])
+@pytest.mark.parametrize("cost", ["ssd", "birchfield", "census"])
 def test_disparity_sharded_wta(pair, cost):
     """Disparity-block sharding: each chip owns D/8 hypotheses; the global
     argmin (lowest-d tie-break) must bit-match the single-chip reducer."""
     from stereomatch_tpu.ops.cost import (birchfield_cost_volume,
+                                          census_hamming_cost_volume,
                                           ssd_cost_volume)
     from stereomatch_tpu.parallel import make_disp_mesh, make_disp_sharded_wta
     left, right = pair
@@ -275,6 +276,8 @@ def test_disparity_sharded_wta(pair, cost):
     if cost == "ssd":
         vol = ssd_cost_volume(left, right, max_disparity=d_total,
                               kernel_size=3)
+    elif cost == "census":
+        vol = census_hamming_cost_volume(left, right, max_disparity=d_total)
     else:
         vol = birchfield_cost_volume(left, right, max_disparity=d_total)
     ref = np.asarray(WinnerTakesAll()(vol))
