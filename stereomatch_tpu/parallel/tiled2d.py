@@ -44,7 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import sgm_pallas
 from ..ops.aggregation import semiglobal_aggregate
-from ..ops.cost import birchfield_cost_volume, ssd_cost_from_padded
+from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
+                        ssd_cost_from_padded)
 from ..ops.disparity import (dp_backward_chunk, dp_forward_chunk,
                              winner_takes_all)
 from ..utils.backend import resolve_backend
@@ -164,12 +165,16 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
     # "ssd-texture" = texture sampler (identity over integer pixel centres
     # under nearest/unnormalized) into float32 SSD — same compute here,
     # where inputs arrive as arrays and the cost dtype is already float32.
-    if cost not in ("ssd", "ssd-texture", "birchfield"):
+    if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
         raise ValueError(f"unknown cost {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer {reducer!r}")
     if kernel_size is None:
         kernel_size = 4 if cost == "birchfield" else 7
+    if cost == "census":
+        # kernel_size only sizes the image-row extension here; the census
+        # window needs at least window//2 = 2 halo rows.
+        kernel_size = max(kernel_size, 2)
     n_tile = mesh.shape[TILE_AXIS]
     n_tile_w = mesh.shape[TILE_W_AXIS]
     backend = resolve_backend(backend)
@@ -209,6 +214,15 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                 vol = ssd_cost_from_padded(
                     le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
                     max_disparity=max_disparity, kernel_size=kernel_size)
+            elif cost == "census":
+                # Census needs window//2 = 2 halo rows; slice them out of
+                # the k-row extension (zero fill at true image edges is
+                # the transform's out-of-image convention) and crop after.
+                h2 = 2
+                lc = le[k - h2:le.shape[0] - (k - h2)]
+                rc = re[k - h2:re.shape[0] - (k - h2)]
+                vol = census_hamming_cost_volume.__wrapped__(
+                    lc, rc, max_disparity=max_disparity)[h2:-h2]
             else:
                 vol = birchfield_cost_volume.__wrapped__(
                     le[k:le.shape[0] - k], re[k:re.shape[0] - k],

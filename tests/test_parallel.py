@@ -299,14 +299,15 @@ def test_disparity_offset_blocks_concatenate():
     np.testing.assert_array_equal(np.concatenate(blocks, axis=2), full)
 
 
-@pytest.mark.parametrize("cost", ["ssd", "birchfield"])
+@pytest.mark.parametrize("cost", ["ssd", "birchfield", "census"])
 def test_tiled2d_exact_with_covering_overlap(pair, cost):
     """2-D (tile x tile_w) mesh with halos covering the whole tile must
     reproduce the single-chip SGM+WTA result exactly."""
-    from stereomatch_tpu.cost import Birchfield
+    from stereomatch_tpu.cost import Birchfield, Census
     from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
     left, right = pair
-    cost_fn = SSD(D, kernel_size=3) if cost == "ssd" else Birchfield(D)
+    cost_fn = {"ssd": SSD(D, kernel_size=3), "birchfield": Birchfield(D),
+               "census": Census(D)}[cost]
     vol = cost_fn(left, right)
     agg = Semiglobal(backend="xla")(vol, left)
     ref = np.asarray(WinnerTakesAll()(agg))
