@@ -71,6 +71,8 @@ def _traffic_models():
         # bf16 volumes: same passes at half the bytes
         "pipeline_teddy_bf16_450x375_d128": 2 * v2,
         "pipeline_hd_bf16_1024x1280_d256": 2 * v3,
+        "pipeline_census_teddy_450x375_d128": 4 * v2,
+        "pipeline_census_bf16_teddy_d128": 2 * v2,
     }
 
 
@@ -197,6 +199,27 @@ def build_benchmarks():
         return feedback(l, disp), r
 
     benches["pipeline_teddy_bf16_450x375_d128"] = (pipe_bf16_body, (l2, r2))
+
+    # Census + SGM + WTA: the fastest full-quality config (the census
+    # stage carries no k^2 window); no reference analogue.
+    def pipe_census_body(carry):
+        l, r = carry
+        vol = census_hamming_cost_volume(l, r, max_disparity=d2)
+        disp = winner_takes_all(aggregate(vol, l))
+        return feedback(l, disp), r
+
+    benches["pipeline_census_teddy_450x375_d128"] = (pipe_census_body,
+                                                     (l2, r2))
+
+    def pipe_census_bf16_body(carry):
+        l, r = carry
+        vol = census_hamming_cost_volume(l, r, max_disparity=d2,
+                                         cost_dtype=jnp.bfloat16)
+        disp = winner_takes_all(aggregate(vol, l))
+        return feedback(l, disp), r
+
+    benches["pipeline_census_bf16_teddy_d128"] = (pipe_census_bf16_body,
+                                                  (l2, r2))
 
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default="float32",
                         help="Cost-volume storage dtype (per-frame path).")
+    parser.add_argument("--refine", action="store_true",
+                        help="Per-frame path: 3x3 median + sub-pixel "
+                             "refinement on each depthmap.")
     return parser
 
 
@@ -292,7 +295,9 @@ def main(argv=None) -> int:
             frame0, frame1 = (np.asarray(x) for x in
                               rectifier(frame0, frame1))
 
-        depthmap = np.asarray(pipeline.estimate(
+        estimate = (pipeline.estimate_refined if args.refine
+                    else pipeline.estimate)
+        depthmap = np.asarray(estimate(
             np.asarray(frame0, np.float32),
             np.asarray(frame1, np.float32)))
         rgb_depthmap = colorize_disparity(depthmap, args.max_disparity)
