@@ -153,11 +153,13 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
     if rectifier is not None:
         capture = _RectifiedCapture(capture, rectifier)
 
+    import jax.numpy as jnp
+
     reducer = ("dynamic_programming" if args.disparity_method == "dyn"
                else "wta")
     common = dict(cost=args.cost_method, aggregation=args.aggregation_method,
                   reducer=reducer, penalty1=args.p1, penalty2=args.p2,
-                  backend=args.backend)
+                  backend=args.backend, cost_dtype=jnp.dtype(args.dtype))
     if args.mesh:
         ok, first = capture.read_next()
         if not ok:

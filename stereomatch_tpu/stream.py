@@ -49,22 +49,26 @@ class StreamStats:
 def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     aggregation: Optional[str], reducer: str,
                     penalty1: float, penalty2: float,
-                    backend: str = "auto"):
+                    backend: str = "auto", cost_dtype=jnp.float32):
     if kernel_size is None:
         kernel_size = 4 if cost == "birchfield" else 7
+    if cost == "ssd-texture":
+        cost_dtype = jnp.float32        # the sampler contract is float32
     use_pallas = resolve_backend(backend) == "pallas"
 
     def frame_fn(left, right):
         if cost in ("ssd", "ssd-texture"):
             vol = ssd_cost_volume(left, right, max_disparity=max_disparity,
-                                  kernel_size=kernel_size)
+                                  kernel_size=kernel_size,
+                                  cost_dtype=cost_dtype)
         elif cost == "birchfield":
             vol = birchfield_cost_volume(left, right,
                                          max_disparity=max_disparity,
                                          kernel_size=kernel_size)
         elif cost == "census":
             vol = census_hamming_cost_volume(left, right,
-                                             max_disparity=max_disparity)
+                                             max_disparity=max_disparity,
+                                             cost_dtype=cost_dtype)
         else:
             raise ValueError(f"unknown cost {cost!r}")
         if aggregation == "sgm":
@@ -95,6 +99,7 @@ class StreamingEstimator:
 
     def __init__(self, max_disparity: int, *, batch: int = 4,
                  cost: str = "ssd", kernel_size: Optional[int] = None,
+                 cost_dtype=jnp.float32,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  backend: str = "auto", mesh=None,
@@ -107,14 +112,15 @@ class StreamingEstimator:
             self.batch = max(batch, n_batch) // n_batch * n_batch
             self._fn = make_sharded_estimate(
                 mesh, max_disparity=max_disparity, cost=cost,
-                kernel_size=kernel_size, aggregation=aggregation,
+                kernel_size=kernel_size, cost_dtype=cost_dtype,
+                aggregation=aggregation,
                 reducer=reducer, penalty1=penalty1, penalty2=penalty2,
                 sgm_mode=sgm_mode, overlap=overlap, backend=backend)
         else:
             self.batch = batch
             frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
                                        aggregation, reducer, penalty1,
-                                       penalty2, backend)
+                                       penalty2, backend, cost_dtype)
             # lax.map (sequential per-frame programs in one jit) beats vmap
             # for the Pallas stages: a vmapped kernel grid loses pipelining
             # at batch boundaries (~1.5x slower per frame measured), while
