@@ -22,7 +22,7 @@ fetch-middlebury:
 	python -m stereomatch_tpu.cli.fetch middlebury2021 --dest data/middlebury
 
 fetch-teddy:
-	python -m stereomatch_tpu.cli.fetch teddy2003 --dest tests/data/middleburry
+	python -m stereomatch_tpu.cli.fetch teddy2003 --dest data
 
 dryrun-multichip:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import jax; jax.config.update('jax_platforms', 'cpu'); import __graft_entry__ as g; g.dryrun_multichip(8)"

@@ -5,7 +5,6 @@ Measures, in a single process (one relay warm-up):
   2. teddy full pipeline SSD+SGM+WTA
   3. HD SGM: wgrid 3-family mode vs forced per-family fallback
   4. HD full pipeline
-  5. bf16 vs f32 VPU op-rate microbenchmark (is bf16 compute worth it?)
 
 Writes one JSON blob to benchmarks/sgm_experiments_out.json.
 """
@@ -20,10 +19,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-import functools
 
 from stereomatch_tpu.ops import sgm_pallas
 from stereomatch_tpu.ops.cost import ssd_cost_volume
@@ -111,39 +106,7 @@ def hd_pipe_body(carry):
 
 record("hd_pipeline", marginal_ms(hd_pipe_body, (l3, r3), 2, 3))
 
-# ---- bf16 vs f32 VPU micro -------------------------------------------------
-# Same op mix as one SGM family step (rolls, mins, adds, lane reduce) on a
-# [W, D] tile, iterated K times inside one kernel; dtype is the variable.
-
-def _micro_kernel(x_ref, o_ref, *, iters, dtype):
-    x = x_ref[...].astype(dtype)
-    p1 = jnp.asarray(0.1, dtype)
-    for _ in range(iters):
-        m = jnp.min(x, axis=1, keepdims=True)
-        xn = x - m
-        up = pltpu.roll(xn, 1, axis=1) + p1
-        dn = pltpu.roll(xn, x.shape[1] - 1, axis=1) + p1
-        x = jnp.minimum(jnp.minimum(xn, up), jnp.minimum(dn, p1)) + x
-    o_ref[...] = x.astype(jnp.float32)
-
-
-def micro(dtype, iters=64):
-    shape = (448, 128)
-    fn = pl.pallas_call(
-        functools.partial(_micro_kernel, iters=iters, dtype=dtype),
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )
-
-    def body(carry):
-        x = carry
-        return x + jnp.float32(1e-12) * fn(x)
-
-    x0 = jax.device_put(rng.random(shape, np.float32))
-    return marginal_ms(body, x0, 16, 5)
-
-record("micro_f32_64iter", micro(jnp.float32))
-record("micro_bf16_64iter", micro(jnp.bfloat16))
+# bf16 VPU micro removed: pltpu.roll rejects non-32-bit data (the kernel
+# crashed there on-chip; bf16 is storage-only — see docs/performance.md).
 
 print(json.dumps(results), flush=True)

@@ -73,6 +73,7 @@ def _traffic_models():
         "pipeline_hd_bf16_1024x1280_d256": 2 * v3,
         "pipeline_census_teddy_450x375_d128": 4 * v2,
         "pipeline_census_bf16_teddy_d128": 2 * v2,
+        "pipeline_hd_census_bf16_d256": 2 * v3,
     }
 
 
@@ -262,6 +263,16 @@ def build_benchmarks():
             return feedback(l, disp), r
 
         benches["pipeline_hd_bf16_1024x1280_d256"] = (hd_bf16_body, (l3, r3))
+
+        def hd_census_bf16_body(carry):
+            l, r = carry
+            vol = census_hamming_cost_volume(l, r, max_disparity=d3,
+                                             cost_dtype=jnp.bfloat16)
+            disp = winner_takes_all(aggregate(vol, l))
+            return feedback(l, disp), r
+
+        benches["pipeline_hd_census_bf16_d256"] = (hd_census_bf16_body,
+                                                   (l3, r3))
     return benches
 
 

@@ -92,10 +92,15 @@ def main(argv=None) -> int:
     rows = []
     for cost_m, disp_m, aggr_m in configs:
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
-        if args.dtype != "float32":
+        # Only SSD/census costs take a storage dtype; labeling other
+        # configs with the flag would attribute f32 numbers to bf16.
+        if args.dtype != "float32" and cost_m in ("ssd", "census"):
             name += f"-{args.dtype}"
         pipeline = create_pipeline(cost_m, disp_m, aggr_m,
-                                   volume_dtype=args.dtype)
+                                   volume_dtype=(args.dtype
+                                                 if cost_m in ("ssd",
+                                                               "census")
+                                                 else "float32"))
         per_scene = []
         for idx in range(len(dataset)):
             item = dataset[idx]

@@ -54,21 +54,13 @@ _WGRID_BUDGET_BYTES = 8 * 1024 * 1024      # W-on-grid mode working set cap
 
 
 def _shift2d(image: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
-    """Zero-filled 2-D shift: out[r, x] = image[r - rows, x - cols]."""
-    out = image
-    if rows:
-        out = jnp.roll(out, rows, axis=0)
-        edge = lax.broadcasted_iota(jnp.int32, out.shape, 0)
-        bound = rows - 1 if rows > 0 else out.shape[0] + rows
-        mask = (edge <= bound) if rows > 0 else (edge >= bound)
-        out = jnp.where(mask, 0.0, out)
-    if cols:
-        out = jnp.roll(out, cols, axis=1)
-        edge = lax.broadcasted_iota(jnp.int32, out.shape, 1)
-        bound = cols - 1 if cols > 0 else out.shape[1] + cols
-        mask = (edge <= bound) if cols > 0 else (edge >= bound)
-        out = jnp.where(mask, 0.0, out)
-    return out
+    """Zero-filled 2-D shift: out[r, x] = image[r - rows, x - cols].
+
+    Sign-mirrored view of ops.cost._shift2d_zero (one shared
+    implementation; this module's callers think in predecessor offsets).
+    """
+    from .cost import _shift2d_zero
+    return _shift2d_zero(image, -rows, -cols)
 
 
 def _p2_maps(image: jnp.ndarray, penalty1: float, penalty2: float,

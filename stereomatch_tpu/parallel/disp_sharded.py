@@ -60,7 +60,7 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
     if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
         raise ValueError(f"unknown cost {cost!r}")
     if kernel_size is None:
-        kernel_size = 4 if cost == "birchfield" else 7
+        kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     n_disp = mesh.shape[DISP_AXIS]
     if max_disparity % n_disp:
         raise ValueError(f"max_disparity {max_disparity} not divisible by "
@@ -77,8 +77,12 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
                                   cost_dtype=cost_dtype,
                                   disparity_offset=offset)
         elif cost == "census":
+            # Full image per chip (no spatial sharding), so the Hamming
+            # box window is exactness-safe here, unlike the tiled paths.
             vol = census_hamming_cost_volume(left, right,
                                              max_disparity=block,
+                                             kernel_size=kernel_size,
+                                             cost_dtype=cost_dtype,
                                              disparity_offset=offset)
         else:
             vol = birchfield_cost_volume(left, right, max_disparity=block,

@@ -61,8 +61,15 @@ def initialize_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as err:
-        if "already" in str(err).lower():
-            return                      # idempotent re-entry: fine
+        # jax's actual message for a second initialize is "distributed.
+        # initialize should only be called once"; treat that as the
+        # idempotent re-entry case.  "must be called before any JAX
+        # calls" fires when the backend already exists — also fine for
+        # this helper's single-runtime use (the runtime is up; there is
+        # no distributed state to create).
+        msg = str(err).lower()
+        if "only be called once" in msg or "must be called before" in msg:
+            return
         raise
     except ValueError:
         # Single process without a coordinator/cluster environment —

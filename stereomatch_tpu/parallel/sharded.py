@@ -99,7 +99,7 @@ def _local_birchfield(left, right, *, max_disparity, kernel_size):
     return jax.vmap(fn)(left, right)
 
 
-def _local_census(left, right, *, max_disparity, window_size):
+def _local_census(left, right, *, max_disparity, window_size, cost_dtype):
     """Census + Hamming under row sharding: ±(window//2) image-row halos
     feed the census window; the Hamming stage is row-local.
 
@@ -114,7 +114,8 @@ def _local_census(left, right, *, max_disparity, window_size):
 
     def one(lp, rp):
         vol = census_hamming_cost_volume.__wrapped__(
-            lp, rp, max_disparity=max_disparity, window_size=window_size)
+            lp, rp, max_disparity=max_disparity, window_size=window_size,
+            cost_dtype=cost_dtype)
         return vol[h:vol.shape[0] - h]
 
     return jax.vmap(one)(lpad, rpad)
@@ -483,6 +484,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
                           cost_dtype=jnp.float32,
+                          census_window: int = 5,
                           aggregation: Optional[str] = "sgm",
                           reducer: str = "wta",
                           penalty1: float = 0.1, penalty2: float = 0.2,
@@ -505,7 +507,12 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     if aggregation not in (None, "sgm"):
         raise ValueError(f"unknown aggregation: {aggregation!r}")
     if kernel_size is None:
-        kernel_size = 4 if cost == "birchfield" else 7
+        kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
+    if cost == "census" and kernel_size != 1:
+        raise ValueError(
+            "sharded census supports kernel_size=1 (pixelwise Hamming) "
+            "only: a box window across row-tile boundaries cannot "
+            "reproduce the single-chip clipped sum at true image edges")
     n_tiles = mesh.shape[TILE_AXIS]
 
     backend = resolve_backend(backend)
@@ -525,7 +532,8 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                              axis_name=TILE_AXIS)
         elif cost == "census":
             vol = _local_census(left, right, max_disparity=max_disparity,
-                                window_size=5)
+                                window_size=census_window,
+                                cost_dtype=cost_dtype)
         else:
             vol = _local_birchfield(left, right,
                                     max_disparity=max_disparity,
@@ -576,7 +584,7 @@ class ShardedPipeline:
 
     def __init__(self, mesh, max_disparity: int, *, cost: str = "ssd",
                  kernel_size: Optional[int] = None,
-                 cost_dtype=jnp.float32,
+                 cost_dtype=jnp.float32, census_window: int = 5,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  sgm_mode: str = "exact", overlap: int = 64,
@@ -586,6 +594,7 @@ class ShardedPipeline:
         self._fn = make_sharded_estimate(
             mesh, max_disparity=max_disparity, cost=cost,
             kernel_size=kernel_size, cost_dtype=cost_dtype,
+            census_window=census_window,
             aggregation=aggregation, reducer=reducer,
             penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
             overlap=overlap, backend=backend, interpret=interpret)

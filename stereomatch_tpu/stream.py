@@ -51,7 +51,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     penalty1: float, penalty2: float,
                     backend: str = "auto", cost_dtype=jnp.float32):
     if kernel_size is None:
-        kernel_size = 4 if cost == "birchfield" else 7
+        kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     if cost == "ssd-texture":
         cost_dtype = jnp.float32        # the sampler contract is float32
     use_pallas = resolve_backend(backend) == "pallas"
@@ -68,6 +68,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         elif cost == "census":
             vol = census_hamming_cost_volume(left, right,
                                              max_disparity=max_disparity,
+                                             kernel_size=kernel_size,
                                              cost_dtype=cost_dtype)
         else:
             raise ValueError(f"unknown cost {cost!r}")
@@ -108,8 +109,9 @@ class StreamingEstimator:
             from .parallel.mesh import BATCH_AXIS
             from .parallel.sharded import make_sharded_estimate
             n_batch = mesh.shape[BATCH_AXIS]
-            # Frames per step must fill the mesh batch axis exactly.
-            self.batch = max(batch, n_batch) // n_batch * n_batch
+            # Frames per step must fill the mesh batch axis exactly:
+            # round the request UP to the next multiple.
+            self.batch = -(-max(batch, n_batch) // n_batch) * n_batch
             self._fn = make_sharded_estimate(
                 mesh, max_disparity=max_disparity, cost=cost,
                 kernel_size=kernel_size, cost_dtype=cost_dtype,
