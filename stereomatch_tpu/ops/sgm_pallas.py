@@ -762,6 +762,31 @@ def _family_groups(width: int, max_disp: int):
     return tuple((s,) for s in _FAMILY_SHIFTS)
 
 
+def _maybe_pad_rows(cost, image, n_fam):
+    """Zero-pad the scan axis to a multiple of 8 when it buys materially
+    larger row blocks (odd/prime heights otherwise degrade to 1-row grid
+    steps).  Zero rows are the recurrence identity — the reverse sweep
+    seeds on them and enters the first real row with a zero carry, whose
+    normalized band is exactly 0, i.e. the seed value — so real-row
+    outputs are bit-identical to the unpadded kernel.  Returns
+    (cost, image, real_height)."""
+    height, width, max_disp = cost.shape
+    if not _fits_full_width(width, max_disp, n_fam):
+        return cost, image, height          # wgrid/fallback: per-row grid
+    target = -(-height // 8) * 8
+    if target == height:
+        return cost, image, height
+    rows_now = _pick_rows_per_step(height, width, max_disp, n_fam)
+    rows_padded = _pick_rows_per_step(target, width, max_disp, n_fam)
+    if 2 * rows_now > rows_padded:
+        # Blocks are already decent; padding would cost a volume copy
+        # for little grid-step saving.
+        return cost, image, height
+    pad = target - height
+    return (jnp.pad(cost, ((0, pad), (0, 0), (0, 0))),
+            jnp.pad(image, ((0, pad), (0, 0))), height)
+
+
 @functools.partial(jax.jit, static_argnames=("penalty1", "penalty2",
                                              "interpret"))
 def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
@@ -787,26 +812,31 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
     p1, p2 = float(penalty1), float(penalty2)
 
     # Row-direction families (vertical + diagonals): forward then reverse,
-    # accumulated in place.
+    # accumulated in place.  The scan axis may be zero-padded for larger
+    # row blocks (identity rows — see _maybe_pad_rows).
+    groups = _family_groups(*cost.shape[1:])
+    cost_v, image_v, height = _maybe_pad_rows(cost, image, len(groups[0]))
     partial = None
-    for shifts in _family_groups(*cost.shape[1:]):
-        p2_f = _p2_maps(image, p1, p2, shifts, reverse=False)
-        p2_r = _p2_maps(image, p1, p2, shifts, reverse=True)
-        partial = _sweep_pass(cost, p2_f, partial, families=shifts,
+    for shifts in groups:
+        p2_f = _p2_maps(image_v, p1, p2, shifts, reverse=False)
+        p2_r = _p2_maps(image_v, p1, p2, shifts, reverse=True)
+        partial = _sweep_pass(cost_v, p2_f, partial, families=shifts,
                               penalty1=p1, reverse=False,
                               interpret=interpret)
-        partial = _sweep_pass(cost, p2_r, partial, families=shifts,
+        partial = _sweep_pass(cost_v, p2_r, partial, families=shifts,
                               penalty1=p1, reverse=True, interpret=interpret)
+    partial = partial[:height]
 
     # Horizontal family: the same kernel over the transposed volume.
-    cost_t = jnp.swapaxes(cost, 0, 1)
-    image_t = image.T
+    cost_t, image_t, width = _maybe_pad_rows(jnp.swapaxes(cost, 0, 1),
+                                             image.T, 1)
     p2t_f = _p2_maps(image_t, p1, p2, (0,), reverse=False)
     p2t_r = _p2_maps(image_t, p1, p2, (0,), reverse=True)
     partial_t = _sweep_pass(cost_t, p2t_f, None, families=(0,),
                             penalty1=p1, reverse=False, interpret=interpret)
     partial_t = _sweep_pass(cost_t, p2t_r, partial_t, families=(0,),
                             penalty1=p1, reverse=True, interpret=interpret)
+    partial_t = partial_t[:width]
 
     out = partial + jnp.swapaxes(partial_t, 0, 1)
     return out.astype(cost_volume.dtype)

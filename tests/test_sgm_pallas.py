@@ -145,6 +145,28 @@ def test_forced_all_adaptations_together(volumes, monkeypatch):
                                   np.asarray(winner_takes_all(ref)))
 
 
+@pytest.mark.parametrize("height", [23, 37])
+def test_prime_height_row_padding_exact(height):
+    """Prime/odd scan lengths take the zero-row padding path (identity
+    rows) and must bit-match the XLA formulation at the value level."""
+    from stereomatch_tpu.ops import sgm_pallas
+    rng = np.random.default_rng(height)
+    width = 40
+    vol = rng.random((height, width, D)).astype(np.float32)
+    left = rng.random((height, width)).astype(np.float32)
+    # The padding predicate must fire for these shapes.
+    c, i, h = sgm_pallas._maybe_pad_rows(vol, left, 3)
+    assert c.shape[0] % 8 == 0 and h == height
+    ref = np.asarray(semiglobal_aggregate(vol, left))
+    out = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    finite = np.isfinite(ref)
+    assert np.array_equal(finite, np.isfinite(out))
+    np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-6,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(winner_takes_all(out)),
+                                  np.asarray(winner_takes_all(ref)))
+
+
 def test_pallas_distinct_value_tiebreak():
     """All-distinct volume (reference test design, test_semiglobalmatch.py:44-47)
     so any reduction-order difference would change the argmin."""
