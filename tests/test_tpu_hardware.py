@@ -113,6 +113,25 @@ def test_wgrid_chunk_carry_on_hardware(fixtures, monkeypatch):
     np.testing.assert_array_equal(np.asarray(wf), np.asarray(ref_fin))
 
 
+def test_prime_height_padding_on_hardware(fixtures):
+    """The zero-row scan-padding path compiled by real Mosaic: a prime
+    height must match the XLA formulation's disparities."""
+    from .conftest import synthetic_stereo_pair
+    from stereomatch_tpu.ops import sgm_pallas
+    from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    D = 32
+    left, right, _ = synthetic_stereo_pair(61, 96, D, seed=7)
+    vol = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3)
+    c, _, h = sgm_pallas._maybe_pad_rows(vol, left.astype(np.float32), 3)
+    assert c.shape[0] % 8 == 0 and h == 61
+    out = np.asarray(winner_takes_all(
+        sgm_pallas.semiglobal_aggregate_pallas(vol, left)))
+    ref = np.asarray(winner_takes_all(semiglobal_aggregate(vol, left)))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_bf16_pipeline_on_hardware(fixtures):
     """bf16 volume streaming end-to-end on the chip: dtype survives and
     disparities track the f32 path."""
