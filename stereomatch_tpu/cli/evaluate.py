@@ -22,7 +22,18 @@ DEFAULT_CONFIGS = [
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("dataset_dir", help="Middlebury-format dataset dir")
+    parser.add_argument("dataset_dir", nargs="?", default=None,
+                        help="Middlebury-format dataset dir (omit with "
+                             "--synthetic)")
+    parser.add_argument("--synthetic", type=int, default=None, metavar="N",
+                        help="Evaluate on N generated occlusion-aware "
+                             "synthetic scenes instead of a dataset — the "
+                             "zero-network evaluation path (occluded pixels "
+                             "are masked out of the metrics via the gt=0 "
+                             "unknown convention, like Middlebury PFMs).")
+    parser.add_argument("--synthetic-size", default="96x128x32",
+                        metavar="HxWxD",
+                        help="Geometry of --synthetic scenes.")
     parser.add_argument("--max-size", type=int, default=None,
                         help="Evaluate at most this many scenes.")
     parser.add_argument("--configs", default=None,
@@ -71,9 +82,11 @@ def grayscale(image):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import os
     if args.device:
-        os.environ.setdefault("JAX_PLATFORMS", args.device)
+        # A site-customized PJRT plugin may override the JAX_PLATFORMS env
+        # var at import time; the config update always wins.
+        import jax
+        jax.config.update("jax_platforms", args.device)
 
     import numpy as np
 
@@ -84,8 +97,31 @@ def main(argv=None) -> int:
 
     configs = (parse_configs(args.configs) if args.configs
                else DEFAULT_CONFIGS)
-    dataset = MiddleburyDataset(args.dataset_dir, max_size=args.max_size)
-    if len(dataset) == 0:
+    if args.synthetic:
+        from ..io.synthetic import stereo_pair_occluded
+        h, w, d = (int(v) for v in args.synthetic_size.split("x"))
+        items = []
+        for i in range(args.synthetic):
+            left, right, gt, occ = stereo_pair_occluded(h, w, d,
+                                                        seed=100 + i)
+            items.append({
+                "stereo_name": f"synthetic{i:02d}",
+                "left": left, "right": right,
+                # gt == 0 marks unknown pixels for the metrics (the
+                # Middlebury convention): occluded pixels have no right
+                # correspondence, so they are excluded like real
+                # datasets' unknown regions.
+                "gt_disparity": np.where(occ, 0, gt).astype(np.float32),
+                "max_disparity": d,
+            })
+    else:
+        if not args.dataset_dir:
+            print("dataset_dir or --synthetic required.", file=sys.stderr)
+            return 2
+        dataset = MiddleburyDataset(args.dataset_dir,
+                                    max_size=args.max_size)
+        items = [dataset[i] for i in range(len(dataset))]
+    if not items:
         print("No scenes found.", file=sys.stderr)
         return 1
 
@@ -102,8 +138,7 @@ def main(argv=None) -> int:
                                                                "census")
                                                  else "float32"))
         per_scene = []
-        for idx in range(len(dataset)):
-            item = dataset[idx]
+        for item in items:
             left = grayscale(item["left"])
             right = grayscale(item["right"])
             # Reference mutates max_disparity per scene (workflow.py:34).

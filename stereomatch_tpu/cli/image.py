@@ -61,9 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import os
     if args.device:
-        os.environ.setdefault("JAX_PLATFORMS", args.device)
+        # A site-customized PJRT plugin may override the JAX_PLATFORMS env
+        # var at import time; the config update always wins.
+        import jax
+        jax.config.update("jax_platforms", args.device)
 
     import numpy as np
     from PIL import Image

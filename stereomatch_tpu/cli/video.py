@@ -232,9 +232,11 @@ class _ReplayFirst:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import os
     if args.device:
-        os.environ.setdefault("JAX_PLATFORMS", args.device)
+        # A site-customized PJRT plugin may override the JAX_PLATFORMS env
+        # var at import time; the config update always wins.
+        import jax
+        jax.config.update("jax_platforms", args.device)
 
     import numpy as np
 

@@ -74,3 +74,18 @@ def test_evaluate_cli_end_to_end(dataset_dir, tmp_path, capsys):
     rows2 = json.loads(json_out.read_text())
     assert rows2[0]["rmse"] == pytest.approx(by_name["ssd-wta"]["rmse"])
     assert list((tmp_path / "cache").glob("*.npy"))
+
+
+def test_evaluate_synthetic_mode(tmp_path):
+    """--synthetic: zero-data evaluation on occlusion-aware scenes, with
+    occluded pixels excluded via the gt=0 unknown convention."""
+    out = tmp_path / "rows.json"
+    rc = evaluate_main(["--synthetic", "2", "--synthetic-size", "48x64x16",
+                        "--configs", "ssd:wta:sgm,census:wta:sgm",
+                        "--json", str(out)])
+    assert rc == 0
+    rows = json.loads(out.read_text())
+    assert {r["name"] for r in rows} == {"ssd-wta-sgm", "census-wta-sgm"}
+    for r in rows:
+        assert 0.0 <= r["bad_pixel_ratio"] < 0.2
+        assert len(r["scenes"]) == 2
