@@ -12,14 +12,16 @@ from .cost import (birchfield_cost_volume, census_hamming_cost_volume,
 from .disparity import (dynamic_programming, dynamic_programming_with_paths,
                         winner_takes_all)
 from .dp_pallas import dynamic_programming_pallas
-from .refine import (fill_inconsistent, left_right_consistency,
-                     median_filter_3x3, right_disparity, subpixel_refine)
+from .refine import (confidence_pkrn, fill_inconsistent,
+                     left_right_consistency, median_filter_3x3,
+                     right_disparity, subpixel_refine)
 from .sgm_pallas import semiglobal_aggregate_pallas
 
 __all__ = [
     "birchfield_cost_volume",
     "census_hamming_cost_volume",
     "census_transform",
+    "confidence_pkrn",
     "dynamic_programming",
     "dynamic_programming_pallas",
     "dynamic_programming_with_paths",

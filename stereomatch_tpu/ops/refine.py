@@ -90,6 +90,24 @@ def left_right_consistency(disp_left: jnp.ndarray,
                            jnp.abs(d_l - d_r) <= max_diff)
 
 
+@jax.jit
+def confidence_pkrn(cost_volume: jnp.ndarray) -> jnp.ndarray:
+    """Peak-ratio (naive) confidence: (c2 - c1) / max(c2, eps) per pixel,
+    where c1 <= c2 are the two smallest finite costs across disparities.
+
+    1 means an unambiguous minimum, 0 a tie — the standard matching
+    confidence used to gate downstream consumers.  +inf (invalid
+    disparity) lanes are ignored; pixels with fewer than two finite
+    hypotheses get confidence 0.
+    """
+    cost = cost_volume.astype(jnp.float32)
+    neg2, _ = lax.top_k(-jnp.where(jnp.isfinite(cost), cost, jnp.inf), 2)
+    c1, c2 = -neg2[..., 0], -neg2[..., 1]
+    ok = jnp.isfinite(c2)
+    conf = jnp.where(ok, (c2 - c1) / jnp.maximum(c2, 1e-12), 0.0)
+    return jnp.clip(conf, 0.0, 1.0)
+
+
 def right_disparity(pipeline_fn, left: jnp.ndarray,
                     right: jnp.ndarray) -> jnp.ndarray:
     """Right-image disparity from a left-disparity pipeline.

@@ -137,6 +137,15 @@ class Pipeline:
                                           idx.astype(jnp.int32))
         return disp
 
+    def last_confidence(self) -> jnp.ndarray:
+        """PKRN matching confidence [H, W] in [0, 1] for the most recent
+        ``estimate`` call (computed from its aggregated volume; see
+        ops.refine.confidence_pkrn)."""
+        from .ops.refine import confidence_pkrn
+        if self._aggregation_volume is None:
+            raise RuntimeError("run estimate() before last_confidence()")
+        return confidence_pkrn(self._aggregation_volume)
+
     def estimate_fn(self) -> Callable:
         """The pipeline as a pure function for jit / sharding composition.
 

@@ -5,7 +5,7 @@ import pytest
 
 from stereomatch_tpu.ops.cost import ssd_cost_volume
 from stereomatch_tpu.ops.disparity import winner_takes_all
-from stereomatch_tpu.ops.refine import (fill_inconsistent,
+from stereomatch_tpu.ops.refine import (confidence_pkrn, fill_inconsistent,
                                         left_right_consistency,
                                         median_filter_3x3, right_disparity,
                                         subpixel_refine)
@@ -94,6 +94,35 @@ def test_fill_inconsistent_left_edge_uses_right():
     np.testing.assert_array_equal(out[0], [4, 4, 4])
 
 
+def test_confidence_pkrn_basics():
+    vol = np.full((2, 3, 8), 10.0, np.float32)
+    vol[0, 0, 3] = 1.0                       # unambiguous minimum
+    vol[0, 1, :] = 5.0                       # all ties
+    vol[0, 2, :] = np.inf                    # no finite hypotheses
+    vol[0, 2, 0] = 2.0                       # ...except one
+    conf = np.asarray(confidence_pkrn(vol))
+    assert conf[0, 0] == pytest.approx(0.9)
+    assert conf[0, 1] == 0.0
+    assert conf[0, 2] == 0.0                 # < 2 finite lanes
+    assert conf.min() >= 0.0 and conf.max() <= 1.0
+
+
+def test_confidence_correlates_with_correctness():
+    """Confidence must be higher on pixels the pipeline got right than on
+    pixels it got wrong (the property consumers rely on)."""
+    from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
+    D = 16
+    left, right, gt = synthetic_stereo_pair(48, 64, D, seed=29)
+    vol = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3)
+    agg = semiglobal_aggregate(vol, left)
+    disp = np.asarray(winner_takes_all(agg))
+    conf = np.asarray(confidence_pkrn(agg))[:, D:]
+    correct = (np.abs(disp - gt) <= 1)[:, D:]
+    if correct.all() or not correct.any():
+        pytest.skip("degenerate scene")
+    assert conf[correct].mean() > conf[~correct].mean()
+
+
 def test_pipeline_estimate_refined():
     """Pipeline.estimate_refined: all stages compose; sub-pixel output is
     float32 within 0.5 of the median-filtered integer estimate."""
@@ -111,6 +140,19 @@ def test_pipeline_estimate_refined():
                 base, np.asarray(right_disparity(
                     lambda l, r: pipe.estimate_fn()(l, r), left, right)))))))
     assert np.all(np.abs(refined - smoothed) <= 0.5 + 1e-6)
+
+
+def test_pipeline_last_confidence():
+    from stereomatch_tpu.cli_common import create_pipeline
+    D = 16
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=31)
+    pipe = create_pipeline("ssd", "wta", "sgm", max_disparity=D)
+    with pytest.raises(RuntimeError):
+        pipe.last_confidence()
+    pipe.estimate(left, right)
+    conf = np.asarray(pipe.last_confidence())
+    assert conf.shape == left.shape
+    assert 0.0 <= conf.min() and conf.max() <= 1.0
 
 
 def test_image_cli_refined(tmp_path):
