@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr-check", action="store_true",
                         help="Left-right consistency check with background "
                              "occlusion fill (runs the pipeline twice).")
+    parser.add_argument("--confidence", metavar="PATH", default=None,
+                        help="Also write the PKRN matching-confidence map "
+                             "(grayscale PNG; white = unambiguous match).")
     return parser
 
 
@@ -94,6 +97,10 @@ def main(argv=None) -> int:
                            inputs=((left_rgb, right_rgb) if args.figure
                                    else None))
     Image.fromarray(canvas).save(args.output_depthmap)
+
+    if args.confidence:
+        conf = np.asarray(pipeline.last_confidence())
+        Image.fromarray((conf * 255).astype(np.uint8)).save(args.confidence)
 
     if args.show_depthmap:
         import matplotlib.pyplot as plt

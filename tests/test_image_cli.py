@@ -44,6 +44,18 @@ def test_image_cli_figure_mode(png_pair, tmp_path):
     assert img.shape[1] == 3 * w + 2 * 8
 
 
+def test_image_cli_confidence_output(png_pair, tmp_path):
+    lp, rp, (h, w) = png_pair
+    out = tmp_path / "d.png"
+    conf_out = tmp_path / "conf.png"
+    rc = cli_image.main([lp, rp, "8", str(out), "-am", "sgm",
+                         "--confidence", str(conf_out)])
+    assert rc == 0
+    conf = np.array(Image.open(conf_out))
+    assert conf.shape == (h, w)
+    assert conf.dtype == np.uint8
+
+
 def test_render_panels_colormaps_range():
     disp = np.arange(12, dtype=np.int32).reshape(3, 4)
     canvas = cli_image.render_panels(disp)
