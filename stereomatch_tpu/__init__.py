@@ -12,11 +12,11 @@ texture (the sampling layer standing in for CUDA textures).
 """
 
 from . import (aggregation, cli_common, cost, disparity_reduce, io, metrics,
-               pipeline, texture, utils)
+               pipeline, reconstruction, texture, utils)
 from .pipeline import Pipeline
 
 __version__ = "0.1.0"
 
 __all__ = ["Pipeline", "aggregation", "cli_common", "cost",
-           "disparity_reduce", "io", "metrics", "pipeline", "texture",
-           "utils", "__version__"]
+           "disparity_reduce", "io", "metrics", "pipeline", "reconstruction",
+           "texture", "utils", "__version__"]

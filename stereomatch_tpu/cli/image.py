@@ -58,6 +58,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--confidence", metavar="PATH", default=None,
                         help="Also write the PKRN matching-confidence map "
                              "(grayscale PNG; white = unambiguous match).")
+    parser.add_argument("--calib", metavar="PATH", default=None,
+                        help="Middlebury calib.txt (cam0/baseline/doffs) "
+                             "enabling metric output (--depth, "
+                             "--point-cloud).")
+    parser.add_argument("--depth", metavar="PATH", default=None,
+                        help="Also write metric depth as a PFM file "
+                             "(requires --calib).")
+    parser.add_argument("--point-cloud", metavar="PATH", default=None,
+                        help="Also write a colored 3-D point cloud as "
+                             "binary PLY (requires --calib).")
+    parser.add_argument("--max-depth", type=float, default=None,
+                        help="Far-plane cut for --point-cloud (drops "
+                             "near-zero-disparity blow-ups).")
     return parser
 
 
@@ -101,6 +114,24 @@ def main(argv=None) -> int:
     if args.confidence:
         conf = np.asarray(pipeline.last_confidence())
         Image.fromarray((conf * 255).astype(np.uint8)).save(args.confidence)
+
+    if args.depth or args.point_cloud:
+        if not args.calib:
+            print("--depth/--point-cloud require --calib.", file=sys.stderr)
+            return 2
+        from ..reconstruction import (CameraIntrinsics, depth_from_disparity,
+                                      reproject_disparity, write_ply)
+        intr = CameraIntrinsics.from_middlebury_calib(args.calib)
+        if args.depth:
+            from ..io.data import write_pfm
+            write_pfm(args.depth,
+                      np.asarray(depth_from_disparity(disparity, intr)))
+        if args.point_cloud:
+            points = np.asarray(reproject_disparity(disparity, intr))
+            n = write_ply(args.point_cloud, points,
+                          colors=np.asarray(left_rgb.convert("RGB")),
+                          max_depth=args.max_depth)
+            print(f"{args.point_cloud}: {n} points", file=sys.stderr)
 
     if args.show_depthmap:
         import matplotlib.pyplot as plt
