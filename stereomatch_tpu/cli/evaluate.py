@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "'ssd:wta,ssd:dyn:sgm'. Default: the reference's "
                              "three configs.")
     parser.add_argument("--bad-threshold", type=float, default=2.0)
+    parser.add_argument("--confidence", action="store_true",
+                        help="Also score each config's PKRN confidence map "
+                             "via sparsification AUSE (0 = ranks pixels as "
+                             "well as knowing the true error; scale = the "
+                             "config's own bad-pixel ratio).")
     parser.add_argument("--json", dest="json_out", default=None,
                         help="Also write raw metric rows to this JSON file.")
     parser.add_argument("--cache", default=None, metavar="DIR",
@@ -153,14 +158,28 @@ def main(argv=None) -> int:
                     f"{name}_{item['stereo_name']}_"
                     f"{left.shape[0]}x{left.shape[1]}_"
                     f"d{pipeline.cost.max_disparity}.npy")
-            if cache_file is not None and cache_file.exists():
+            conf_file = (cache_file.with_name(cache_file.stem + "_conf.npy")
+                         if cache_file is not None else None)
+            cached = (cache_file is not None and cache_file.exists()
+                      and (not args.confidence or conf_file.exists()))
+            if cached:
                 predicted = np.load(cache_file)
+                conf = np.load(conf_file) if args.confidence else None
             else:
                 predicted = np.asarray(pipeline.estimate(left, right))
+                conf = (np.asarray(pipeline.last_confidence())
+                        if args.confidence else None)
                 if cache_file is not None:
                     np.save(cache_file, predicted)
+                    if conf is not None:
+                        np.save(conf_file, conf)
             scene_metrics = evaluate(predicted, item["gt_disparity"],
                                      threshold=args.bad_threshold)
+            if conf is not None:
+                from ..metrics import sparsification_ause
+                scene_metrics["ause"] = sparsification_ause(
+                    predicted, item["gt_disparity"], conf,
+                    threshold=args.bad_threshold)
             scene_metrics["scene"] = item["stereo_name"]
             per_scene.append(scene_metrics)
         row = {
@@ -172,6 +191,8 @@ def main(argv=None) -> int:
                                               for m in per_scene])),
             "scenes": per_scene,
         }
+        if args.confidence:
+            row["ause"] = float(np.mean([m["ause"] for m in per_scene]))
         rows.append(row)
 
     print(metrics_markdown_table(rows))

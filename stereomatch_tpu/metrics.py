@@ -61,19 +61,77 @@ def evaluate(predicted, gt_disparity, threshold: float = 2.0) -> Dict[str, float
     }
 
 
+def sparsification_curve(predicted, gt_disparity, confidence,
+                         threshold: float = 2.0, steps: int = 20):
+    """Bad-pixel ratio of the kept pixels as the least-confident fraction
+    is removed (the standard stereo-confidence quality diagnostic).
+
+    Host-side numpy (sorting-based, evaluation-time only).  Returns
+    ``(fractions_removed, curve, oracle_curve)`` — ``curve[i]`` is the
+    bad-pixel ratio after dropping ``fractions_removed[i]`` of the valid
+    pixels in ascending-confidence order; ``oracle_curve`` drops them in
+    descending-|error| order (the best any confidence could do).
+    """
+    import numpy as np
+
+    pred = np.asarray(predicted, np.float32)
+    gt = np.asarray(gt_disparity, np.float32)
+    conf = np.asarray(confidence, np.float32)
+    mask = np.isfinite(gt) & (gt > 0)
+    err = np.abs(pred - gt)[mask]
+    bad = (err > threshold).astype(np.float64)
+    conf = conf[mask]
+    n = bad.size
+    if n == 0:
+        flat = np.zeros(steps + 1)
+        return np.linspace(0.0, 1.0, steps + 1), flat, flat
+
+    # Most-confident-first prefix means the *suffix* is what gets removed.
+    by_conf = np.cumsum(bad[np.argsort(-conf, kind="stable")])
+    by_err = np.cumsum(bad[np.argsort(err, kind="stable")])
+    fractions = np.linspace(0.0, 1.0, steps + 1)
+    keep = np.maximum((n * (1.0 - fractions)).astype(np.int64), 1)
+    curve = by_conf[keep - 1] / keep
+    oracle = by_err[keep - 1] / keep
+    return fractions, curve, oracle
+
+
+def sparsification_ause(predicted, gt_disparity, confidence,
+                        threshold: float = 2.0, steps: int = 20) -> float:
+    """Area Under the Sparsification Error curve: mean gap between the
+    confidence-ordered and oracle-ordered curves, in bad-pixel-ratio
+    units.  0 = the confidence ranks pixels as well as knowing the true
+    error; the gap to a *random* ranking is the overall bad-pixel ratio
+    itself, so AUSE is read against that scale.
+    """
+    import numpy as np
+    _, curve, oracle = sparsification_curve(predicted, gt_disparity,
+                                            confidence, threshold=threshold,
+                                            steps=steps)
+    return float(np.mean(curve - oracle))
+
+
 def metrics_markdown_table(rows) -> str:
     """Render per-config metric rows as a markdown table, like the
     reference's join_metrics task (workflow.py:108-121).
 
     Args:
         rows: iterable of dicts with keys name/rmse/avg_abs_error/
-          bad_pixel_ratio.
+          bad_pixel_ratio and optionally ause (adds a column when any
+          row carries it).
     """
-    lines = ["| config | rmse | avg abs err | bad pixel % |",
-             "|---|---|---|---|"]
+    with_ause = any("ause" in row for row in rows)
+    header = "| config | rmse | avg abs err | bad pixel % |"
+    rule = "|---|---|---|---|"
+    if with_ause:
+        header += " AUSE |"
+        rule += "---|"
+    lines = [header, rule]
     for row in rows:
-        lines.append(
-            f"| {row['name']} | {row['rmse']:.4f} | "
-            f"{row['avg_abs_error']:.4f} | "
-            f"{row['bad_pixel_ratio'] * 100:.2f} |")
+        line = (f"| {row['name']} | {row['rmse']:.4f} | "
+                f"{row['avg_abs_error']:.4f} | "
+                f"{row['bad_pixel_ratio'] * 100:.2f} |")
+        if with_ause:
+            line += (f" {row['ause']:.4f} |" if "ause" in row else " — |")
+        lines.append(line)
     return "\n".join(lines)

@@ -89,3 +89,23 @@ def test_evaluate_synthetic_mode(tmp_path):
     for r in rows:
         assert 0.0 <= r["bad_pixel_ratio"] < 0.2
         assert len(r["scenes"]) == 2
+
+
+def test_evaluate_confidence_ause(tmp_path):
+    """--confidence: PKRN sparsification AUSE per config, cached alongside
+    the disparities; the confidence must beat a random ranking by a clear
+    margin (AUSE well below the config's own bad-pixel ratio)."""
+    out = tmp_path / "rows.json"
+    args = ["--synthetic", "2", "--synthetic-size", "48x64x16",
+            "--configs", "ssd:wta:sgm", "--confidence",
+            "--cache", str(tmp_path / "cache"), "--json", str(out)]
+    assert evaluate_main(args) == 0
+    rows = json.loads(out.read_text())
+    (row,) = rows
+    assert 0.0 <= row["ause"] <= max(row["bad_pixel_ratio"], 1e-6)
+    assert all("ause" in m for m in row["scenes"])
+    assert list((tmp_path / "cache").glob("*_conf.npy"))
+    # Cached re-run reproduces the same AUSE without recomputing.
+    assert evaluate_main(args) == 0
+    rows2 = json.loads(out.read_text())
+    assert rows2[0]["ause"] == pytest.approx(row["ause"])

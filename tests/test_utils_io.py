@@ -64,7 +64,40 @@ def test_metrics_markdown():
                  bad_pixel_ratio=0.25)]
     table = metrics_markdown_table(rows)
     assert "ssd-wta" in table and "25.00" in table
+    assert "AUSE" not in table
     assert float(evaluate(np.ones((2, 2)), np.ones((2, 2)))["rmse"]) == 0.0
+    rows.append(dict(name="x", rmse=1.0, avg_abs_error=0.5,
+                     bad_pixel_ratio=0.25, ause=0.0321))
+    table = metrics_markdown_table(rows)
+    assert "AUSE" in table and "0.0321" in table
+    assert " — |" in table  # the row without a confidence score
+
+
+def test_sparsification_perfect_and_anticorrelated_confidence():
+    from stereomatch_tpu.metrics import (sparsification_ause,
+                                         sparsification_curve)
+    rng = np.random.default_rng(3)
+    gt = np.full((20, 20), 5.0, np.float32)
+    err = rng.uniform(0.0, 6.0, gt.shape).astype(np.float32)
+    pred = gt + err
+    # Confidence that perfectly ranks by true error = oracle: AUSE == 0.
+    perfect = (-err).astype(np.float32)
+    assert sparsification_ause(pred, gt, perfect) == pytest.approx(0.0)
+    # Anti-correlated confidence keeps the *worst* pixels: strictly
+    # positive AUSE, and the curve never dips below the oracle.
+    fractions, curve, oracle = sparsification_curve(pred, gt, err)
+    assert fractions[0] == 0.0 and fractions[-1] == 1.0
+    assert curve[0] == pytest.approx(np.mean(err > 2.0))
+    assert np.all(curve >= oracle - 1e-12)
+    assert sparsification_ause(pred, gt, err) > 0.05
+
+
+def test_sparsification_invalid_gt_masked():
+    from stereomatch_tpu.metrics import sparsification_ause
+    gt = np.zeros((4, 4), np.float32)          # all-invalid ground truth
+    pred = np.ones_like(gt)
+    conf = np.ones_like(gt)
+    assert sparsification_ause(pred, gt, conf) == 0.0
 
 
 # ---- PFM / dataset ----------------------------------------------------------
