@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr-check", action="store_true",
                         help="Left-right consistency check with background "
                              "occlusion fill (runs the pipeline twice).")
+    parser.add_argument("--min-confidence", type=float, default=None,
+                        metavar="T",
+                        help="Mark pixels with PKRN confidence below T as "
+                             "unknown (disparity 0, the Middlebury "
+                             "convention; composes with --depth/"
+                             "--point-cloud validity).")
     parser.add_argument("--confidence", metavar="PATH", default=None,
                         help="Also write the PKRN matching-confidence map "
                              "(grayscale PNG; white = unambiguous match).")
@@ -100,10 +106,10 @@ def main(argv=None) -> int:
     left = np.array(left_rgb.convert("L"), np.float32)
     right = np.array(right_rgb.convert("L"), np.float32)
 
-    if args.refine or args.lr_check:
+    if args.refine or args.lr_check or args.min_confidence is not None:
         disparity = np.asarray(pipeline.estimate_refined(
             left, right, subpixel=args.refine, median=args.refine,
-            lr_check=args.lr_check))
+            lr_check=args.lr_check, min_confidence=args.min_confidence))
     else:
         disparity = np.asarray(pipeline.estimate(left, right))
     canvas = render_panels(disparity,

@@ -108,13 +108,19 @@ class Pipeline:
     def estimate_refined(self, left_image, right_image, *,
                          subpixel: bool = True, median: bool = True,
                          lr_check: bool = False,
-                         max_diff: int = 1) -> jnp.ndarray:
+                         max_diff: int = 1,
+                         min_confidence: Optional[float] = None
+                         ) -> jnp.ndarray:
         """Estimate + post-processing (beyond the reference's surface).
 
         Optional stages, in order: left-right consistency check with
         background occlusion fill (``lr_check``; runs the pipeline twice),
-        3x3 median (``median``), and parabolic sub-pixel interpolation on
-        the aggregated volume (``subpixel`` — output becomes float32).
+        3x3 median (``median``), parabolic sub-pixel interpolation on
+        the aggregated volume (``subpixel`` — output becomes float32),
+        and confidence gating (``min_confidence`` — pixels whose PKRN
+        confidence falls below the threshold are marked unknown with the
+        Middlebury 0 convention, which downstream consumers — metrics'
+        valid mask, reconstruction's validity rule — already honor).
         See ops/refine.py.
         """
         from .ops import refine
@@ -135,6 +141,9 @@ class Pipeline:
                            self._aggregation_volume.shape[2] - 1)
             disp = refine.subpixel_refine(self._aggregation_volume,
                                           idx.astype(jnp.int32))
+        if min_confidence is not None:
+            keep = self.last_confidence() >= min_confidence
+            disp = jnp.where(keep, disp, jnp.zeros((), disp.dtype))
         return disp
 
     def last_confidence(self) -> jnp.ndarray:

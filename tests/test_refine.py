@@ -202,3 +202,52 @@ def test_full_refinement_chain_on_synthetic_scene():
     # accordingly the refined map cannot have more bad pixels (integer gt
     # makes a tighter claim inherently rounding-sensitive).
     assert np.mean((np.abs(sub - gt) > 1.5)[:, D:]) <= bad(smoothed) + 1e-9
+
+
+def test_confidence_gating_marks_unknown_and_improves_kept():
+    """min_confidence: gated pixels become 0 (Middlebury unknown), dtype
+    is preserved, and the kept subset's bad-pixel ratio does not exceed
+    the ungated one (PKRN removes ambiguous matches first)."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    D = 16
+    left, right, gt = synthetic_stereo_pair(40, 64, D, seed=23)
+    pipe = create_pipeline("ssd", "wta", "sgm", max_disparity=D)
+
+    plain = np.asarray(pipe.estimate_refined(left, right, subpixel=False,
+                                             median=False))
+    gated = np.asarray(pipe.estimate_refined(left, right, subpixel=False,
+                                             median=False,
+                                             min_confidence=0.05))
+    assert gated.dtype == plain.dtype            # int32 without subpixel
+    conf = np.asarray(pipe.last_confidence())
+    dropped = conf < 0.05
+    assert 0 < dropped.sum() < dropped.size
+    np.testing.assert_array_equal(gated[dropped], 0)
+    np.testing.assert_array_equal(gated[~dropped], plain[~dropped])
+
+    valid = np.ones_like(gt, bool)
+    valid[:, :D] = False
+    def bad(d, keep):
+        m = valid & keep
+        return np.mean((np.abs(d - gt) > 1)[m])
+    assert bad(gated, ~dropped) <= bad(plain, np.ones_like(dropped)) + 1e-9
+
+    # Float path: gating applies after sub-pixel, output stays float32.
+    gated_f = np.asarray(pipe.estimate_refined(left, right,
+                                               min_confidence=0.05))
+    assert gated_f.dtype == np.float32
+    np.testing.assert_array_equal(gated_f[dropped], 0.0)
+
+
+def test_image_cli_min_confidence(tmp_path):
+    from PIL import Image
+    from stereomatch_tpu.cli import image as cli_image
+    left, right, _ = synthetic_stereo_pair(24, 40, 8, seed=29)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    Image.fromarray((left * 255).astype(np.uint8)).save(lp)
+    Image.fromarray((right * 255).astype(np.uint8)).save(rp)
+    out = tmp_path / "d.png"
+    rc = cli_image.main([str(lp), str(rp), "8", str(out),
+                         "-am", "sgm", "--min-confidence", "0.02"])
+    assert rc == 0
+    assert np.array(Image.open(out)).shape == (24, 40, 3)
