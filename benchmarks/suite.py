@@ -58,6 +58,10 @@ def _traffic_models():
         "ssd_texture_512x256_d32": v1,
         "birchfield_cost_512x256_d32": v1,
         "census_cost_512x256_d32": v1,
+        "sad_cost_512x256_d32": v1,
+        # ZNCC streams six stacked statistic planes through the box
+        # filter and writes the volume: ~7 volume-sized transfers.
+        "zncc_cost_512x256_d32": 7 * v1,
         # SGM: read the cost volume + write the aggregated volume
         "sgm_450x375_d128": 2 * v2,
         # reducers: read the volume, write [H, W] int32 (~1/D of it)
@@ -111,7 +115,8 @@ def build_benchmarks():
     from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
     from stereomatch_tpu.ops.cost import (birchfield_cost_volume,
                                           census_hamming_cost_volume,
-                                          ssd_cost_volume)
+                                          sad_cost_volume, ssd_cost_volume,
+                                          zncc_cost_volume)
     from stereomatch_tpu.ops.disparity import (dynamic_programming,
                                                winner_takes_all)
     from stereomatch_tpu.ops.dp_pallas import dynamic_programming_pallas
@@ -160,6 +165,10 @@ def build_benchmarks():
         lambda l, r: birchfield_cost_volume(l, r, max_disparity=d1))
     benches["census_cost_512x256_d32"] = cost_bench(
         lambda l, r: census_hamming_cost_volume(l, r, max_disparity=d1))
+    benches["sad_cost_512x256_d32"] = cost_bench(
+        lambda l, r: sad_cost_volume(l, r, max_disparity=d1, kernel_size=7))
+    benches["zncc_cost_512x256_d32"] = cost_bench(
+        lambda l, r: zncc_cost_volume(l, r, max_disparity=d1, kernel_size=7))
 
     def vol_bench(fn):
         def body(carry):

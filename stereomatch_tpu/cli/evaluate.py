@@ -133,14 +133,14 @@ def main(argv=None) -> int:
     rows = []
     for cost_m, disp_m, aggr_m in configs:
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
-        # Only SSD/census costs take a storage dtype; labeling other
-        # configs with the flag would attribute f32 numbers to bf16.
-        if args.dtype != "float32" and cost_m in ("ssd", "census"):
+        # Only the costs with a storage dtype take the flag; labeling
+        # other configs with it would attribute f32 numbers to bf16.
+        dtyped_costs = ("ssd", "census", "sad", "ncc")
+        if args.dtype != "float32" and cost_m in dtyped_costs:
             name += f"-{args.dtype}"
         pipeline = create_pipeline(cost_m, disp_m, aggr_m,
                                    volume_dtype=(args.dtype
-                                                 if cost_m in ("ssd",
-                                                               "census")
+                                                 if cost_m in dtyped_costs
                                                  else "float32"))
         per_scene = []
         for item in items:

@@ -6,7 +6,7 @@ Mirrors the reference (stereomatch/cli_common.py:9-52).
 from __future__ import annotations
 
 from .aggregation import Semiglobal
-from .cost import SSD, Birchfield, Census, SSDTexture
+from .cost import NCC, SAD, SSD, Birchfield, Census, SSDTexture
 from .disparity_reduce import DynamicProgramming, WinnerTakesAll
 from .pipeline import Pipeline
 
@@ -15,6 +15,8 @@ COST_METHODS = {
     "ssd-texture": SSDTexture,
     "birchfield": Birchfield,
     "census": Census,               # beyond the reference's cost surface
+    "sad": SAD,                     # beyond the reference's cost surface
+    "ncc": NCC,                     # beyond the reference's cost surface
 }
 
 AGGREGATION_METHODS = {
@@ -68,7 +70,10 @@ def create_pipeline(cost_method: str, disp_method: str,
                  if disparity_cls is DynamicProgramming else disparity_cls())
 
     cost_cls = COST_METHODS[cost_method]
-    if cost_cls in (SSD, Census):
+    if cost_cls is NCC and volume_dtype == "int32":
+        raise ValueError("ncc cost is a normalized float quantity; "
+                         "volume_dtype int32 is not supported")
+    if cost_cls in (SSD, SAD, NCC, Census):
         cost = cost_cls(max_disparity,
                         cost_volume_dtype=jnp.dtype(volume_dtype))
     else:

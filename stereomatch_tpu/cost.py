@@ -22,7 +22,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
-                       ssd_cost_volume, ssd_texture_cost_volume)
+                       sad_cost_volume, ssd_cost_volume,
+                       ssd_texture_cost_volume, zncc_cost_volume)
 from .texture import TextureImage
 from .utils import validation
 
@@ -72,6 +73,73 @@ class SSDTexture:
         return ssd_texture_cost_volume(left_image, right_image,
                                        max_disparity=self.max_disparity,
                                        kernel_size=self.kernel_size)
+
+
+class SAD:
+    """Sum-of-absolute-differences cost.
+
+    Beyond the reference's cost surface (same window semantics as its SSD,
+    src/ssd.cu, with an L1 summand): more robust to outlier pixels, and
+    overflow-safe on integer inputs.
+
+    Attributes:
+        max_disparity: number of disparity hypotheses (the D axis).
+        kernel_size: window half-extent k; the window is [i-k, i+k).
+        cost_volume_dtype: output dtype (float32 / bfloat16 / int32).
+    """
+
+    def __init__(self, max_disparity: int, kernel_size: int = 7,
+                 cost_volume_dtype=jnp.float32):
+        validation.check_positive("max_disparity", max_disparity)
+        validation.check_positive("kernel_size", kernel_size)
+        self.max_disparity = max_disparity
+        self.kernel_size = kernel_size
+        self.cost_volume_dtype = cost_volume_dtype
+
+    def __call__(self, left_image, right_image,
+                 cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        return sad_cost_volume(left_image, right_image,
+                               max_disparity=self.max_disparity,
+                               kernel_size=self.kernel_size,
+                               cost_dtype=self.cost_volume_dtype)
+
+
+class NCC:
+    """Zero-mean normalized cross-correlation cost (cost = 1 - zncc).
+
+    Beyond the reference's cost surface: invariant to affine (gain + bias)
+    radiometric mismatch between the cameras over each window, where SSD
+    and SAD degrade under any mismatch and census is lossless only for
+    monotonic transforms.  Window/validity semantics match the SSD kernel
+    (clipped [i-k, i+k) windows, +inf where d > c).
+
+    Attributes:
+        max_disparity: number of disparity hypotheses (the D axis).
+        kernel_size: window half-extent k; the window is [i-k, i+k).
+        cost_volume_dtype: output dtype (float32 or bfloat16; the
+            normalization always computes float32).
+    """
+
+    def __init__(self, max_disparity: int, kernel_size: int = 7,
+                 cost_volume_dtype=jnp.float32):
+        validation.check_positive("max_disparity", max_disparity)
+        validation.check_positive("kernel_size", kernel_size)
+        self.max_disparity = max_disparity
+        self.kernel_size = kernel_size
+        self.cost_volume_dtype = cost_volume_dtype
+
+    def __call__(self, left_image, right_image,
+                 cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        return zncc_cost_volume(left_image, right_image,
+                                max_disparity=self.max_disparity,
+                                kernel_size=self.kernel_size,
+                                cost_dtype=self.cost_volume_dtype)
 
 
 class Census:

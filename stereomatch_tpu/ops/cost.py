@@ -105,6 +105,34 @@ def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
     return volume
 
 
+def _diff_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
+                      max_disparity: int, kernel_size: int,
+                      cost_dtype, disparity_offset,
+                      absolute: bool) -> jnp.ndarray:
+    """Shared body of the SSD / SAD windowed-difference cost volumes."""
+    compute_dtype = _compute_dtype(left.dtype, cost_dtype)
+    left_c = left.astype(compute_dtype)
+    right_c = right.astype(compute_dtype)
+
+    shifted = shifted_right_stack(right_c, max_disparity,
+                                  disparity_offset)          # [H, W, D]
+    diff = left_c[:, :, None] - shifted
+    term = jnp.abs(diff) if absolute else diff * diff
+
+    # Zero out w < d so the box window's lower column bound becomes
+    # max(c - k, d), matching ssd.cu:40-42.
+    width = left.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
+    term = jnp.where(valid, term, jnp.zeros((), compute_dtype))
+
+    cost = _box_sum(term, kernel_size, axes=(0, 1))
+
+    cost = jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
+    return cost
+
+
 @functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size",
                                              "cost_dtype"))
 def ssd_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
@@ -121,25 +149,66 @@ def ssd_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     [offset, offset + max_disparity) of a larger disparity axis — the
     building block for disparity-sharded execution.
     """
-    compute_dtype = _compute_dtype(left.dtype, cost_dtype)
-    left_c = left.astype(compute_dtype)
-    right_c = right.astype(compute_dtype)
+    return _diff_cost_volume(left, right, max_disparity=max_disparity,
+                             kernel_size=kernel_size, cost_dtype=cost_dtype,
+                             disparity_offset=disparity_offset,
+                             absolute=False)
 
-    shifted = shifted_right_stack(right_c, max_disparity,
-                                  disparity_offset)          # [H, W, D]
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size",
+                                             "cost_dtype"))
+def sad_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
+                    max_disparity: int, kernel_size: int = 7,
+                    cost_dtype=jnp.float32,
+                    disparity_offset=0) -> jnp.ndarray:
+    """Sum-of-absolute-differences cost volume [H, W, D].
+
+    Beyond the reference's cost surface (its windowed cost is SSD only,
+    src/ssd.cu): identical window/validity semantics — clipped [i-k, i+k)
+    windows, +inf (int max) where d > c — with an L1 summand, which is
+    less sensitive to outlier pixels than the squared difference and
+    cheaper on integer inputs (no squaring overflow: uint8 inputs cover
+    a 14x14 window at D=256 within int32 trivially).
+    """
+    return _diff_cost_volume(left, right, max_disparity=max_disparity,
+                             kernel_size=kernel_size, cost_dtype=cost_dtype,
+                             disparity_offset=disparity_offset,
+                             absolute=True)
+
+
+def _diff_cost_from_padded(left_padded: jnp.ndarray,
+                           right_padded: jnp.ndarray,
+                           *, pad_before: int, pad_after: int,
+                           max_disparity: int, kernel_size: int,
+                           cost_dtype, absolute: bool) -> jnp.ndarray:
+    """Shared body of the halo-consuming SSD / SAD band costs."""
+    k = kernel_size
+    if pad_before > k or pad_after > k - 1:
+        raise ValueError("halos wider than the window change the semantics")
+    compute_dtype = _compute_dtype(left_padded.dtype, cost_dtype)
+    left_c = left_padded.astype(compute_dtype)
+    right_c = right_padded.astype(compute_dtype)
+
+    shifted = shifted_right_stack(right_c, max_disparity)    # [Hp, W, D]
     diff = left_c[:, :, None] - shifted
-    diff2 = diff * diff
+    term = jnp.abs(diff) if absolute else diff * diff
 
-    # Zero out w < d so the box window's lower column bound becomes
-    # max(c - k, d), matching ssd.cu:40-42.
-    width = left.shape[1]
+    width = left_padded.shape[1]
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
-    diff2 = jnp.where(valid, diff2, jnp.zeros((), compute_dtype))
+    valid = (w_idx >= d_idx)[None, :, :]
+    term = jnp.where(valid, term, jnp.zeros((), compute_dtype))
 
-    cost = _box_sum(diff2, kernel_size, axes=(0, 1))
-
+    # W-axis clipped window as usual; H-axis window consumes the explicit
+    # halos: pad only the part of (k, k-1) the caller did not provide.
+    cost = lax.reduce_window(
+        term,
+        jnp.zeros((), term.dtype),
+        lax.add,
+        window_dimensions=(2 * k, 2 * k, 1),
+        window_strides=(1, 1, 1),
+        padding=((k - pad_before, (k - 1) - pad_after), (k, k - 1), (0, 0)),
+    )
     cost = jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
     return cost
 
@@ -161,35 +230,23 @@ def ssd_cost_from_padded(left_padded: jnp.ndarray, right_padded: jnp.ndarray,
 
     Returns [H_rows, W, D] where H_rows = padded_height - pad_before - pad_after.
     """
-    k = kernel_size
-    if pad_before > k or pad_after > k - 1:
-        raise ValueError("halos wider than the window change the semantics")
-    compute_dtype = _compute_dtype(left_padded.dtype, cost_dtype)
-    left_c = left_padded.astype(compute_dtype)
-    right_c = right_padded.astype(compute_dtype)
+    return _diff_cost_from_padded(left_padded, right_padded,
+                                  pad_before=pad_before, pad_after=pad_after,
+                                  max_disparity=max_disparity,
+                                  kernel_size=kernel_size,
+                                  cost_dtype=cost_dtype, absolute=False)
 
-    shifted = shifted_right_stack(right_c, max_disparity)    # [Hp, W, D]
-    diff = left_c[:, :, None] - shifted
-    diff2 = diff * diff
 
-    width = left_padded.shape[1]
-    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
-    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    valid = (w_idx >= d_idx)[None, :, :]
-    diff2 = jnp.where(valid, diff2, jnp.zeros((), compute_dtype))
-
-    # W-axis clipped window as usual; H-axis window consumes the explicit
-    # halos: pad only the part of (k, k-1) the caller did not provide.
-    cost = lax.reduce_window(
-        diff2,
-        jnp.zeros((), diff2.dtype),
-        lax.add,
-        window_dimensions=(2 * k, 2 * k, 1),
-        window_strides=(1, 1, 1),
-        padding=((k - pad_before, (k - 1) - pad_after), (k, k - 1), (0, 0)),
-    )
-    cost = jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
-    return cost
+def sad_cost_from_padded(left_padded: jnp.ndarray, right_padded: jnp.ndarray,
+                         *, pad_before: int, pad_after: int,
+                         max_disparity: int, kernel_size: int = 7,
+                         cost_dtype=jnp.float32) -> jnp.ndarray:
+    """SAD band cost with explicit row halos (see ssd_cost_from_padded)."""
+    return _diff_cost_from_padded(left_padded, right_padded,
+                                  pad_before=pad_before, pad_after=pad_after,
+                                  max_disparity=max_disparity,
+                                  kernel_size=kernel_size,
+                                  cost_dtype=cost_dtype, absolute=True)
 
 
 def _birchfield_match_cost(left: jnp.ndarray, right: jnp.ndarray,
@@ -346,6 +403,133 @@ def census_hamming_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     if kernel_size > 1:
         cost = _box_sum(cost, kernel_size, axes=(0, 1))
     return jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
+
+
+def _zncc_stack(left_f: jnp.ndarray, shifted: jnp.ndarray,
+                valid: jnp.ndarray) -> jnp.ndarray:
+    """The six windowed-summand planes of the ZNCC statistics.
+
+    Order: [count, sum_L, sum_L2, sum_R, sum_R2, sum_LR], each masked by
+    the per-(column, disparity) validity so the window statistics use
+    exactly the clipped column range [max(c-k, d), min(c+k, W)) the SSD
+    kernel sums over (ssd.cu:37-42).  ``shifted`` is already zero where
+    invalid (shifted_right_stack's out-of-range fill).
+    """
+    v = jnp.broadcast_to(valid, shifted.shape).astype(jnp.float32)
+    l3 = left_f[:, :, None] * v
+    return jnp.stack([v, l3, l3 * left_f[:, :, None],
+                      shifted, shifted * shifted,
+                      left_f[:, :, None] * shifted])
+
+
+def _zncc_combine(sums: jnp.ndarray, valid: jnp.ndarray,
+                  cost_dtype, eps) -> jnp.ndarray:
+    """Window statistics [6, H, W, D] -> ZNCC cost ``1 - ncc`` in [0, 2].
+
+    Windows with (near-)zero variance on either side carry the neutral
+    cost 1 (ncc defined as 0 there): a flat patch matches nothing and
+    everything equally, and amplifying quantization noise with a tiny
+    denominator would make it match arbitrarily.
+    """
+    n, s_l, s_ll, s_r, s_rr, s_lr = sums
+    n_safe = jnp.maximum(n, 1.0)
+    cov = s_lr - s_l * s_r / n_safe
+    var_l = jnp.maximum(s_ll - s_l * s_l / n_safe, 0.0)
+    var_r = jnp.maximum(s_rr - s_r * s_r / n_safe, 0.0)
+    denom = jnp.sqrt(var_l * var_r)
+    ncc = jnp.where(denom > eps, cov / jnp.maximum(denom, eps), 0.0)
+    cost = 1.0 - ncc
+    return jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size",
+                                             "cost_dtype"))
+def zncc_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
+                     max_disparity: int, kernel_size: int = 7,
+                     cost_dtype=jnp.float32,
+                     disparity_offset=0, eps: float = 1e-6) -> jnp.ndarray:
+    """Zero-mean normalized cross-correlation cost volume [H, W, D].
+
+    Beyond the reference's cost surface: ``cost = 1 - zncc`` over the same
+    clipped window as SSD, invariant to *affine* (gain + bias) radiometric
+    mismatch between the two cameras — where SSD/SAD degrade under any
+    mismatch and census handles only monotonic transforms losslessly.
+
+    All six window statistics (count, ΣL, ΣL², ΣR, ΣR², ΣLR) are stacked
+    on a leading axis and box-summed in one separable pass pair, so XLA
+    streams the [H, W, D] volume a constant number of times regardless of
+    the statistic count.  Always computes float32 (normalization is a
+    float quantity); ``cost_dtype`` must be a float dtype.
+    """
+    cost_dtype = jnp.dtype(cost_dtype)
+    if not jnp.issubdtype(cost_dtype, jnp.floating):
+        raise ValueError("zncc cost requires a float cost_dtype "
+                         f"(got {cost_dtype})")
+    left_f = left.astype(jnp.float32)
+    right_f = right.astype(jnp.float32)
+
+    shifted = shifted_right_stack(right_f, max_disparity,
+                                  disparity_offset)          # [H, W, D]
+    width = left.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
+
+    stack = _zncc_stack(left_f, shifted, valid)              # [6, H, W, D]
+    sums = _box_sum(stack, kernel_size, axes=(1, 2))
+    return _zncc_combine(sums, valid, cost_dtype, eps)
+
+
+def zncc_cost_from_padded(left_padded: jnp.ndarray,
+                          right_padded: jnp.ndarray, *,
+                          pad_before: int, pad_after: int,
+                          max_disparity: int, kernel_size: int = 7,
+                          cost_dtype=jnp.float32,
+                          eps: float = 1e-6,
+                          row_valid=None) -> jnp.ndarray:
+    """ZNCC band cost with explicit row halos (see ssd_cost_from_padded).
+
+    Unlike the SSD/SAD band costs — where a zero-filled halo row at the
+    true image edge is the summand's additive identity — ZNCC's window
+    *count* statistic must not count such rows, or edge windows would be
+    normalized over a larger support than the single-chip clipped window.
+    ``row_valid`` ([padded_height] bool, True for rows inside the real
+    image) masks them out; None means all padded rows are real data
+    (interior tiles / full halos).
+    """
+    cost_dtype = jnp.dtype(cost_dtype)
+    if not jnp.issubdtype(cost_dtype, jnp.floating):
+        raise ValueError("zncc cost requires a float cost_dtype "
+                         f"(got {cost_dtype})")
+    k = kernel_size
+    if pad_before > k or pad_after > k - 1:
+        raise ValueError("halos wider than the window change the semantics")
+    left_f = left_padded.astype(jnp.float32)
+    right_f = right_padded.astype(jnp.float32)
+
+    shifted = shifted_right_stack(right_f, max_disparity)    # [Hp, W, D]
+    width = left_padded.shape[1]
+    w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+    valid = (w_idx >= d_idx)[None, :, :]
+    summand_valid = (valid if row_valid is None
+                     else valid & row_valid[:, None, None])
+
+    stack = _zncc_stack(left_f, shifted, summand_valid)      # [6, Hp, W, D]
+    # Halo rows contribute where provided; the remainder of the (k, k-1)
+    # H-window is zero padding, the summands' additive identity.  The
+    # window *count* plane clips the same way, so normalization at the
+    # true image border matches the unsharded kernel.
+    sums = lax.reduce_window(
+        stack,
+        jnp.zeros((), stack.dtype),
+        lax.add,
+        window_dimensions=(1, 2 * k, 2 * k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (k - pad_before, (k - 1) - pad_after),
+                 (k, k - 1), (0, 0)),
+    )
+    return _zncc_combine(sums, valid, cost_dtype, eps)
 
 
 def ssd_texture_cost_volume(left_texture, right_texture, *,

@@ -31,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.cost import (birchfield_cost_volume,
                         census_hamming_cost_volume,
-                        ssd_cost_volume)
+                        sad_cost_volume, ssd_cost_volume,
+                        zncc_cost_volume)
 
 DISP_AXIS = "disp"
 
@@ -57,7 +58,8 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
     to every chip; they are ~KBs against the volume's GBs).  Output matches
     the single-chip `winner_takes_all(cost(...))` bit-for-bit.
     """
-    if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
+    if cost not in ("ssd", "ssd-texture", "birchfield", "census", "sad",
+                    "ncc"):
         raise ValueError(f"unknown cost {cost!r}")
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
@@ -76,6 +78,18 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
                                   kernel_size=kernel_size,
                                   cost_dtype=cost_dtype,
                                   disparity_offset=offset)
+        elif cost == "sad":
+            vol = sad_cost_volume(left, right, max_disparity=block,
+                                  kernel_size=kernel_size,
+                                  cost_dtype=cost_dtype,
+                                  disparity_offset=offset)
+        elif cost == "ncc":
+            # Full image per chip: window statistics are exactness-safe,
+            # and the validity mask threads the global disparity_offset.
+            vol = zncc_cost_volume(left, right, max_disparity=block,
+                                   kernel_size=kernel_size,
+                                   cost_dtype=cost_dtype,
+                                   disparity_offset=offset)
         elif cost == "census":
             # Full image per chip (no spatial sharding), so the Hamming
             # box window is exactness-safe here, unlike the tiled paths.

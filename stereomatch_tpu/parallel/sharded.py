@@ -49,7 +49,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.aggregation import sgm_scan_with_carry
 from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
-                        ssd_cost_from_padded)
+                        sad_cost_from_padded, ssd_cost_from_padded,
+                        zncc_cost_from_padded)
 from ..ops.disparity import dynamic_programming, winner_takes_all
 from ..ops.dp_pallas import dynamic_programming_pallas
 from ..ops import sgm_pallas
@@ -89,6 +90,42 @@ def _local_ssd(left, right, *, max_disparity, kernel_size, cost_dtype,
                            pad_after=k - 1, max_disparity=max_disparity,
                            kernel_size=kernel_size, cost_dtype=cost_dtype)
     return jax.vmap(fn)(lpad, rpad)
+
+
+def _local_sad(left, right, *, max_disparity, kernel_size, cost_dtype,
+               axis_name):
+    """SAD under row sharding: identical halo pattern to _local_ssd."""
+    k = kernel_size
+    lpad = halo.pad_with_halos(left, k, k - 1, axis=1, axis_name=axis_name)
+    rpad = halo.pad_with_halos(right, k, k - 1, axis=1, axis_name=axis_name)
+    fn = functools.partial(sad_cost_from_padded, pad_before=k,
+                           pad_after=k - 1, max_disparity=max_disparity,
+                           kernel_size=kernel_size, cost_dtype=cost_dtype)
+    return jax.vmap(fn)(lpad, rpad)
+
+
+def _local_zncc(left, right, *, max_disparity, kernel_size, cost_dtype,
+                axis_name, n_tiles):
+    """ZNCC under row sharding.
+
+    Same (k, k-1) image-row halos as SSD, plus a per-row validity mask:
+    halo rows that fall outside the true image (ppermute zero fill at
+    ranks 0 and n-1) must not enter the window *count* statistic — zero
+    is the additive identity for the sums but not for the count (see
+    zncc_cost_from_padded).
+    """
+    k = kernel_size
+    lpad = halo.pad_with_halos(left, k, k - 1, axis=1, axis_name=axis_name)
+    rpad = halo.pad_with_halos(right, k, k - 1, axis=1, axis_name=axis_name)
+    h_local = left.shape[1]
+    p = lax.axis_index(axis_name)
+    rows = lax.broadcasted_iota(jnp.int32, (h_local + 2 * k - 1,), 0)
+    global_row = rows + p * h_local - k
+    row_valid = (global_row >= 0) & (global_row < n_tiles * h_local)
+    fn = functools.partial(zncc_cost_from_padded, pad_before=k,
+                           pad_after=k - 1, max_disparity=max_disparity,
+                           kernel_size=kernel_size, cost_dtype=cost_dtype)
+    return jax.vmap(lambda l, r: fn(l, r, row_valid=row_valid))(lpad, rpad)
 
 
 def _local_birchfield(left, right, *, max_disparity, kernel_size):
@@ -500,7 +537,8 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     halo exchange), optional 8-path SGM (carry hand-off or warm-up halos),
     and the reducer, all fused — no per-stage host sync anywhere.
     """
-    if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
+    if cost not in ("ssd", "ssd-texture", "birchfield", "census", "sad",
+                    "ncc"):
         raise ValueError(f"unknown cost: {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer: {reducer!r}")
@@ -530,6 +568,14 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                              cost_dtype=(jnp.float32 if cost == "ssd-texture"
                                          else cost_dtype),
                              axis_name=TILE_AXIS)
+        elif cost == "sad":
+            vol = _local_sad(left, right, max_disparity=max_disparity,
+                             kernel_size=kernel_size, cost_dtype=cost_dtype,
+                             axis_name=TILE_AXIS)
+        elif cost == "ncc":
+            vol = _local_zncc(left, right, max_disparity=max_disparity,
+                              kernel_size=kernel_size, cost_dtype=cost_dtype,
+                              axis_name=TILE_AXIS, n_tiles=n_tiles)
         elif cost == "census":
             vol = _local_census(left, right, max_disparity=max_disparity,
                                 window_size=census_window,

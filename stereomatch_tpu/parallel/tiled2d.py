@@ -45,7 +45,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import sgm_pallas
 from ..ops.aggregation import semiglobal_aggregate
 from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
-                        ssd_cost_from_padded)
+                        sad_cost_from_padded, ssd_cost_from_padded,
+                        zncc_cost_from_padded)
 from ..ops.disparity import (dp_backward_chunk, dp_forward_chunk,
                              winner_takes_all)
 from ..utils.backend import resolve_backend
@@ -165,7 +166,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
     # "ssd-texture" = texture sampler (identity over integer pixel centres
     # under nearest/unnormalized) into float32 SSD — same compute here,
     # where inputs arrive as arrays and the cost dtype is already float32.
-    if cost not in ("ssd", "ssd-texture", "birchfield", "census"):
+    if cost not in ("ssd", "ssd-texture", "birchfield", "census", "sad",
+                    "ncc"):
         raise ValueError(f"unknown cost {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer {reducer!r}")
@@ -209,11 +211,27 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         # (ssd_cost_from_padded semantics — zero halos at the true image
         # top/bottom are the additive identity of the clipped window).
         # Birchfield's window is scanline-local: the halo rows just drop.
+        # ZNCC's window count must exclude halo rows beyond the true image
+        # (zero fill is the additive identity for its sums, not its count).
+        p_h = lax.axis_index(TILE_AXIS)
+        row_iota = lax.broadcasted_iota(jnp.int32, (h_loc + 2 * k - 1,), 0)
+        global_row = row_iota + p_h * h_loc - k
+        row_valid = (global_row >= 0) & (global_row < n_tile * h_loc)
+
         def cost_one_padded(le, re):
             if cost in ("ssd", "ssd-texture"):
                 vol = ssd_cost_from_padded(
                     le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
                     max_disparity=max_disparity, kernel_size=kernel_size)
+            elif cost == "sad":
+                vol = sad_cost_from_padded(
+                    le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
+                    max_disparity=max_disparity, kernel_size=kernel_size)
+            elif cost == "ncc":
+                vol = zncc_cost_from_padded(
+                    le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
+                    max_disparity=max_disparity, kernel_size=kernel_size,
+                    row_valid=row_valid)
             elif cost == "census":
                 # Census needs window//2 = 2 halo rows; slice them out of
                 # the k-row extension (zero fill at true image edges is

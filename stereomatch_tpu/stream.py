@@ -27,7 +27,7 @@ import numpy as np
 
 from .ops.aggregation import semiglobal_aggregate
 from .ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
-                       ssd_cost_volume)
+                       sad_cost_volume, ssd_cost_volume, zncc_cost_volume)
 from .ops.disparity import dynamic_programming, winner_takes_all
 from .ops.dp_pallas import dynamic_programming_pallas
 from .ops.sgm_pallas import semiglobal_aggregate_pallas
@@ -65,6 +65,14 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
             vol = birchfield_cost_volume(left, right,
                                          max_disparity=max_disparity,
                                          kernel_size=kernel_size)
+        elif cost == "sad":
+            vol = sad_cost_volume(left, right, max_disparity=max_disparity,
+                                  kernel_size=kernel_size,
+                                  cost_dtype=cost_dtype)
+        elif cost == "ncc":
+            vol = zncc_cost_volume(left, right, max_disparity=max_disparity,
+                                   kernel_size=kernel_size,
+                                   cost_dtype=cost_dtype)
         elif cost == "census":
             vol = census_hamming_cost_volume(left, right,
                                              max_disparity=max_disparity,

@@ -38,6 +38,64 @@ def ssd_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
     return cost
 
 
+def sad_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
+               kernel_size: int = 7) -> np.ndarray:
+    """SSD window semantics (src/ssd.cu:31-61) with an L1 summand —
+    beyond-reference cost family, anchored to the same window rules."""
+    height, width = left.shape
+    k = kernel_size
+    left = left.astype(np.float32)
+    right = right.astype(np.float32)
+    cost = np.empty((height, width, max_disparity), np.float32)
+    for row in range(height):
+        for col in range(width):
+            for disp in range(min(col + 1, max_disparity)):
+                row_start, row_end = max(row - k, 0), min(row + k, height)
+                col_start = max(col - k, disp)
+                col_end = min(col + k, width)
+                lw = left[row_start:row_end, col_start:col_end]
+                rw = right[row_start:row_end, col_start - disp:col_end - disp]
+                cost[row, col, disp] = np.sum(np.abs(lw - rw))
+            for disp in range(col + 1, max_disparity):
+                cost[row, col, disp] = INF
+    return cost
+
+
+def zncc_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
+                kernel_size: int = 7, eps: float = 1e-6) -> np.ndarray:
+    """1 - ZNCC over the SSD window (beyond-reference cost family).
+
+    Statistics run over exactly the clipped window's (left, right) sample
+    pairs; windows whose either side has (near-)zero variance get the
+    neutral cost 1.  Computed in float64 here — the vectorized f32 kernel
+    is compared against this with a tolerance.
+    """
+    height, width = left.shape
+    k = kernel_size
+    left = left.astype(np.float64)
+    right = right.astype(np.float64)
+    cost = np.empty((height, width, max_disparity), np.float64)
+    for row in range(height):
+        for col in range(width):
+            for disp in range(min(col + 1, max_disparity)):
+                row_start, row_end = max(row - k, 0), min(row + k, height)
+                col_start = max(col - k, disp)
+                col_end = min(col + k, width)
+                lw = left[row_start:row_end, col_start:col_end].ravel()
+                rw = right[row_start:row_end,
+                           col_start - disp:col_end - disp].ravel()
+                n = lw.size
+                cov = np.dot(lw, rw) - lw.sum() * rw.sum() / n
+                var_l = max(np.dot(lw, lw) - lw.sum() ** 2 / n, 0.0)
+                var_r = max(np.dot(rw, rw) - rw.sum() ** 2 / n, 0.0)
+                denom = np.sqrt(var_l * var_r)
+                ncc = cov / denom if denom > eps else 0.0
+                cost[row, col, disp] = 1.0 - ncc
+            for disp in range(col + 1, max_disparity):
+                cost[row, col, disp] = INF
+    return cost
+
+
 def birchfield_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
                       kernel_size: int = 4) -> np.ndarray:
     """src/birchfield_cost.cu:83-139 (the CUDA variant: zero-padded scanlines).

@@ -375,3 +375,60 @@ def test_divisibility_errors(pair, mesh):
         pipe.estimate(np.stack([left] * 3), np.stack([right] * 3))
     with pytest.raises(ValueError):
         pipe.estimate(left[None, :30], right[None, :30])
+
+
+def test_sharded_sad(pair, mesh):
+    """Sharded SAD: identical halo pattern to SSD, L1 summand."""
+    from stereomatch_tpu.cost import SAD
+    left, right = pair
+    vol = SAD(D, kernel_size=3)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    pipe = ShardedPipeline(mesh, D, cost="sad", kernel_size=3,
+                           aggregation=None, reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_ncc(pair, mesh):
+    """Sharded ZNCC: row halos + the per-row window-count mask must
+    reproduce the single-chip normalization at the true image edges."""
+    from stereomatch_tpu.cost import NCC
+    left, right = pair
+    vol = NCC(D, kernel_size=3)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    pipe = ShardedPipeline(mesh, D, cost="ncc", kernel_size=3,
+                           aggregation=None, reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_tiled2d_ncc(pair):
+    from stereomatch_tpu.cost import NCC
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = NCC(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    ref = np.asarray(WinnerTakesAll()(agg))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, cost="ncc",
+                               kernel_size=3, overlap=max(left.shape),
+                               backend="xla")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+@pytest.mark.parametrize("cost_name", ["sad", "ncc"])
+def test_disp_sharded_sad_ncc(pair, cost_name):
+    from stereomatch_tpu.cost import NCC, SAD
+    from stereomatch_tpu.parallel import make_disp_mesh, make_disp_sharded_wta
+    left, right = pair
+    d_total = 32
+    cls = {"sad": SAD, "ncc": NCC}[cost_name]
+    vol = cls(d_total, kernel_size=3)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    mesh = make_disp_mesh(n_disp=8)
+    fn = make_disp_sharded_wta(mesh, max_disparity=d_total, cost=cost_name,
+                               kernel_size=3)
+    np.testing.assert_array_equal(np.asarray(fn(left, right)), ref)
