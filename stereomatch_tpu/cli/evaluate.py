@@ -52,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Cache predicted disparities in DIR and reuse "
                              "them on re-runs (the reference's Flyte tasks "
                              "set cache=True, workflow.py:41).")
+    parser.add_argument("--tune", type=int, default=None, metavar="N",
+                        help="Before evaluating, fit each SGM config's "
+                             "P1/P2 by gradient descent (tune.py) on N "
+                             "generated scenes disjoint from the "
+                             "evaluation set. Requires --synthetic "
+                             "(tuning needs ground truth at one common "
+                             "geometry).")
+    parser.add_argument("--tune-steps", type=int, default=60,
+                        help="Adam steps for --tune.")
+    parser.add_argument("--tune-tau", type=float, default=2.0,
+                        help="Soft-argmin temperature for --tune, in cost "
+                             "units (census Hamming counts, SSD sums, "
+                             "...).")
     parser.add_argument("--device", default=None)
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default="float32",
@@ -86,6 +99,11 @@ def grayscale(image):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.tune and not args.synthetic:
+        print("--tune requires --synthetic (it fits penalties on "
+              "generated ground-truth scenes).", file=sys.stderr)
+        return 2
 
     if args.device:
         # A site-customized PJRT plugin may override the JAX_PLATFORMS env
@@ -130,9 +148,41 @@ def main(argv=None) -> int:
         print("No scenes found.", file=sys.stderr)
         return 1
 
+    tuned_cache = {}
+
+    def tuned_penalties(cost_m):
+        """Fit P1/P2 for this cost family on scenes disjoint from the
+        evaluation seeds (eval uses 100+i; tuning uses 200+i)."""
+        if cost_m in tuned_cache:
+            return tuned_cache[cost_m]
+        from ..io.synthetic import stereo_pair_occluded
+        from .. import tune as tune_mod
+        h, w, d = (int(v) for v in args.synthetic_size.split("x"))
+        d_pow2 = next_power_of_2(d)
+        scenes, masks = [], []
+        for i in range(args.tune):
+            left, right, gt, occ = stereo_pair_occluded(h, w, d,
+                                                        seed=200 + i)
+            scenes.append((grayscale(left), grayscale(right), gt))
+            mask = np.zeros(gt.shape, bool)
+            mask[:, d_pow2:] = True
+            mask &= ~occ            # occluded pixels have no true match
+            masks.append(mask)
+        res = tune_mod.tune_penalties(
+            scenes, max_disparity=d_pow2, cost=cost_m,
+            steps=args.tune_steps, tau=args.tune_tau,
+            valid_masks=np.stack(masks))
+        tuned_cache[cost_m] = (res.penalty1, res.penalty2)
+        return tuned_cache[cost_m]
+
     rows = []
     for cost_m, disp_m, aggr_m in configs:
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
+        penalty_kwargs = {}
+        if args.tune and aggr_m == "sgm":
+            p1, p2 = tuned_penalties(cost_m)
+            penalty_kwargs = {"penalty1": p1, "penalty2": p2}
+            name += "-tuned"
         # Only the costs with a storage dtype take the flag; labeling
         # other configs with it would attribute f32 numbers to bf16.
         dtyped_costs = ("ssd", "census", "sad", "ncc")
@@ -141,7 +191,8 @@ def main(argv=None) -> int:
         pipeline = create_pipeline(cost_m, disp_m, aggr_m,
                                    volume_dtype=(args.dtype
                                                  if cost_m in dtyped_costs
-                                                 else "float32"))
+                                                 else "float32"),
+                                   **penalty_kwargs)
         per_scene = []
         for item in items:
             left = grayscale(item["left"])
@@ -193,6 +244,8 @@ def main(argv=None) -> int:
         }
         if args.confidence:
             row["ause"] = float(np.mean([m["ause"] for m in per_scene]))
+        if penalty_kwargs:
+            row.update(penalty_kwargs)
         rows.append(row)
 
     print(metrics_markdown_table(rows))

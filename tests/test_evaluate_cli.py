@@ -109,3 +109,24 @@ def test_evaluate_confidence_ause(tmp_path):
     assert evaluate_main(args) == 0
     rows2 = json.loads(out.read_text())
     assert rows2[0]["ause"] == pytest.approx(row["ause"])
+
+
+def test_evaluate_tune(tmp_path):
+    """--tune: gradient-tuned penalties (disjoint tuning seeds) must not
+    lose to the SSD-scaled defaults on the census config, and the row
+    records the fitted values."""
+    out = tmp_path / "rows.json"
+    common = ["--synthetic", "2", "--synthetic-size", "48x64x16",
+              "--configs", "census:wta:sgm", "--json", str(out)]
+    assert evaluate_main(common) == 0
+    base = json.loads(out.read_text())[0]
+    assert evaluate_main(common + ["--tune", "2", "--tune-steps", "30",
+                                   "--tune-tau", "0.5"]) == 0
+    tuned = json.loads(out.read_text())[0]
+    assert tuned["name"] == "census-wta-sgm-tuned"
+    assert tuned["penalty1"] > 0 and tuned["penalty2"] > 0
+    assert tuned["bad_pixel_ratio"] <= base["bad_pixel_ratio"] + 1e-9
+
+
+def test_evaluate_tune_requires_synthetic(tmp_path):
+    assert evaluate_main(["--tune", "2", str(tmp_path)]) == 2
