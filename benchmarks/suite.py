@@ -78,6 +78,17 @@ def _traffic_models():
         "pipeline_census_teddy_450x375_d128": 4 * v2,
         "pipeline_census_bf16_teddy_d128": 2 * v2,
         "pipeline_hd_census_bf16_d256": 2 * v3,
+        # pyramid: full census pipeline on a volume 8x smaller per level
+        # (4 volume-sized transfers), plus one [H, W, 2r+1] band pass per
+        # finer level (r=4 -> 9 candidate planes, read+write ~2x).
+        "pipeline_pyramid1_teddy_d128":
+            4 * v2 // 8 + 2 * _vol_bytes(376, 450, 9),
+        "pipeline_pyramid2_teddy_d128":
+            4 * v2 // 64 + 2 * _vol_bytes(188, 226, 9)
+            + 2 * _vol_bytes(376, 450, 9),
+        "pipeline_pyramid2_hd_d256":
+            4 * v3 // 64 + 2 * _vol_bytes(512, 640, 9)
+            + 2 * _vol_bytes(1024, 1280, 9),
     }
 
 
@@ -231,6 +242,23 @@ def build_benchmarks():
     benches["pipeline_census_bf16_teddy_d128"] = (pipe_census_bf16_body,
                                                   (l2, r2))
 
+    # Coarse-to-fine pyramid (pyramid.py): census+SGM+WTA at reduced
+    # resolution and range, per-pixel census band refinement back up.
+    # No reference analogue (the reference always searches full range at
+    # full resolution).
+    from stereomatch_tpu.pyramid import PyramidPipeline
+
+    def pyramid_bench(levels, max_disparity, pair):
+        pipe = PyramidPipeline(max_disparity, levels=levels, band_radius=4)
+
+        def body(carry):
+            l, r = carry
+            return feedback(l, pipe._estimate(l, r)), r
+        return body, pair
+
+    benches["pipeline_pyramid1_teddy_d128"] = pyramid_bench(1, d2, (l2, r2))
+    benches["pipeline_pyramid2_teddy_d128"] = pyramid_bench(2, d2, (l2, r2))
+
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map
     # beats vmap for the Pallas stages).  Reported per BATCH — divide by
@@ -282,6 +310,7 @@ def build_benchmarks():
 
         benches["pipeline_hd_census_bf16_d256"] = (hd_census_bf16_body,
                                                    (l3, r3))
+        benches["pipeline_pyramid2_hd_d256"] = pyramid_bench(2, d3, (l3, r3))
     return benches
 
 

@@ -12,11 +12,12 @@ texture (the sampling layer standing in for CUDA textures).
 """
 
 from . import (aggregation, cli_common, cost, disparity_reduce, io, metrics,
-               pipeline, reconstruction, texture, utils)
+               pipeline, pyramid, reconstruction, texture, utils)
 from .pipeline import Pipeline
+from .pyramid import PyramidPipeline
 
 __version__ = "0.1.0"
 
-__all__ = ["Pipeline", "aggregation", "cli_common", "cost",
-           "disparity_reduce", "io", "metrics", "pipeline", "reconstruction",
-           "texture", "utils", "__version__"]
+__all__ = ["Pipeline", "PyramidPipeline", "aggregation", "cli_common",
+           "cost", "disparity_reduce", "io", "metrics", "pipeline",
+           "pyramid", "reconstruction", "texture", "utils", "__version__"]

@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                         default="float32",
                         help="Cost-volume storage dtype (bfloat16 halves "
                              "HBM traffic; recurrences stay float32).")
+    parser.add_argument("--pyramid", type=int, default=0, metavar="LEVELS",
+                        help="Coarse-to-fine mode: run census+SGM at "
+                             "1/2**LEVELS resolution and disparity range, "
+                             "then refine a narrow per-pixel band up to "
+                             "full resolution (~8x less volume work per "
+                             "level; overrides -cm/-am/-dm).")
+    parser.add_argument("--band-radius", type=int, default=4, metavar="R",
+                        help="Half-width of the per-pixel refinement band "
+                             "in --pyramid mode.")
     parser.add_argument("--refine", action="store_true",
                         help="Post-process: 3x3 median + parabolic "
                              "sub-pixel interpolation.")
@@ -94,12 +103,31 @@ def main(argv=None) -> int:
 
     from ..cli_common import create_pipeline
 
-    pipeline = create_pipeline(args.cost_method, args.disparity_method,
-                               args.aggregation_method,
-                               max_disparity=args.max_disparity,
-                               penalty1=args.p1, penalty2=args.p2,
-                               backend=args.backend,
-                               volume_dtype=args.dtype)
+    if args.pyramid > 0:
+        incompatible = [flag for flag, on in [
+            ("--refine", args.refine), ("--lr-check", args.lr_check),
+            ("--min-confidence", args.min_confidence is not None),
+            ("--confidence", args.confidence is not None)] if on]
+        if incompatible:
+            print(f"--pyramid is incompatible with {' '.join(incompatible)} "
+                  "(the band stage has no full cost volume to post-process).",
+                  file=sys.stderr)
+            return 2
+        import jax.numpy as jnp
+        from ..pyramid import PyramidPipeline
+        pipeline = PyramidPipeline(
+            args.max_disparity, levels=args.pyramid,
+            band_radius=args.band_radius,
+            penalty1=args.p1, penalty2=args.p2, backend=args.backend,
+            cost_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+            else jnp.float32)
+    else:
+        pipeline = create_pipeline(args.cost_method, args.disparity_method,
+                                   args.aggregation_method,
+                                   max_disparity=args.max_disparity,
+                                   penalty1=args.p1, penalty2=args.p2,
+                                   backend=args.backend,
+                                   volume_dtype=args.dtype)
 
     left_rgb = Image.open(args.left_image)
     right_rgb = Image.open(args.right_image)

@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--refine", action="store_true",
                         help="Per-frame path: 3x3 median + sub-pixel "
                              "refinement on each depthmap.")
+    parser.add_argument("--pyramid", type=int, default=0, metavar="LEVELS",
+                        help="Per-frame path: coarse-to-fine census "
+                             "pyramid (~8x less volume work per level; "
+                             "overrides -cm/-am/-dm; see stm-image).")
+    parser.add_argument("--band-radius", type=int, default=4, metavar="R",
+                        help="Per-pixel refinement band half-width in "
+                             "--pyramid mode.")
     return parser
 
 
@@ -246,7 +253,21 @@ def main(argv=None) -> int:
 
     batched = args.batch is not None or args.mesh
     pipeline = None
-    if not batched:
+    if args.pyramid > 0:
+        if batched or args.refine:
+            print("--pyramid is a per-frame path; it is incompatible with "
+                  "--batch/--mesh/--refine.", file=sys.stderr)
+            return 2
+        import jax.numpy as jnp
+
+        from ..pyramid import PyramidPipeline
+        pipeline = PyramidPipeline(
+            args.max_disparity, levels=args.pyramid,
+            band_radius=args.band_radius,
+            penalty1=args.p1, penalty2=args.p2, backend=args.backend,
+            cost_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+            else jnp.float32)
+    elif not batched:
         pipeline = create_pipeline(args.cost_method, args.disparity_method,
                                    args.aggregation_method,
                                    max_disparity=args.max_disparity,

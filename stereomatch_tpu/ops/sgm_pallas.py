@@ -53,6 +53,15 @@ _WCHUNK_TARGET_BYTES = 512 * 1024          # live-temporary bound per chunk
 _WGRID_BUDGET_BYTES = 8 * 1024 * 1024      # W-on-grid mode working set cap
 
 
+def _row_vmem_bytes(width: int, max_disp: int) -> int:
+    """VMEM bytes one [W, D] f32 row really occupies: the trailing two
+    dims tile as (8 sublanes, 128 lanes), so W pads to a multiple of 8
+    and D to a multiple of 128.  Modeling the unpadded product
+    under-counts 2x at D=64 (seen OOM: coarse pyramid level 256x320x64
+    picked 16-row blocks and blew scoped VMEM by 3%)."""
+    return ((width + 7) // 8 * 8) * ((max_disp + 127) // 128 * 128) * 4
+
+
 def _shift2d(image: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """Zero-filled 2-D shift: out[r, x] = image[r - rows, x - cols].
 
@@ -533,7 +542,7 @@ def _sweep_chunk_with_carry_wgrid(cost, p2map, carry_in, seed, *, families,
 def _chunk_fits_full_width(width: int, max_disp: int, n_fam: int) -> bool:
     """VMEM gate for the full-width chunk kernel: carry_in + carry_out +
     carry scratch (3F rows) + masks + double-buffered row blocks."""
-    row_bytes = width * max_disp * 4
+    row_bytes = _row_vmem_bytes(width, max_disp)
     return (3 * n_fam + 2 + 6) * row_bytes <= _VMEM_BUDGET_BYTES
 
 
@@ -603,7 +612,7 @@ def _pick_rows_per_step(height: int, width: int, max_disp: int,
     and edge masks (2 rows); cap the total near _VMEM_BUDGET_BYTES of the
     ~16 MB core.
     """
-    row_bytes = width * max_disp * 4
+    row_bytes = _row_vmem_bytes(width, max_disp)
     budget = _VMEM_BUDGET_BYTES - (n_fam + 2) * row_bytes
     max_rows = max(int(budget // (6 * row_bytes)), 1)
     for r in (16, 12, 10, 9, 8, 6, 5, 4, 3, 2):
@@ -614,7 +623,7 @@ def _pick_rows_per_step(height: int, width: int, max_disp: int,
 
 def _fits_full_width(width: int, max_disp: int, n_fam: int) -> bool:
     """Whether full-width row blocks + carries fit the VMEM budget."""
-    row_bytes = width * max_disp * 4
+    row_bytes = _row_vmem_bytes(width, max_disp)
     return (n_fam + 2 + 6) * row_bytes <= _VMEM_BUDGET_BYTES
 
 
@@ -622,7 +631,7 @@ def _pick_wgrid_chunks(width: int, max_disp: int, n_fam: int):
     """Chunk count for the W-on-grid sweep: the smallest power of two whose
     working set (full-width carry + chunked blocks/masks) fits the cap,
     with 8-sublane-aligned chunks.  None if even the carry is too big."""
-    row_bytes = width * max_disp * 4
+    row_bytes = _row_vmem_bytes(width, max_disp)
     for n in (2, 4, 8, 16, 32):
         cw = width // n
         if width % n or cw % 8:
@@ -705,7 +714,7 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
         row = lambda i: (i, 0, 0)
 
     accumulate = partial is not None
-    row_bytes = width * max_disp * 4
+    row_bytes = _row_vmem_bytes(width, max_disp)
     mask_scratch = 2 * row_bytes <= _MASK_CACHE_MAX_BYTES
     # Bound live vector temporaries: sub-chunk very large rows along W.
     w_chunks = 1

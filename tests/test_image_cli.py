@@ -61,3 +61,20 @@ def test_render_panels_colormaps_range():
     canvas = cli_image.render_panels(disp)
     assert canvas.shape == (3, 4, 3)
     assert canvas.dtype == np.uint8
+
+
+def test_image_cli_pyramid_mode(png_pair, tmp_path):
+    lp, rp, (h, w) = png_pair
+    out = tmp_path / "pyr.png"
+    assert cli_image.main([lp, rp, "8", str(out), "--pyramid", "1",
+                           "--band-radius", "3"]) == 0
+    img = np.array(Image.open(out))
+    assert img.shape == (h, w, 3)
+
+
+def test_image_cli_pyramid_rejects_volume_postprocessing(png_pair, tmp_path):
+    lp, rp, _ = png_pair
+    out = tmp_path / "pyr.png"
+    assert cli_image.main([lp, rp, "8", str(out), "--pyramid", "1",
+                           "--refine"]) == 2
+    assert not out.exists()

@@ -118,7 +118,7 @@ def test_forced_wgrid_mode(monkeypatch, n_chunks):
     left, right, _ = synthetic_stereo_pair(24, 64, D, seed=9)
     vol = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3)
     ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
-    row_bytes = 64 * D * 4
+    row_bytes = sgm_pallas._row_vmem_bytes(64, D)  # padded (8, 128) tiles
     cap = 3 * row_bytes + 10 * (row_bytes // n_chunks)
     out = _forced_aggregate(vol, left, monkeypatch,
                             _VMEM_BUDGET_BYTES=0,
