@@ -79,16 +79,22 @@ def _traffic_models():
         "pipeline_census_bf16_teddy_d128": 2 * v2,
         "pipeline_hd_census_bf16_d256": 2 * v3,
         # pyramid: full census pipeline on a volume 8x smaller per level
-        # (4 volume-sized transfers), plus one [H, W, 2r+1] band pass per
-        # finer level (r=4 -> 9 candidate planes, read+write ~2x).
+        # (4 volume-sized transfers); the band stages are VPU-bound
+        # streaming scans whose HBM traffic is only images/codes/maps
+        # (~8 [H, W] i32 arrays per level) — so %SoL is meaningless for
+        # these rows and low values do NOT mean headroom.
         "pipeline_pyramid1_teddy_d128":
-            4 * v2 // 8 + 2 * _vol_bytes(376, 450, 9),
+            4 * v2 // 8 + 8 * _vol_bytes(376, 450, 1),
         "pipeline_pyramid2_teddy_d128":
-            4 * v2 // 64 + 2 * _vol_bytes(188, 226, 9)
-            + 2 * _vol_bytes(376, 450, 9),
+            4 * v2 // 64 + 8 * _vol_bytes(188, 226, 1)
+            + 8 * _vol_bytes(376, 450, 1),
         "pipeline_pyramid2_hd_d256":
-            4 * v3 // 64 + 2 * _vol_bytes(512, 640, 9)
-            + 2 * _vol_bytes(1024, 1280, 9),
+            4 * v3 // 64 + 8 * _vol_bytes(512, 640, 1)
+            + 8 * _vol_bytes(1024, 1280, 1),
+        # temporal tracked frame: images/codes/prev/disp only (VPU-bound
+        # band scan over the full range; %SoL not meaningful).
+        "temporal_track_teddy_d128": 8 * _vol_bytes(375, 450, 1),
+        "temporal_track_hd_d256": 8 * _vol_bytes(1024, 1280, 1),
     }
 
 
@@ -259,6 +265,24 @@ def build_benchmarks():
     benches["pipeline_pyramid1_teddy_d128"] = pyramid_bench(1, d2, (l2, r2))
     benches["pipeline_pyramid2_teddy_d128"] = pyramid_bench(2, d2, (l2, r2))
 
+    # Temporal tracked-frame steady state (temporal.py): census band
+    # around the previous frame's disparity + 3x3 median + drift stat.
+    # The chain feeds each step's disparity to the next as the anchor,
+    # exactly the video tracking loop's data flow.  No reference
+    # analogue (its video loop runs the full pipeline per frame).
+    from stereomatch_tpu.temporal import TemporalPipeline
+
+    def temporal_bench(max_disparity, pair):
+        pipe = TemporalPipeline(max_disparity)
+
+        def body(carry):
+            l, r, prev = carry
+            disp, poor = pipe._track(l, r, prev)
+            return feedback(l, poor), r, disp
+        return body, (*pair, jnp.zeros(pair[0].shape, jnp.int32))
+
+    benches["temporal_track_teddy_d128"] = temporal_bench(d2, (l2, r2))
+
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map
     # beats vmap for the Pallas stages).  Reported per BATCH — divide by
@@ -311,6 +335,7 @@ def build_benchmarks():
         benches["pipeline_hd_census_bf16_d256"] = (hd_census_bf16_body,
                                                    (l3, r3))
         benches["pipeline_pyramid2_hd_d256"] = pyramid_bench(2, d3, (l3, r3))
+        benches["temporal_track_hd_d256"] = temporal_bench(d3, (l3, r3))
     return benches
 
 

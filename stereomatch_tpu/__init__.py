@@ -12,12 +12,14 @@ texture (the sampling layer standing in for CUDA textures).
 """
 
 from . import (aggregation, cli_common, cost, disparity_reduce, io, metrics,
-               pipeline, pyramid, reconstruction, texture, utils)
+               pipeline, pyramid, reconstruction, temporal, texture, utils)
 from .pipeline import Pipeline
 from .pyramid import PyramidPipeline
+from .temporal import TemporalPipeline
 
 __version__ = "0.1.0"
 
-__all__ = ["Pipeline", "PyramidPipeline", "aggregation", "cli_common",
-           "cost", "disparity_reduce", "io", "metrics", "pipeline",
-           "pyramid", "reconstruction", "texture", "utils", "__version__"]
+__all__ = ["Pipeline", "PyramidPipeline", "TemporalPipeline", "aggregation",
+           "cli_common", "cost", "disparity_reduce", "io", "metrics",
+           "pipeline", "pyramid", "reconstruction", "temporal", "texture",
+           "utils", "__version__"]

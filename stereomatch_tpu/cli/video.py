@@ -85,9 +85,26 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Per-frame path: coarse-to-fine census "
                              "pyramid (~8x less volume work per level; "
                              "overrides -cm/-am/-dm; see stm-image).")
-    parser.add_argument("--band-radius", type=int, default=4, metavar="R",
-                        help="Per-pixel refinement band half-width in "
-                             "--pyramid mode.")
+    parser.add_argument("--band-radius", type=int, default=None,
+                        metavar="R",
+                        help="Per-pixel band half-width (default 4 for "
+                             "--pyramid levels, 6 for --temporal "
+                             "tracking).")
+    parser.add_argument("--temporal", action="store_true",
+                        help="Per-frame path: track disparity across "
+                             "frames (census band search around the "
+                             "previous frame's result; keyframes on "
+                             "--keyframe-interval cadence and on drift). "
+                             "Composes with --pyramid for the keyframes.")
+    parser.add_argument("--keyframe-interval", type=int, default=16,
+                        metavar="N",
+                        help="--temporal: force a full-range keyframe "
+                             "every N frames (0 = only on drift).")
+    parser.add_argument("--drift-threshold", type=float, default=0.06,
+                        metavar="F",
+                        help="--temporal: keyframe when this fraction of "
+                             "tracked pixels has no plausible census "
+                             "match in the band.")
     return parser
 
 
@@ -253,6 +270,10 @@ def main(argv=None) -> int:
 
     batched = args.batch is not None or args.mesh
     pipeline = None
+    if args.temporal and (batched or args.refine):
+        print("--temporal is a stateful per-frame path; it is incompatible "
+              "with --batch/--mesh/--refine.", file=sys.stderr)
+        return 2
     if args.pyramid > 0:
         if batched or args.refine:
             print("--pyramid is a per-frame path; it is incompatible with "
@@ -263,7 +284,8 @@ def main(argv=None) -> int:
         from ..pyramid import PyramidPipeline
         pipeline = PyramidPipeline(
             args.max_disparity, levels=args.pyramid,
-            band_radius=args.band_radius,
+            band_radius=(args.band_radius if args.band_radius is not None
+                         else 4),
             penalty1=args.p1, penalty2=args.p2, backend=args.backend,
             cost_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
             else jnp.float32)
@@ -274,6 +296,15 @@ def main(argv=None) -> int:
                                    penalty1=args.p1, penalty2=args.p2,
                                    backend=args.backend,
                                    volume_dtype=args.dtype)
+    if args.temporal:
+        from ..temporal import TemporalPipeline
+        pipeline = TemporalPipeline(
+            args.max_disparity, keyframe=pipeline,
+            band_radius=(args.band_radius if args.band_radius is not None
+                         else 6),
+            keyframe_interval=args.keyframe_interval,
+            drift_threshold=args.drift_threshold,
+            penalty1=args.p1, penalty2=args.p2, backend=args.backend)
     capture = _open_capture(args)
 
     rectifier = None

@@ -119,3 +119,49 @@ def stereo_pair_occluded(height: int, width: int, max_disparity: int,
     gt = np.minimum(gt, np.maximum(xs, 0)).astype(np.int32)
     return (left.astype(np.float32), right.astype(np.float32), gt,
             occluded)
+
+
+def stereo_sequence(height: int, width: int, max_disparity: int,
+                    n_frames: int, seed: int = 7, motion: int = 2,
+                    pan: int = 1):
+    """Temporally coherent flat-warp sequence with exact per-frame truth.
+
+    One texture strip pans ``pan`` px/frame (so both views change every
+    frame) while layered boxes drift up to ``motion`` px/frame in the
+    image plane and step their disparity every other frame — smooth
+    inter-frame disparity change, the regime a temporal band tracker
+    (:class:`~stereomatch_tpu.temporal.TemporalPipeline`) must hold onto.
+
+    Returns a list of ``(left, right, gt_disparity)`` triples with the
+    same flat-warp guarantee as :func:`stereo_pair`:
+    left[y, x] = right[y, x - gt[y, x]].
+    """
+    rng = np.random.default_rng(seed)
+    strip = smooth_texture(rng, height, width + max_disparity)
+    d_bg = max(max_disparity // 8, 1)
+    boxes = []
+    for _ in range(4):
+        r0 = int(rng.integers(0, max(height - 8, 1)))
+        c0 = int(rng.integers(0, max(width - 8, 1)))
+        bh = int(rng.integers(height // 6 + 1, height // 2 + 2))
+        bw = int(rng.integers(width // 6 + 1, width // 2 + 2))
+        d = int(rng.integers(1, max_disparity - 1))
+        vr = int(rng.integers(-motion, motion + 1))
+        vc = int(rng.integers(-motion, motion + 1))
+        vd = int(rng.integers(-1, 2))
+        boxes.append((r0, c0, bh, bw, d, vr, vc, vd))
+
+    xs = np.arange(width)[None, :]
+    frames = []
+    for t in range(n_frames):
+        tex = np.roll(strip, t * pan, axis=1)[:, max_disparity:]
+        gt = np.full((height, width), d_bg, np.int32)
+        for r0, c0, bh, bw, d, vr, vc, vd in boxes:
+            r = int(np.clip(r0 + t * vr, 0, height - 1))
+            c = int(np.clip(c0 + t * vc, 0, width - 1))
+            dt = int(np.clip(d + (t // 2) * vd, 1, max_disparity - 1))
+            gt[r:r + bh, c:c + bw] = dt
+        gt = np.minimum(gt, np.maximum(xs, 0)).astype(np.int32)
+        left = np.take_along_axis(tex, xs - gt, axis=1)
+        frames.append((left.astype(np.float32), tex.astype(np.float32), gt))
+    return frames

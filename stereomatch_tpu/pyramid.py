@@ -53,7 +53,8 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
                        predicted: jnp.ndarray, *,
                        band_radius: int,
                        max_disparity: int,
-                       window_size: int = 5) -> jnp.ndarray:
+                       window_size: int = 5,
+                       return_best_cost: bool = False) -> jnp.ndarray:
     """Re-score disparities in [predicted - r, predicted + r] per pixel.
 
     Census/Hamming over the band only: codes are computed once per image,
@@ -63,6 +64,20 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
     [0, max_disparity), so every pixel scores the full 2r+1 candidates
     even at the range ends.  Ties break toward the lowest disparity,
     matching winner_takes_all.
+
+    With ``return_best_cost`` also returns the winning Hamming distance
+    per pixel (int32; all-invalid pixels get window_size**2, the worst
+    possible value) — the anchor-drift signal :class:`~stereomatch_tpu.
+    temporal.TemporalPipeline` uses to decide when a keyframe is due.
+
+    TPU formulation: a per-pixel dynamic band is an arbitrary gather,
+    which XLA:TPU lowers to element-at-a-time loops (measured: the
+    take_along_axis form ran the teddy pyramid at 17 ms — 6x slower
+    than full resolution).  Instead the scan runs over the FULL
+    disparity axis as D static-shape dynamic slices of the right code
+    map, masking each plane to the band — O(H*W*D) pure VPU work
+    (xor/popcount/compare per plane), nothing but the two code maps and
+    the output touching HBM, and no [H, W, D] volume materialized.
     """
     height, width = left.shape
     r = band_radius
@@ -73,26 +88,35 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
 
     base = jnp.clip(predicted.astype(jnp.int32) - r, 0,
                     max(max_disparity - n_band, 0))          # [H, W]
-    offsets = jnp.arange(n_band, dtype=jnp.int32)            # [B]
-    cand = base[:, :, None] + offsets                        # [H, W, B]
-
-    x = lax.broadcasted_iota(jnp.int32, (height, width, 1), 1)
-    src = x - cand                                           # right-image x
-    valid = (src >= 0) & (cand < max_disparity)
-    gathered = jnp.take_along_axis(
-        jnp.broadcast_to(code_r[:, :, None], (height, width, n_band)),
-        jnp.clip(src, 0, width - 1), axis=1)
-    ham = lax.population_count(code_l[:, :, None] ^ gathered)
+    x = lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    # padded[y, x + D - d] == code_r[y, x - d]
+    padded_r = jnp.pad(code_r, ((0, 0), (max_disparity, 0)))
     big = jnp.int32(1 << 20)
-    cost = jnp.where(valid, ham, big)
 
-    best = jnp.argmin(cost, axis=2).astype(jnp.int32)        # first minimum
-    disp = base + best
+    def plane(d, carry):
+        best_cost, best_d = carry
+        shifted = lax.dynamic_slice(
+            padded_r, (0, max_disparity - d), (height, width))
+        ham = lax.population_count(code_l ^ shifted)
+        valid = (d >= base) & (d < base + n_band) & (d <= x)
+        cost = jnp.where(valid, ham, big)
+        better = cost < best_cost                 # ties keep the lower d
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, d, best_d))
+
+    init = (jnp.full((height, width), big, jnp.int32),
+            jnp.zeros((height, width), jnp.int32))
+    best_cost, best_d = lax.fori_loop(0, max_disparity, plane, init)
+
     # All-invalid pixels (x < base for the whole band) fall back to the
     # largest valid disparity at that column (d = x), as close to the
     # prediction as the image geometry allows.
-    any_valid = jnp.any(valid, axis=2)
-    return jnp.where(any_valid, disp, x[:, :, 0])
+    any_valid = best_cost < big
+    out = jnp.where(any_valid, best_d, x)
+    if not return_best_cost:
+        return out
+    worst = jnp.int32(window_size * window_size)
+    return out, jnp.where(any_valid, jnp.minimum(best_cost, worst), worst)
 
 
 class PyramidPipeline:

@@ -102,3 +102,30 @@ def test_video_cli_mesh_y4m_matches_single_chip(tmp_path):
     for mf, rf in zip(mesh_frames, sorted(ref_dir.glob("depth_*.png"))):
         np.testing.assert_array_equal(np.asarray(Image.open(mf)),
                                       np.asarray(Image.open(rf)))
+
+
+def test_video_cli_temporal_imgdir(tmp_path):
+    """--temporal tracks an image sequence end to end (frame 0 keyframe,
+    later frames banded around the previous disparity)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from stereomatch_tpu.io.synthetic import stereo_sequence
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i, (left, right, _) in enumerate(stereo_sequence(32, 48, D, 4,
+                                                         seed=3)):
+        sbs = np.concatenate([(left * 255).astype(np.uint8),
+                              (right * 255).astype(np.uint8)], axis=1)
+        PIL.fromarray(sbs).save(frames_dir / f"frame_{i:03d}.png")
+
+    out_dir = tmp_path / "depthmaps"
+    rc = video_main(["imgdir", str(frames_dir), str(D), "--temporal",
+                     "--keyframe-interval", "3", "--headless",
+                     "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 4
+
+
+def test_video_cli_temporal_rejects_batched():
+    rc = video_main(["imgdir", "/nonexistent", str(D), "--temporal",
+                     "--batch", "2", "--headless"])
+    assert rc == 2
