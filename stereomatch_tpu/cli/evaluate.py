@@ -78,7 +78,11 @@ def parse_configs(spec):
     configs = []
     for item in spec.split(","):
         parts = item.strip().split(":")
-        if len(parts) == 2:
+        if len(parts) == 1 and parts[0].startswith("pyramid"):
+            # coarse-to-fine mode: "pyramid", "pyramid1", "pyramid2", ...
+            int(parts[0][len("pyramid"):] or "1")   # validate early
+            configs.append((parts[0], None, None))
+        elif len(parts) == 2:
             configs.append((parts[0], parts[1], None))
         elif len(parts) == 3:
             configs.append((parts[0], parts[1], parts[2]))
@@ -178,6 +182,15 @@ def main(argv=None) -> int:
     rows = []
     for cost_m, disp_m, aggr_m in configs:
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
+        is_pyramid = cost_m.startswith("pyramid") and disp_m is None
+        if is_pyramid:
+            if args.confidence:
+                print("--confidence is unavailable for pyramid configs "
+                      "(the band stage has no full cost volume).",
+                      file=sys.stderr)
+                return 2
+            levels = int(cost_m[len("pyramid"):] or "1")
+            pipeline = None         # built per scene (range is baked in)
         penalty_kwargs = {}
         if args.tune and aggr_m == "sgm":
             p1, p2 = tuned_penalties(cost_m)
@@ -188,18 +201,24 @@ def main(argv=None) -> int:
         dtyped_costs = ("ssd", "census", "sad", "ncc")
         if args.dtype != "float32" and cost_m in dtyped_costs:
             name += f"-{args.dtype}"
-        pipeline = create_pipeline(cost_m, disp_m, aggr_m,
-                                   volume_dtype=(args.dtype
-                                                 if cost_m in dtyped_costs
-                                                 else "float32"),
-                                   **penalty_kwargs)
+        if not is_pyramid:
+            pipeline = create_pipeline(cost_m, disp_m, aggr_m,
+                                       volume_dtype=(args.dtype
+                                                     if cost_m in dtyped_costs
+                                                     else "float32"),
+                                       **penalty_kwargs)
         per_scene = []
         for item in items:
             left = grayscale(item["left"])
             right = grayscale(item["right"])
             # Reference mutates max_disparity per scene (workflow.py:34).
-            pipeline.cost.max_disparity = next_power_of_2(
-                item["max_disparity"])
+            d_scene = next_power_of_2(item["max_disparity"])
+            if is_pyramid:
+                if pipeline is None or pipeline.max_disparity != d_scene:
+                    from ..pyramid import PyramidPipeline
+                    pipeline = PyramidPipeline(d_scene, levels=levels)
+            else:
+                pipeline.cost.max_disparity = d_scene
             cache_file = None
             if args.cache:
                 from pathlib import Path
@@ -208,7 +227,7 @@ def main(argv=None) -> int:
                 cache_file = cache_dir / (
                     f"{name}_{item['stereo_name']}_"
                     f"{left.shape[0]}x{left.shape[1]}_"
-                    f"d{pipeline.cost.max_disparity}.npy")
+                    f"d{d_scene}.npy")
             conf_file = (cache_file.with_name(cache_file.stem + "_conf.npy")
                          if cache_file is not None else None)
             cached = (cache_file is not None and cache_file.exists()

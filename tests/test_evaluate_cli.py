@@ -130,3 +130,23 @@ def test_evaluate_tune(tmp_path):
 
 def test_evaluate_tune_requires_synthetic(tmp_path):
     assert evaluate_main(["--tune", "2", str(tmp_path)]) == 2
+
+
+def test_evaluate_pyramid_config(tmp_path):
+    """pyramidN configs run the coarse-to-fine pipeline per scene and
+    stay within a few bad-pixel points of the full-resolution census
+    config on the synthetic suite."""
+    out = tmp_path / "rows.json"
+    assert evaluate_main(["--synthetic", "2", "--synthetic-size",
+                          "64x96x16", "--configs",
+                          "census:wta:sgm,pyramid1", "--json",
+                          str(out)]) == 0
+    rows = {r["name"]: r for r in json.loads(out.read_text())}
+    assert set(rows) == {"census-wta-sgm", "pyramid1"}
+    assert rows["pyramid1"]["bad_pixel_ratio"] < \
+        rows["census-wta-sgm"]["bad_pixel_ratio"] + 0.05
+
+
+def test_evaluate_pyramid_rejects_confidence(tmp_path):
+    assert evaluate_main(["--synthetic", "1", "--configs", "pyramid1",
+                          "--confidence"]) == 2
