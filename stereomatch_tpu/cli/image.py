@@ -104,8 +104,10 @@ def main(argv=None) -> int:
     from ..cli_common import create_pipeline
 
     if args.pyramid > 0:
+        # --refine IS supported: the final band scan carries the
+        # winner's neighbour costs for in-scan parabolic sub-pixel.
         incompatible = [flag for flag, on in [
-            ("--refine", args.refine), ("--lr-check", args.lr_check),
+            ("--lr-check", args.lr_check),
             ("--min-confidence", args.min_confidence is not None),
             ("--confidence", args.confidence is not None)] if on]
         if incompatible:
@@ -135,9 +137,12 @@ def main(argv=None) -> int:
     right = np.array(right_rgb.convert("L"), np.float32)
 
     if args.refine or args.lr_check or args.min_confidence is not None:
+        kwargs = dict(subpixel=args.refine, median=args.refine)
+        if args.pyramid == 0:       # volume-based post-processing only
+            kwargs.update(lr_check=args.lr_check,
+                          min_confidence=args.min_confidence)
         disparity = np.asarray(pipeline.estimate_refined(
-            left, right, subpixel=args.refine, median=args.refine,
-            lr_check=args.lr_check, min_confidence=args.min_confidence))
+            left, right, **kwargs))
     else:
         disparity = np.asarray(pipeline.estimate(left, right))
     canvas = render_panels(disparity,

@@ -54,6 +54,7 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
                        band_radius: int,
                        max_disparity: int,
                        window_size: int = 5,
+                       subpixel: bool = False,
                        return_best_cost: bool = False) -> jnp.ndarray:
     """Re-score disparities in [predicted - r, predicted + r] per pixel.
 
@@ -64,6 +65,14 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
     [0, max_disparity), so every pixel scores the full 2r+1 candidates
     even at the range ends.  Ties break toward the lowest disparity,
     matching winner_takes_all.
+
+    With ``subpixel`` the scan additionally carries the winner's
+    neighbour costs c(d*-1)/c(d*+1) (two extra selects per plane — no
+    volume, no gather) and the output becomes float32: the parabolic
+    vertex ``d* + (cm - cp) / (2 (cm - 2 c0 + cp))`` clamped to ±0.5,
+    falling back to the integer winner at band borders and degenerate
+    fits — the same rule as ops/refine.py::subpixel_refine, evaluated
+    in-scan instead of by gathering from a cost volume.
 
     With ``return_best_cost`` also returns the winning Hamming distance
     per pixel (int32; all-invalid pixels get window_size**2, the worst
@@ -94,25 +103,45 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
     big = jnp.int32(1 << 20)
 
     def plane(d, carry):
-        best_cost, best_d = carry
+        best_cost, best_d, prev_cost, c_minus, c_plus = carry
         shifted = lax.dynamic_slice(
             padded_r, (0, max_disparity - d), (height, width))
         ham = lax.population_count(code_l ^ shifted)
         valid = (d >= base) & (d < base + n_band) & (d <= x)
         cost = jnp.where(valid, ham, big)
         better = cost < best_cost                 # ties keep the lower d
+        if subpixel:
+            # Winner's neighbours ride along: c(d*-1) is the previous
+            # plane at the update step; c(d*+1) is the next plane (the
+            # step after an update and only if no newer winner took it).
+            c_minus = jnp.where(better, prev_cost, c_minus)
+            c_plus = jnp.where(better, big,
+                               jnp.where(jnp.equal(d, best_d + 1),
+                                         cost, c_plus))
         return (jnp.where(better, cost, best_cost),
-                jnp.where(better, d, best_d))
+                jnp.where(better, d, best_d), cost, c_minus, c_plus)
 
-    init = (jnp.full((height, width), big, jnp.int32),
-            jnp.zeros((height, width), jnp.int32))
-    best_cost, best_d = lax.fori_loop(0, max_disparity, plane, init)
+    full = jnp.full((height, width), big, jnp.int32)
+    init = (full, jnp.zeros((height, width), jnp.int32), full, full, full)
+    best_cost, best_d, _, c_minus, c_plus = lax.fori_loop(
+        0, max_disparity, plane, init)
 
     # All-invalid pixels (x < base for the whole band) fall back to the
     # largest valid disparity at that column (d = x), as close to the
     # prediction as the image geometry allows.
     any_valid = best_cost < big
     out = jnp.where(any_valid, best_d, x)
+    if subpixel:
+        cm = c_minus.astype(jnp.float32)
+        c0 = best_cost.astype(jnp.float32)
+        cp = c_plus.astype(jnp.float32)
+        denom = cm - 2.0 * c0 + cp
+        offset = jnp.where(jnp.abs(denom) > 1e-12,
+                           (cm - cp) / (2.0 * denom), 0.0)
+        offset = jnp.clip(offset, -0.5, 0.5)
+        interior = (c_minus < big) & (c_plus < big)   # band-border fallback
+        out = jnp.where(any_valid & interior,
+                        out + offset, out).astype(jnp.float32)
     if not return_best_cost:
         return out
     worst = jnp.int32(window_size * window_size)
@@ -161,9 +190,10 @@ class PyramidPipeline:
         self.cost_dtype = cost_dtype
         self.median = median
         self.backend = resolve_backend(backend)
-        self._fn = jax.jit(self._estimate)
+        self._fn = jax.jit(lambda l, r: self._estimate(l, r, False))
+        self._fn_subpixel = jax.jit(lambda l, r: self._estimate(l, r, True))
 
-    def _estimate(self, left, right):
+    def _estimate(self, left, right, subpixel=False):
         height, width = left.shape
         scale = 2 ** self.levels
         pad_h = (-height) % scale
@@ -201,7 +231,8 @@ class PyramidPipeline:
             disp = band_refine_census(
                 fine_l, fine_r, upsample2_nearest(disp),
                 band_radius=self.band_radius, max_disparity=d_level,
-                window_size=self.window_size)
+                window_size=self.window_size,
+                subpixel=subpixel and level == 0)
             if self.median:
                 # The pixelwise band WTA has no smoothing term; a 3x3
                 # median kills its speckle before it propagates to the
@@ -216,3 +247,22 @@ class PyramidPipeline:
         right_image = jnp.asarray(right_image)
         validation.check_stereo_pair(left_image, right_image)
         return self._fn(left_image, right_image)
+
+    def estimate_refined(self, left_image, right_image, *,
+                         subpixel: bool = True,
+                         median: bool = True) -> jnp.ndarray:
+        """Estimate with parabolic sub-pixel output (float32).
+
+        The sub-pixel vertex is computed *inside* the final band scan
+        from the winner's carried neighbour costs (no cost volume
+        exists to gather from), then median-filtered; matching
+        `Pipeline.estimate_refined`'s flag surface, ``median`` is a
+        no-op here when the pipeline was built with ``median=True``
+        (every level is already filtered).
+        """
+        del median                    # levels are median-filtered already
+        left_image = jnp.asarray(left_image)
+        right_image = jnp.asarray(right_image)
+        validation.check_stereo_pair(left_image, right_image)
+        fn = self._fn_subpixel if subpixel else self._fn
+        return fn(left_image, right_image)

@@ -72,9 +72,19 @@ def test_image_cli_pyramid_mode(png_pair, tmp_path):
     assert img.shape == (h, w, 3)
 
 
+def test_image_cli_pyramid_refine(png_pair, tmp_path):
+    """--pyramid --refine: in-scan sub-pixel output renders fine."""
+    lp, rp, (h, w) = png_pair
+    out = tmp_path / "pyr_refined.png"
+    assert cli_image.main([lp, rp, "8", str(out), "--pyramid", "1",
+                           "--refine"]) == 0
+    img = np.array(Image.open(out))
+    assert img.shape == (h, w, 3)
+
+
 def test_image_cli_pyramid_rejects_volume_postprocessing(png_pair, tmp_path):
     lp, rp, _ = png_pair
     out = tmp_path / "pyr.png"
     assert cli_image.main([lp, rp, "8", str(out), "--pyramid", "1",
-                           "--refine"]) == 2
+                           "--lr-check"]) == 2
     assert not out.exists()

@@ -118,3 +118,59 @@ def test_pyramid_validates_arguments():
     with pytest.raises(ValueError):
         pipe.estimate(np.zeros((4, 4, 3), np.float32),
                       np.zeros((4, 4, 3), np.float32))
+
+
+def test_band_subpixel_matches_volume_subpixel():
+    """Full-range band (anchor 0, radius >= D): the in-scan parabolic
+    vertex must reproduce ops/refine.subpixel_refine gathering from the
+    full census cost volume, at pixels where both are interior (winner
+    not at a range border, all disparities image-valid)."""
+    from stereomatch_tpu.ops.cost import census_hamming_cost_volume
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    from stereomatch_tpu.ops.refine import subpixel_refine
+
+    D = 16
+    left, right, _ = synthetic_stereo_pair(40, 64, D, seed=13)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    vol = census_hamming_cost_volume(l, r, max_disparity=D, window_size=5)
+    wta = winner_takes_all(vol)
+    want = np.asarray(subpixel_refine(vol, wta))
+
+    sub = np.asarray(band_refine_census(
+        l, r, jnp.zeros(l.shape, jnp.int32), band_radius=D,
+        max_disparity=D, subpixel=True))
+    got_int = np.asarray(band_refine_census(
+        l, r, jnp.zeros(l.shape, jnp.int32), band_radius=D,
+        max_disparity=D))
+
+    w = np.asarray(wta)
+    interior = (w > 0) & (w < D - 1) & \
+        (np.arange(64)[None, :] >= D)          # every d image-valid
+    np.testing.assert_array_equal(got_int[interior], w[interior])
+    np.testing.assert_allclose(sub[interior], want[interior],
+                               rtol=0, atol=1e-6)
+
+
+def test_band_subpixel_stays_within_half_pixel():
+    left, right, gt = synthetic_stereo_pair(48, 64, 16, seed=11)
+    disp_i = np.asarray(band_refine_census(
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(gt),
+        band_radius=3, max_disparity=16))
+    disp_f = np.asarray(band_refine_census(
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(gt),
+        band_radius=3, max_disparity=16, subpixel=True))
+    assert disp_f.dtype == np.float32
+    assert np.all(np.abs(disp_f - disp_i) <= 0.5)
+
+
+def test_pyramid_estimate_refined():
+    left, right, gt = synthetic_stereo_pair(64, 96, 32, seed=3)
+    pipe = PyramidPipeline(max_disparity=32, levels=1, band_radius=4)
+    disp_i = np.asarray(pipe.estimate(left, right))
+    disp_f = np.asarray(pipe.estimate_refined(left, right))
+    assert disp_f.dtype == np.float32
+    # refined output tracks the integer result (median of +-0.5 offsets)
+    assert np.abs(disp_f - disp_i).max() <= 1.0
+    bad_i = _bad_fraction(disp_i, gt)
+    bad_f = float((np.abs(disp_f - np.asarray(gt)) > 1).mean())
+    assert bad_f <= bad_i + 0.01
