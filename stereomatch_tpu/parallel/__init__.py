@@ -18,10 +18,12 @@ territory that makes the same algorithms span a TPU pod slice:
 from .disp_sharded import make_disp_mesh, make_disp_sharded_wta
 from .mesh import (batch_tile_axes, initialize_distributed,
                    make_hybrid_mesh, make_mesh)
+from .pyramid_sharded import make_pyramid_sharded_estimate
 from .sharded import ShardedPipeline, make_sharded_estimate
 from .tiled2d import make_mesh_2d, make_tiled2d_estimate
 
 __all__ = ["batch_tile_axes", "initialize_distributed", "make_disp_mesh",
            "make_disp_sharded_wta", "make_hybrid_mesh", "make_mesh",
-           "make_mesh_2d", "make_tiled2d_estimate", "ShardedPipeline",
+           "make_mesh_2d", "make_pyramid_sharded_estimate",
+           "make_tiled2d_estimate", "ShardedPipeline",
            "make_sharded_estimate"]

@@ -121,8 +121,11 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
         return (jnp.where(better, cost, best_cost),
                 jnp.where(better, d, best_d), cost, c_minus, c_plus)
 
-    full = jnp.full((height, width), big, jnp.int32)
-    init = (full, jnp.zeros((height, width), jnp.int32), full, full, full)
+    # Derive the carry seeds from code_l (not fresh constants) so they
+    # inherit its shard_map varying type — the fori_loop carry must keep
+    # a stable type when this runs inside a mesh program (pyramid_sharded).
+    full = jnp.full_like(code_l, big)
+    init = (full, jnp.zeros_like(code_l), full, full, full)
     best_cost, best_d, _, c_minus, c_plus = lax.fori_loop(
         0, max_disparity, plane, init)
 
