@@ -82,9 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Per-frame path: 3x3 median + sub-pixel "
                              "refinement on each depthmap.")
     parser.add_argument("--pyramid", type=int, default=0, metavar="LEVELS",
-                        help="Per-frame path: coarse-to-fine census "
-                             "pyramid (~8x less volume work per level; "
-                             "overrides -cm/-am/-dm; see stm-image).")
+                        help="Coarse-to-fine census pyramid (~8x less "
+                             "volume work per level; overrides -cm/-am/-dm; "
+                             "see stm-image).  Composes with --batch "
+                             "(lax.map steady state) and --mesh (row-"
+                             "sharded pyramid; frame sides must divide by "
+                             "2**LEVELS).")
     parser.add_argument("--band-radius", type=int, default=None,
                         metavar="R",
                         help="Per-pixel band half-width (default 4 for "
@@ -149,18 +152,22 @@ class _RectifiedCapture:
         self._capture.close()
 
 
-def _pick_video_mesh(height: int):
+def _pick_video_mesh(height: int, scale: int = 1):
     """(batch, tile) mesh for video: up to 4 devices shard image rows (the
     latency axis — must divide the frame height), the rest batch frames
     (the throughput axis; frames are data-parallel, so it carries no
-    collectives and maps onto DCN across hosts)."""
+    collectives and maps onto DCN across hosts).
+
+    ``scale`` > 1 (the pyramid's 2**levels) additionally requires each
+    tile's height to stay divisible by it, so 2x2 pooling never splits a
+    row pair across a tile boundary."""
     import jax
 
     from ..parallel.mesh import make_hybrid_mesh
     n = len(jax.devices())
     n_tile, t = 1, 2
     while t <= min(n, 4):
-        if n % t == 0 and height % t == 0:
+        if n % t == 0 and height % (t * scale) == 0:
             n_tile = t
         t *= 2
     return make_hybrid_mesh(n_tile=n_tile)
@@ -183,7 +190,10 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                else "wta")
     common = dict(cost=args.cost_method, aggregation=args.aggregation_method,
                   reducer=reducer, penalty1=args.p1, penalty2=args.p2,
-                  backend=args.backend, cost_dtype=jnp.dtype(args.dtype))
+                  backend=args.backend, cost_dtype=jnp.dtype(args.dtype),
+                  pyramid_levels=args.pyramid,
+                  band_radius=(args.band_radius if args.band_radius is not None
+                               else 4))
     if args.mesh:
         ok, first = capture.read_next()
         if not ok:
@@ -191,8 +201,17 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
             return 1
         gray = (first if not hasattr(first, "to_grayscale")
                 else first.to_grayscale())
-        height = np.asarray(gray.left).shape[0]
-        mesh = _pick_video_mesh(height)
+        height, width = np.asarray(gray.left).shape
+        scale = 2 ** args.pyramid
+        if args.pyramid and (height % scale or width % scale):
+            # The sharded pyramid cannot edge-pad inside shard_map the way
+            # the single-chip PyramidPipeline does: padding would change
+            # the per-tile row count mid-program.
+            print(f"--mesh --pyramid {args.pyramid} needs frame sides "
+                  f"divisible by {scale}; got {height}x{width}.",
+                  file=sys.stderr)
+            return 2
+        mesh = _pick_video_mesh(height, scale=scale)
         estimator = StreamingEstimator(args.max_disparity, mesh=mesh,
                                        batch=args.batch or 0,
                                        sgm_mode=args.sgm_mode,
@@ -274,21 +293,22 @@ def main(argv=None) -> int:
         print("--temporal is a stateful per-frame path; it is incompatible "
               "with --batch/--mesh/--refine.", file=sys.stderr)
         return 2
+    if batched and args.refine:
+        print("--refine is a per-frame path; it is incompatible with "
+              "--batch/--mesh.", file=sys.stderr)
+        return 2
     if args.pyramid > 0:
-        if batched or args.refine:
-            print("--pyramid is a per-frame path; it is incompatible with "
-                  "--batch/--mesh/--refine.", file=sys.stderr)
-            return 2
-        import jax.numpy as jnp
+        if not batched:
+            import jax.numpy as jnp
 
-        from ..pyramid import PyramidPipeline
-        pipeline = PyramidPipeline(
-            args.max_disparity, levels=args.pyramid,
-            band_radius=(args.band_radius if args.band_radius is not None
-                         else 4),
-            penalty1=args.p1, penalty2=args.p2, backend=args.backend,
-            cost_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-            else jnp.float32)
+            from ..pyramid import PyramidPipeline
+            pipeline = PyramidPipeline(
+                args.max_disparity, levels=args.pyramid,
+                band_radius=(args.band_radius if args.band_radius is not None
+                             else 4),
+                penalty1=args.p1, penalty2=args.p2, backend=args.backend,
+                cost_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                else jnp.float32)
     elif not batched:
         pipeline = create_pipeline(args.cost_method, args.disparity_method,
                                    args.aggregation_method,

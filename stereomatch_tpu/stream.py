@@ -104,6 +104,11 @@ class StreamingEstimator:
     over the mesh batch axis and image rows over the tile axis with the
     full ShardedPipeline program (BASELINE "batched pairs across hosts"
     config), behind the same run()/estimate_batch interface.
+
+    ``pyramid_levels`` > 0 switches every frame to the coarse-to-fine
+    census pyramid (single-chip ``PyramidPipeline`` under ``lax.map``, or
+    ``parallel.pyramid_sharded`` on a mesh); the census-based pyramid
+    ignores ``cost``/``aggregation``/``reducer``.
     """
 
     def __init__(self, max_disparity: int, *, batch: int = 4,
@@ -112,25 +117,45 @@ class StreamingEstimator:
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  backend: str = "auto", mesh=None,
-                 sgm_mode: str = "exact", overlap: int = 64):
+                 sgm_mode: str = "exact", overlap: int = 64,
+                 pyramid_levels: int = 0, band_radius: int = 4):
         if mesh is not None:
             from .parallel.mesh import BATCH_AXIS
-            from .parallel.sharded import make_sharded_estimate
             n_batch = mesh.shape[BATCH_AXIS]
             # Frames per step must fill the mesh batch axis exactly:
             # round the request UP to the next multiple.
             self.batch = -(-max(batch, n_batch) // n_batch) * n_batch
-            self._fn = make_sharded_estimate(
-                mesh, max_disparity=max_disparity, cost=cost,
-                kernel_size=kernel_size, cost_dtype=cost_dtype,
-                aggregation=aggregation,
-                reducer=reducer, penalty1=penalty1, penalty2=penalty2,
-                sgm_mode=sgm_mode, overlap=overlap, backend=backend)
+            if pyramid_levels > 0:
+                # Coarse-to-fine path: census-based by construction, so
+                # cost/aggregation/reducer selections do not apply.
+                from .parallel.pyramid_sharded import \
+                    make_pyramid_sharded_estimate
+                self._fn = make_pyramid_sharded_estimate(
+                    mesh, max_disparity=max_disparity, levels=pyramid_levels,
+                    band_radius=band_radius, cost_dtype=cost_dtype,
+                    penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
+                    overlap=overlap, backend=backend)
+            else:
+                from .parallel.sharded import make_sharded_estimate
+                self._fn = make_sharded_estimate(
+                    mesh, max_disparity=max_disparity, cost=cost,
+                    kernel_size=kernel_size, cost_dtype=cost_dtype,
+                    aggregation=aggregation,
+                    reducer=reducer, penalty1=penalty1, penalty2=penalty2,
+                    sgm_mode=sgm_mode, overlap=overlap, backend=backend)
         else:
             self.batch = batch
-            frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
-                                       aggregation, reducer, penalty1,
-                                       penalty2, backend, cost_dtype)
+            if pyramid_levels > 0:
+                from .pyramid import PyramidPipeline
+                pyr = PyramidPipeline(max_disparity, levels=pyramid_levels,
+                                      band_radius=band_radius,
+                                      penalty1=penalty1, penalty2=penalty2,
+                                      cost_dtype=cost_dtype, backend=backend)
+                frame_fn = lambda l, r: pyr._estimate(l, r)  # noqa: E731
+            else:
+                frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
+                                           aggregation, reducer, penalty1,
+                                           penalty2, backend, cost_dtype)
             # lax.map (sequential per-frame programs in one jit) beats vmap
             # for the Pallas stages: a vmapped kernel grid loses pipelining
             # at batch boundaries (~1.5x slower per frame measured), while

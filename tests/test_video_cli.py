@@ -129,3 +129,54 @@ def test_video_cli_temporal_rejects_batched():
     rc = video_main(["imgdir", "/nonexistent", str(D), "--temporal",
                      "--batch", "2", "--headless"])
     assert rc == 2
+
+
+def test_video_cli_batched_pyramid_y4m(tmp_path):
+    """--batch --pyramid runs the coarse-to-fine pipeline per frame inside
+    the StreamingEstimator's lax.map steady state."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--batch", "2",
+                     "--pyramid", "1", "--backend", "xla",
+                     "--headless", "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_mesh_pyramid_matches_per_frame(tmp_path):
+    """--mesh --pyramid routes frames through the row-sharded pyramid;
+    exact SGM hand-off must reproduce the per-frame pyramid CLI output
+    bit-for-bit (32x48 frames divide by 2**levels on every tile)."""
+    from PIL import Image
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import jax
+    assert len(jax.devices()) >= 8
+
+    path = _write_y4m_stream(tmp_path)
+    mesh_dir = tmp_path / "mesh_out"
+    rc = video_main(["y4m", str(path), str(D), "--mesh", "--pyramid", "1",
+                     "--sgm-mode", "exact", "--backend", "xla",
+                     "--headless", "--output-dir", str(mesh_dir)])
+    assert rc == 0
+    mesh_frames = sorted(mesh_dir.glob("depth_*.png"))
+    assert len(mesh_frames) == 5
+
+    ref_dir = tmp_path / "ref_out"
+    rc = video_main(["y4m", str(path), str(D), "--pyramid", "1",
+                     "--backend", "xla",
+                     "--headless", "--output-dir", str(ref_dir)])
+    assert rc == 0
+    for mf, rf in zip(mesh_frames, sorted(ref_dir.glob("depth_*.png"))):
+        np.testing.assert_array_equal(np.asarray(Image.open(mf)),
+                                      np.asarray(Image.open(rf)))
+
+
+def test_video_cli_refine_rejects_batched():
+    rc = video_main(["imgdir", "/nonexistent", str(D), "--refine",
+                     "--batch", "2", "--headless"])
+    assert rc == 2
