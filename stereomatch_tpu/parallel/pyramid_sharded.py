@@ -59,7 +59,7 @@ def _median3x3_sharded(disp, *, axis_name, n_tiles):
 
 
 def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
-                  window_size, axis_name):
+                  window_size, axis_name, subpixel=False):
     """Band refinement under row sharding: census needs ±window//2 image
     rows; the scan itself is row-local.  Halo-row outputs (computed from
     zero-filled anchors) are cropped away."""
@@ -71,7 +71,7 @@ def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
     def one(lp, rp, pp):
         out = band_refine_census(lp, rp, pp, band_radius=band_radius,
                                  max_disparity=max_disparity,
-                                 window_size=window_size)
+                                 window_size=window_size, subpixel=subpixel)
         return out[h:out.shape[0] - h]
 
     return jax.vmap(one)(lpad, rpad, ppad)
@@ -87,6 +87,8 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                                   sgm_mode: str = "exact",
                                   overlap: int = 64,
                                   backend: str = "auto",
+                                  subpixel: bool = False,
+                                  median: bool = True,
                                   interpret: bool = False):
     """Compile the coarse-to-fine pyramid over a (batch, tile) mesh.
 
@@ -94,6 +96,10 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
     stacks [B, H, W] with B divisible by the batch axis and H by
     ``tile_axis * 2**levels`` (pooling must not split a row pair at a
     tile boundary).  One XLA program end to end.
+
+    ``subpixel``/``median`` mirror the single-chip pipeline's
+    ``estimate_refined``/``median`` surface: parabolic sub-pixel output
+    (float32) from the final band scan, and the inter-level 3x3 median.
     """
     if levels < 1:
         raise ValueError("levels must be >= 1")
@@ -140,9 +146,11 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                                  band_radius=band_radius,
                                  max_disparity=d_level,
                                  window_size=window_size,
-                                 axis_name=TILE_AXIS)
-            disp = _median3x3_sharded(disp, axis_name=TILE_AXIS,
-                                      n_tiles=n_tiles)
+                                 axis_name=TILE_AXIS,
+                                 subpixel=subpixel and level == 0)
+            if median:
+                disp = _median3x3_sharded(disp, axis_name=TILE_AXIS,
+                                          n_tiles=n_tiles)
         return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, None)

@@ -86,3 +86,23 @@ def test_validation():
         make_pyramid_sharded_estimate(mesh, max_disparity=D, levels=0)
     with pytest.raises(ValueError):
         make_pyramid_sharded_estimate(mesh, max_disparity=18, levels=2)
+
+
+def test_subpixel_matches_single_chip_refined(pair, mesh):
+    left, right = pair
+    ref = np.asarray(PyramidPipeline(D, levels=1, backend="xla")
+                     .estimate_refined(left, right))
+    fn = make_pyramid_sharded_estimate(mesh, max_disparity=D, levels=1,
+                                       backend="xla", subpixel=True)
+    out = _run(fn, left, right)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_median_off_matches_single_chip(pair, mesh):
+    left, right = pair
+    ref = np.asarray(PyramidPipeline(D, levels=1, median=False,
+                                     backend="xla").estimate(left, right))
+    fn = make_pyramid_sharded_estimate(mesh, max_disparity=D, levels=1,
+                                       backend="xla", median=False)
+    np.testing.assert_array_equal(_run(fn, left, right), ref)
