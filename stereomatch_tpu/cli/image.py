@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr-check", action="store_true",
                         help="Left-right consistency check with background "
                              "occlusion fill (runs the pipeline twice).")
+    parser.add_argument("--speckle", action="store_true",
+                        help="Suppress speckles (small isolated disparity "
+                             "blobs) by windowed-support filtering of the "
+                             "final map; composes with every mode.")
+    parser.add_argument("--speckle-fill", choices=("zero", "background"),
+                        default="zero",
+                        help="Replacement for speckle pixels: 0 (unknown, "
+                             "the Middlebury convention) or the nearest "
+                             "background disparity along the scanline.")
     parser.add_argument("--min-confidence", type=float, default=None,
                         metavar="T",
                         help="Mark pixels with PKRN confidence below T as "
@@ -145,6 +154,10 @@ def main(argv=None) -> int:
             left, right, **kwargs))
     else:
         disparity = np.asarray(pipeline.estimate(left, right))
+    if args.speckle:
+        from ..ops.refine import filter_speckles
+        disparity = np.asarray(filter_speckles(disparity,
+                                               fill=args.speckle_fill))
     canvas = render_panels(disparity,
                            inputs=((left_rgb, right_rgb) if args.figure
                                    else None))

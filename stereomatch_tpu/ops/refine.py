@@ -108,6 +108,77 @@ def confidence_pkrn(cost_volume: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(conf, 0.0, 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_diff", "window",
+                                             "min_frac"))
+def speckle_mask(disparity: jnp.ndarray, *, max_diff: float = 1.0,
+                 window: int = 9, min_frac: float = 0.25) -> jnp.ndarray:
+    """Support mask for speckle suppression: True where enough of the
+    surrounding window agrees with the pixel's disparity.
+
+    ``support(p) = #{q in window(p) : |d(q) - d(p)| <= max_diff}`` over
+    in-image neighbors; the pixel is kept when
+    ``support >= ceil(min_frac * n_in_image_window)``.  A small isolated
+    blob of outlier disparities ("speckle" — the classic mismatch
+    artifact of local WTA) finds little agreeing support and is masked;
+    coherent surfaces keep near-full support.  Normalizing by the
+    in-image window count keeps the criterion fair at borders/corners.
+
+    TPU formulation: the region-growing speckle filters of CPU stereo
+    stacks (flood-fill connected components, then a size threshold) are
+    pointer-chasing and data-dependent — hostile to XLA.  This windowed
+    support test is ``window**2`` shifted compare-accumulates on the
+    [H, W] plane (the same shifted-plane pattern as the median filter):
+    one fused elementwise pass, no gathers, no iteration to a fixpoint.
+    It approximates the region-size test: any region is "supported" only
+    through window-local agreement, so thin or small regions (below the
+    window scale) lose their pixels while large coherent ones do not.
+    Note the comparison is against the *center* disparity, so surfaces
+    steeper than ``max_diff``/pixel also lose support — choose
+    ``max_diff`` at least the expected slope times window radius, or
+    gate on the mask only where confidence is low.
+    """
+    height, width = disparity.shape
+    r = window // 2
+    d = disparity.astype(jnp.float32)
+    padded = jnp.pad(d, r, mode="constant", constant_values=jnp.nan)
+    similar = jnp.zeros((height, width), jnp.int32)
+    n_in = jnp.zeros((height, width), jnp.int32)
+    for dy in range(window):
+        for dx in range(window):
+            shifted = padded[dy:dy + height, dx:dx + width]
+            inside = ~jnp.isnan(shifted)
+            similar += jnp.where(jnp.abs(shifted - d) <= max_diff, 1, 0)
+            n_in += inside.astype(jnp.int32)
+    need = jnp.ceil(min_frac * n_in.astype(jnp.float32)).astype(jnp.int32)
+    return similar >= need
+
+
+@functools.partial(jax.jit, static_argnames=("max_diff", "window",
+                                             "min_frac", "fill"))
+def filter_speckles(disparity: jnp.ndarray, *, max_diff: float = 1.0,
+                    window: int = 9, min_frac: float = 0.25,
+                    fill: str = "zero",
+                    invalid_value: float = 0) -> jnp.ndarray:
+    """Suppress speckles: replace pixels failing :func:`speckle_mask`.
+
+    ``fill="zero"`` writes ``invalid_value`` (0 = the Middlebury unknown
+    convention, composing with downstream validity masks);
+    ``fill="background"`` extends the nearest supported disparity from
+    the left/right along the scanline, taking the smaller (background)
+    side — the same rule as occlusion filling.
+    """
+    mask = speckle_mask(disparity, max_diff=max_diff, window=window,
+                        min_frac=min_frac)
+    if fill == "zero":
+        out = jnp.where(mask, disparity,
+                        jnp.asarray(invalid_value, disparity.dtype))
+        return out
+    if fill == "background":
+        return fill_inconsistent(disparity, mask).astype(
+            jnp.promote_types(disparity.dtype, jnp.float32))
+    raise ValueError(f"unknown fill mode: {fill!r}")
+
+
 def right_disparity(pipeline_fn, left: jnp.ndarray,
                     right: jnp.ndarray) -> jnp.ndarray:
     """Right-image disparity from a left-disparity pipeline.

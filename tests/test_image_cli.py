@@ -88,3 +88,13 @@ def test_image_cli_pyramid_rejects_volume_postprocessing(png_pair, tmp_path):
     assert cli_image.main([lp, rp, "8", str(out), "--pyramid", "1",
                            "--lr-check"]) == 2
     assert not out.exists()
+
+
+def test_image_cli_speckle(png_pair, tmp_path):
+    lp, rp, (h, w) = png_pair
+    out = tmp_path / "speckle.png"
+    assert cli_image.main([lp, rp, "8", str(out), "--speckle",
+                           "--speckle-fill", "background",
+                           "--backend", "xla"]) == 0
+    img = np.array(Image.open(out))
+    assert img.shape == (h, w, 3)

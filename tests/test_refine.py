@@ -251,3 +251,40 @@ def test_image_cli_min_confidence(tmp_path):
                          "-am", "sgm", "--min-confidence", "0.02"])
     assert rc == 0
     assert np.array(Image.open(out)).shape == (24, 40, 3)
+
+
+def test_speckle_mask_kills_isolated_blob():
+    from stereomatch_tpu.ops.refine import speckle_mask
+    disp = np.full((24, 32), 10.0, np.float32)
+    disp[10:12, 14:16] = 40.0                 # 2x2 outlier blob
+    mask = np.asarray(speckle_mask(disp))
+    assert not mask[10:12, 14:16].any()       # speckle masked
+    outside = np.ones_like(mask, bool)
+    outside[10:12, 14:16] = False
+    assert mask[outside].all()                # coherent surface kept
+
+
+def test_speckle_mask_keeps_large_regions_and_borders():
+    from stereomatch_tpu.ops.refine import speckle_mask
+    disp = np.full((24, 32), 10.0, np.float32)
+    disp[:, 16:] = 40.0                       # two large half-planes
+    mask = np.asarray(speckle_mask(disp))
+    assert mask.all()                         # incl. corners and the seam
+
+
+def test_filter_speckles_zero_and_background():
+    from stereomatch_tpu.ops.refine import filter_speckles
+    disp = np.full((24, 32), 10.0, np.float32)
+    disp[10:12, 14:16] = 40.0
+    out = np.asarray(filter_speckles(disp, fill="zero"))
+    assert (out[10:12, 14:16] == 0).all()
+    out = np.asarray(filter_speckles(disp, fill="background"))
+    assert (out[10:12, 14:16] == 10.0).all()
+    assert (out == 10.0).all()
+
+
+def test_filter_speckles_rejects_unknown_fill():
+    import pytest as _pytest
+    from stereomatch_tpu.ops.refine import filter_speckles
+    with _pytest.raises(ValueError):
+        filter_speckles(np.zeros((4, 4), np.float32), fill="nearest")
