@@ -85,7 +85,9 @@ def test_wgrid_sweep_on_hardware(fixtures, monkeypatch):
     from stereomatch_tpu.ops import sgm_pallas
     _, left, _, vol, agg, _ = fixtures
     monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 0)
-    row_bytes = vol.shape[1] * vol.shape[2] * 4
+    # Budget math uses padded (8, 128) VMEM tiles — size the forced cap
+    # with the same model or no chunk count fits (D=32 pads 4x).
+    row_bytes = sgm_pallas._row_vmem_bytes(vol.shape[1], vol.shape[2])
     monkeypatch.setattr(sgm_pallas, "_WGRID_BUDGET_BYTES",
                         3 * row_bytes + 10 * (row_bytes // 2))
     assert sgm_pallas._pick_wgrid_chunks(vol.shape[1], vol.shape[2], 3) == 2
