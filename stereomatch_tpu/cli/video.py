@@ -79,8 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                         default="float32",
                         help="Cost-volume storage dtype (per-frame path).")
     parser.add_argument("--refine", action="store_true",
-                        help="Per-frame path: 3x3 median + sub-pixel "
-                             "refinement on each depthmap.")
+                        help="3x3 median + parabolic sub-pixel refinement "
+                             "on each depthmap (composes with --batch and "
+                             "--mesh).")
     parser.add_argument("--pyramid", type=int, default=0, metavar="LEVELS",
                         help="Coarse-to-fine census pyramid (~8x less "
                              "volume work per level; overrides -cm/-am/-dm; "
@@ -193,7 +194,8 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   backend=args.backend, cost_dtype=jnp.dtype(args.dtype),
                   pyramid_levels=args.pyramid,
                   band_radius=(args.band_radius if args.band_radius is not None
-                               else 4))
+                               else 4),
+                  median=args.refine, subpixel=args.refine)
     if args.mesh:
         ok, first = capture.read_next()
         if not ok:
@@ -292,10 +294,6 @@ def main(argv=None) -> int:
     if args.temporal and (batched or args.refine):
         print("--temporal is a stateful per-frame path; it is incompatible "
               "with --batch/--mesh/--refine.", file=sys.stderr)
-        return 2
-    if batched and args.refine:
-        print("--refine is a per-frame path; it is incompatible with "
-              "--batch/--mesh.", file=sys.stderr)
         return 2
     if args.pyramid > 0:
         if not batched:

@@ -208,7 +208,9 @@ def fill_inconsistent(disparity: jnp.ndarray,
             v, o = inp
             carry = jnp.where(o, v, carry)
             return carry, carry
-        init = jnp.full((vals.shape[0],), jnp.nan, jnp.float32)
+        # full_like (not a fresh constant) keeps the carry's shard_map
+        # varying type stable when this runs inside a mesh program.
+        init = jnp.full_like(vals[:, 0], jnp.nan)
         _, out = lax.scan(step, init, (vals.T, ok.T))
         return out.T                       # [H, W] last-valid-to-the-left
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax, shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.disparity import winner_takes_all
@@ -36,26 +36,9 @@ from ..pyramid import band_refine_census, downsample2, upsample2_nearest
 from ..utils.backend import resolve_backend
 from . import halo
 from .mesh import BATCH_AXIS, TILE_AXIS
-from .sharded import (_local_census, _pallas_exact_semiglobal,
+from .sharded import (_local_census, _median3x3_rows,
+                      _pallas_exact_semiglobal,
                       _pallas_overlap_semiglobal, sharded_semiglobal)
-
-
-def _median3x3_sharded(disp, *, axis_name, n_tiles):
-    """3x3 median over row shards: one disparity-row halo per neighbor;
-    ring ends replicate the local edge row (the single-chip filter pads
-    with mode='edge')."""
-    top = halo.pull_from_prev(disp, 1, axis=1, axis_name=axis_name)
-    bottom = halo.pull_from_next(disp, 1, axis=1, axis_name=axis_name)
-    rank = lax.axis_index(axis_name)
-    top = jnp.where(rank == 0, disp[:, :1], top)
-    bottom = jnp.where(rank == n_tiles - 1, disp[:, -1:], bottom)
-    x = jnp.concatenate([top, disp, bottom], axis=1).astype(jnp.float32)
-    x = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="edge")
-    b, hl, w = disp.shape
-    planes = [x[:, dy:dy + hl, dx:dx + w]
-              for dy in range(3) for dx in range(3)]
-    return jnp.sort(jnp.stack(planes, axis=-1),
-                    axis=-1)[..., 4].astype(disp.dtype)
 
 
 def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
@@ -149,8 +132,8 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                                  axis_name=TILE_AXIS,
                                  subpixel=subpixel and level == 0)
             if median:
-                disp = _median3x3_sharded(disp, axis_name=TILE_AXIS,
-                                          n_tiles=n_tiles)
+                disp = _median3x3_rows(disp, axis_name=TILE_AXIS,
+                                       n_tiles=n_tiles)
         return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, None)

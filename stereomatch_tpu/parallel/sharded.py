@@ -517,6 +517,25 @@ def sharded_semiglobal(cost_vol, left_image, *, penalty1, penalty2,
 # Whole-pipeline assembly
 # --------------------------------------------------------------------------
 
+def _median3x3_rows(disp, *, axis_name, n_tiles):
+    """3x3 median over row shards: one disparity-row halo per neighbor;
+    ring ends replicate the local edge row, matching the single-chip
+    filter's ``mode="edge"`` padding (ops/refine.py::median_filter_3x3).
+    [B, Hl, W] -> [B, Hl, W]."""
+    top = halo.pull_from_prev(disp, 1, axis=1, axis_name=axis_name)
+    bottom = halo.pull_from_next(disp, 1, axis=1, axis_name=axis_name)
+    rank = lax.axis_index(axis_name)
+    top = jnp.where(rank == 0, disp[:, :1], top)
+    bottom = jnp.where(rank == n_tiles - 1, disp[:, -1:], bottom)
+    x = jnp.concatenate([top, disp, bottom], axis=1).astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    b, hl, w = disp.shape
+    planes = [x[:, dy:dy + hl, dx:dx + w]
+              for dy in range(3) for dx in range(3)]
+    return jnp.sort(jnp.stack(planes, axis=-1),
+                    axis=-1)[..., 4].astype(disp.dtype)
+
+
 def make_sharded_estimate(mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
@@ -528,6 +547,11 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           sgm_mode: str = "exact",
                           overlap: int = 64,
                           backend: str = "auto",
+                          median: bool = False,
+                          subpixel: bool = False,
+                          lr_check: bool = False,
+                          lr_max_diff: int = 1,
+                          min_confidence: Optional[float] = None,
                           interpret: bool = False) -> Callable:
     """Compile the full pipeline over a (batch, tile) mesh.
 
@@ -536,6 +560,14 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     and H by the tile axis.  One XLA program: cost construction (with image
     halo exchange), optional 8-path SGM (carry hand-off or warm-up halos),
     and the reducer, all fused — no per-stage host sync anywhere.
+
+    ``median``/``subpixel``/``lr_check``/``min_confidence`` mirror the
+    single-chip ``Pipeline.estimate_refined`` surface and ordering
+    (LR fill, median, sub-pixel, confidence gate).  Every stage is
+    row-local under the tile sharding except the median (one
+    disparity-row halo per neighbor, edge-replicated at ring ends); the
+    LR check's mirrored run flips W, which row sharding never splits.
+    With ``subpixel`` the output becomes float32.
     """
     if cost not in ("ssd", "ssd-texture", "birchfield", "census", "sad",
                     "ncc"):
@@ -556,12 +588,10 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     backend = resolve_backend(backend)
     use_pallas_sgm = backend == "pallas"
 
-    def local_fn(left, right):                     # [B_loc, Hl, W]
+    def core(left, right):                  # [B_loc, Hl, W] -> (vol, disp)
         # "ssd-texture" = the texture sampler (identity over integer pixel
         # centres under nearest/unnormalized — texture.py sample_grid) into
         # float32 SSD, bit-matching the single-chip SSDTexture config.
-        left = left.astype(jnp.float32)
-        right = right.astype(jnp.float32)
         if cost in ("ssd", "ssd-texture"):
             vol = _local_ssd(left, right, max_disparity=max_disparity,
                              kernel_size=kernel_size,
@@ -602,12 +632,43 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                                          n_tiles=n_tiles, mode=sgm_mode,
                                          overlap=overlap)
         if reducer == "wta":
-            return jax.vmap(winner_takes_all.__wrapped__)(vol)
+            return vol, jax.vmap(winner_takes_all.__wrapped__)(vol)
         if backend == "pallas":
             vma = frozenset({BATCH_AXIS, TILE_AXIS})
-            return jax.vmap(lambda v: dynamic_programming_pallas.__wrapped__(
-                v, interpret=interpret, out_vma=vma))(vol)
-        return jax.vmap(dynamic_programming.__wrapped__)(vol)
+            return vol, jax.vmap(
+                lambda v: dynamic_programming_pallas.__wrapped__(
+                    v, interpret=interpret, out_vma=vma))(vol)
+        return vol, jax.vmap(dynamic_programming.__wrapped__)(vol)
+
+    def local_fn(left, right):                     # [B_loc, Hl, W]
+        from ..ops import refine
+
+        left = left.astype(jnp.float32)
+        right = right.astype(jnp.float32)
+        if lr_check:
+            # Right-to-left matching is left-to-right matching on
+            # mirrored images (ops/refine.py::right_disparity); the W
+            # flip is tile-local under row sharding.
+            disp_r = core(right[:, :, ::-1],
+                          left[:, :, ::-1])[1][:, :, ::-1]
+        agg, disp = core(left, right)
+        if lr_check:
+            mask = jax.vmap(functools.partial(
+                refine.left_right_consistency.__wrapped__,
+                max_diff=lr_max_diff))(disp, disp_r)
+            disp = jax.vmap(refine.fill_inconsistent)(disp, mask)
+        if median:
+            disp = _median3x3_rows(disp, axis_name=TILE_AXIS,
+                                   n_tiles=n_tiles)
+        if subpixel:
+            idx = jnp.clip(jnp.round(disp), 0,
+                           max_disparity - 1).astype(jnp.int32)
+            disp = jax.vmap(refine.subpixel_refine.__wrapped__)(agg, idx)
+        if min_confidence is not None:
+            conf = jax.vmap(refine.confidence_pkrn.__wrapped__)(agg)
+            disp = jnp.where(conf >= min_confidence,
+                             disp, jnp.zeros((), disp.dtype))
+        return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, None)
     # pallas_call's interpret path hits internal vma mismatches under
@@ -634,7 +695,11 @@ class ShardedPipeline:
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  sgm_mode: str = "exact", overlap: int = 64,
-                 backend: str = "auto", interpret: bool = False):
+                 backend: str = "auto",
+                 median: bool = False, subpixel: bool = False,
+                 lr_check: bool = False, lr_max_diff: int = 1,
+                 min_confidence: Optional[float] = None,
+                 interpret: bool = False):
         self.mesh = mesh
         self.max_disparity = max_disparity
         self._fn = make_sharded_estimate(
@@ -643,7 +708,9 @@ class ShardedPipeline:
             census_window=census_window,
             aggregation=aggregation, reducer=reducer,
             penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
-            overlap=overlap, backend=backend, interpret=interpret)
+            overlap=overlap, backend=backend, median=median,
+            subpixel=subpixel, lr_check=lr_check, lr_max_diff=lr_max_diff,
+            min_confidence=min_confidence, interpret=interpret)
         self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))
 
     def estimate(self, left, right) -> jnp.ndarray:

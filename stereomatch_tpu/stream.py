@@ -49,12 +49,23 @@ class StreamStats:
 def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     aggregation: Optional[str], reducer: str,
                     penalty1: float, penalty2: float,
-                    backend: str = "auto", cost_dtype=jnp.float32):
+                    backend: str = "auto", cost_dtype=jnp.float32,
+                    median: bool = False, subpixel: bool = False):
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     if cost == "ssd-texture":
         cost_dtype = jnp.float32        # the sampler contract is float32
     use_pallas = resolve_backend(backend) == "pallas"
+
+    def postprocess(vol, disp):
+        from .ops import refine
+        if median:
+            disp = refine.median_filter_3x3.__wrapped__(disp)
+        if subpixel:
+            idx = jnp.clip(jnp.round(disp), 0,
+                           max_disparity - 1).astype(jnp.int32)
+            disp = refine.subpixel_refine.__wrapped__(vol, idx)
+        return disp
 
     def frame_fn(left, right):
         if cost in ("ssd", "ssd-texture"):
@@ -87,10 +98,10 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         elif aggregation is not None:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if reducer == "wta":
-            return winner_takes_all(vol)
+            return postprocess(vol, winner_takes_all(vol))
         if reducer == "dynamic_programming":
-            return (dynamic_programming_pallas(vol) if use_pallas
-                    else dynamic_programming(vol))
+            return postprocess(vol, dynamic_programming_pallas(vol)
+                               if use_pallas else dynamic_programming(vol))
         raise ValueError(f"unknown reducer {reducer!r}")
 
     return frame_fn
@@ -118,7 +129,8 @@ class StreamingEstimator:
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  backend: str = "auto", mesh=None,
                  sgm_mode: str = "exact", overlap: int = 64,
-                 pyramid_levels: int = 0, band_radius: int = 4):
+                 pyramid_levels: int = 0, band_radius: int = 4,
+                 median: bool = False, subpixel: bool = False):
         if mesh is not None:
             from .parallel.mesh import BATCH_AXIS
             n_batch = mesh.shape[BATCH_AXIS]
@@ -134,7 +146,7 @@ class StreamingEstimator:
                     mesh, max_disparity=max_disparity, levels=pyramid_levels,
                     band_radius=band_radius, cost_dtype=cost_dtype,
                     penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
-                    overlap=overlap, backend=backend)
+                    overlap=overlap, backend=backend, subpixel=subpixel)
             else:
                 from .parallel.sharded import make_sharded_estimate
                 self._fn = make_sharded_estimate(
@@ -142,7 +154,8 @@ class StreamingEstimator:
                     kernel_size=kernel_size, cost_dtype=cost_dtype,
                     aggregation=aggregation,
                     reducer=reducer, penalty1=penalty1, penalty2=penalty2,
-                    sgm_mode=sgm_mode, overlap=overlap, backend=backend)
+                    sgm_mode=sgm_mode, overlap=overlap, backend=backend,
+                    median=median, subpixel=subpixel)
         else:
             self.batch = batch
             if pyramid_levels > 0:
@@ -151,11 +164,12 @@ class StreamingEstimator:
                                       band_radius=band_radius,
                                       penalty1=penalty1, penalty2=penalty2,
                                       cost_dtype=cost_dtype, backend=backend)
-                frame_fn = lambda l, r: pyr._estimate(l, r)  # noqa: E731
+                frame_fn = lambda l, r: pyr._estimate(l, r, subpixel)  # noqa: E731
             else:
                 frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
                                            aggregation, reducer, penalty1,
-                                           penalty2, backend, cost_dtype)
+                                           penalty2, backend, cost_dtype,
+                                           median=median, subpixel=subpixel)
             # lax.map (sequential per-frame programs in one jit) beats vmap
             # for the Pallas stages: a vmapped kernel grid loses pipelining
             # at batch boundaries (~1.5x slower per frame measured), while

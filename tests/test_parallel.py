@@ -432,3 +432,46 @@ def test_disp_sharded_sad_ncc(pair, cost_name):
     fn = make_disp_sharded_wta(mesh, max_disparity=d_total, cost=cost_name,
                                kernel_size=3)
     np.testing.assert_array_equal(np.asarray(fn(left, right)), ref)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(lr_check=True, median=True),
+    dict(min_confidence=0.05),
+])
+def test_sharded_postprocessing_matches_single_chip(pair, mesh, kwargs):
+    """Mesh post-processing (LR fill, median, confidence gate) bit-matches
+    Pipeline.estimate_refined: every stage is row-local except the median's
+    one-row halos."""
+    from stereomatch_tpu.pipeline import Pipeline
+    left, right = pair
+    single = Pipeline(SSD(D, kernel_size=3), WinnerTakesAll(), Semiglobal())
+    ref = np.asarray(single.estimate_refined(
+        left, right, subpixel=False,
+        median=kwargs.get("median", False),
+        lr_check=kwargs.get("lr_check", False),
+        min_confidence=kwargs.get("min_confidence")))
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact", backend="xla",
+                           **kwargs)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_subpixel_close_to_single_chip(pair, mesh):
+    """Sub-pixel output under the mesh: the parabolic vertex divides
+    last-ulp differences in the aggregated volume (the sharded SGM sums
+    the 8 directions in a different order), so assert a tight tolerance
+    rather than equality."""
+    from stereomatch_tpu.pipeline import Pipeline
+    left, right = pair
+    single = Pipeline(SSD(D, kernel_size=3), WinnerTakesAll(), Semiglobal())
+    ref = np.asarray(single.estimate_refined(left, right, subpixel=True,
+                                             median=True))
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact", backend="xla",
+                           median=True, subpixel=True)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out[0], ref, atol=1e-4)

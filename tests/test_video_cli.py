@@ -176,7 +176,33 @@ def test_video_cli_mesh_pyramid_matches_per_frame(tmp_path):
                                       np.asarray(Image.open(rf)))
 
 
-def test_video_cli_refine_rejects_batched():
-    rc = video_main(["imgdir", "/nonexistent", str(D), "--refine",
-                     "--batch", "2", "--headless"])
-    assert rc == 2
+def test_video_cli_batched_refine_y4m(tmp_path):
+    """--batch --refine applies median + sub-pixel inside the batched
+    steady state (float maps colorize fine)."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--batch", "2", "-am", "sgm",
+                     "--refine", "--backend", "xla",
+                     "--headless", "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_mesh_refine_y4m(tmp_path):
+    """--mesh --refine routes median/sub-pixel through the sharded
+    post-processing stages."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import jax
+    assert len(jax.devices()) >= 8
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--mesh", "-am", "sgm",
+                     "--refine", "--sgm-mode", "exact", "--backend", "xla",
+                     "--headless", "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
