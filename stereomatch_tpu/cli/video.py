@@ -62,7 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", action="store_true",
                         help="Run frames through the sharded mesh pipeline: "
                              "frames split over the mesh batch axis (DCN "
-                             "across hosts), image rows over the tile axis.")
+                             "across hosts), image rows over the tile axis. "
+                             "With --temporal: row-shards the stateful "
+                             "tracker on a tile-only mesh instead.")
     parser.add_argument("--sgm-mode", choices=("exact", "overlap"),
                         default="exact",
                         help="Mesh-mode SGM scan splitting strategy.")
@@ -95,11 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "--pyramid levels, 6 for --temporal "
                              "tracking).")
     parser.add_argument("--temporal", action="store_true",
-                        help="Per-frame path: track disparity across "
-                             "frames (census band search around the "
-                             "previous frame's result; keyframes on "
-                             "--keyframe-interval cadence and on drift). "
-                             "Composes with --pyramid for the keyframes.")
+                        help="Track disparity across frames (census "
+                             "band search around the previous frame's "
+                             "result; keyframes on --keyframe-interval "
+                             "cadence and on drift).  Composes with "
+                             "--pyramid for the keyframes and with --mesh "
+                             "for row sharding.")
     parser.add_argument("--keyframe-interval", type=int, default=16,
                         metavar="N",
                         help="--temporal: force a full-range keyframe "
@@ -172,6 +175,33 @@ def _pick_video_mesh(height: int, scale: int = 1):
             n_tile = t
         t *= 2
     return make_hybrid_mesh(n_tile=n_tile)
+
+
+def _pick_temporal_mesh(height: int, scale: int = 1):
+    """Tile-only mesh for --temporal --mesh: the tracker is stateful per
+    frame (no frame batching), so every usable device shards image rows.
+    ``scale`` = 2**pyramid_levels keeps tile heights pool-divisible."""
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    n = len(jax.devices())
+    n_tile, t = 1, 2
+    while t <= min(n, 4):
+        if height % (t * max(scale, 1)) == 0:
+            n_tile = t
+        t *= 2
+    return make_mesh(jax.devices()[:n_tile], n_batch=1)
+
+
+class _FnEstimator:
+    """Adapter giving a compiled mesh program the ``estimate`` surface
+    TemporalPipeline expects of a keyframe."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def estimate(self, left, right):
+        return self._fn(left, right)
 
 
 def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
@@ -289,24 +319,64 @@ def main(argv=None) -> int:
     from ..io.calibration import StereoRectifier
     from ..utils.viz import colorize_disparity
 
-    batched = args.batch is not None or args.mesh
+    # Temporal is stateful frame-to-frame, so it cannot batch frames —
+    # but it CAN shard each frame's rows: --temporal --mesh runs the
+    # tracker on a tile-only mesh instead of the batched estimator path.
+    batched = (args.batch is not None or args.mesh) and not args.temporal
     pipeline = None
-    if args.temporal and (batched or args.refine):
+    if args.temporal and (args.batch is not None or args.refine):
         print("--temporal is a stateful per-frame path; it is incompatible "
-              "with --batch/--mesh/--refine.", file=sys.stderr)
+              "with --batch/--refine (row-shard each frame with --mesh).",
+              file=sys.stderr)
         return 2
+    capture = _open_capture(args)
+    temporal_mesh = None
+    if args.temporal and args.mesh:
+        ok, first = capture.read_next()
+        if not ok:
+            print("empty stream")
+            return 1
+        gray = (first if not hasattr(first, "to_grayscale")
+                else first.to_grayscale())
+        height, width = np.asarray(gray.left).shape
+        scale = 2 ** args.pyramid
+        if args.pyramid and (height % scale or width % scale):
+            print(f"--mesh --pyramid {args.pyramid} needs frame sides "
+                  f"divisible by {scale}; got {height}x{width}.",
+                  file=sys.stderr)
+            return 2
+        temporal_mesh = _pick_temporal_mesh(height, scale=scale)
+        capture = _ReplayFirst(capture, first)
     if args.pyramid > 0:
-        if not batched:
+        band = args.band_radius if args.band_radius is not None else 4
+        if temporal_mesh is not None:
+            from ..parallel import make_pyramid_sharded_estimate
+            pipeline = _FnEstimator(make_pyramid_sharded_estimate(
+                temporal_mesh, max_disparity=args.max_disparity,
+                levels=args.pyramid, band_radius=band,
+                penalty1=args.p1, penalty2=args.p2, backend=args.backend))
+        elif not batched:
             import jax.numpy as jnp
 
             from ..pyramid import PyramidPipeline
             pipeline = PyramidPipeline(
                 args.max_disparity, levels=args.pyramid,
-                band_radius=(args.band_radius if args.band_radius is not None
-                             else 4),
+                band_radius=band,
                 penalty1=args.p1, penalty2=args.p2, backend=args.backend,
                 cost_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                 else jnp.float32)
+    elif temporal_mesh is not None:
+        import jax.numpy as jnp
+
+        from ..parallel import ShardedPipeline
+        pipeline = ShardedPipeline(
+            temporal_mesh, args.max_disparity, cost=args.cost_method,
+            aggregation=args.aggregation_method,
+            reducer=("dynamic_programming" if args.disparity_method == "dyn"
+                     else "wta"),
+            penalty1=args.p1, penalty2=args.p2, sgm_mode=args.sgm_mode,
+            overlap=args.overlap, backend=args.backend,
+            cost_dtype=jnp.dtype(args.dtype))
     elif not batched:
         pipeline = create_pipeline(args.cost_method, args.disparity_method,
                                    args.aggregation_method,
@@ -322,8 +392,8 @@ def main(argv=None) -> int:
                          else 6),
             keyframe_interval=args.keyframe_interval,
             drift_threshold=args.drift_threshold,
-            penalty1=args.p1, penalty2=args.p2, backend=args.backend)
-    capture = _open_capture(args)
+            penalty1=args.p1, penalty2=args.p2, backend=args.backend,
+            mesh=temporal_mesh)
 
     rectifier = None
     if args.calib:

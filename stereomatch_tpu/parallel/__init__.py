@@ -20,10 +20,12 @@ from .mesh import (batch_tile_axes, initialize_distributed,
                    make_hybrid_mesh, make_mesh)
 from .pyramid_sharded import make_pyramid_sharded_estimate
 from .sharded import ShardedPipeline, make_sharded_estimate
+from .temporal_sharded import make_temporal_track_sharded
 from .tiled2d import make_mesh_2d, make_tiled2d_estimate
 
 __all__ = ["batch_tile_axes", "initialize_distributed", "make_disp_mesh",
            "make_disp_sharded_wta", "make_hybrid_mesh", "make_mesh",
            "make_mesh_2d", "make_pyramid_sharded_estimate",
+           "make_temporal_track_sharded",
            "make_tiled2d_estimate", "ShardedPipeline",
            "make_sharded_estimate"]

@@ -42,7 +42,8 @@ from .sharded import (_local_census, _median3x3_rows,
 
 
 def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
-                  window_size, axis_name, subpixel=False):
+                  window_size, axis_name, subpixel=False,
+                  return_best_cost=False):
     """Band refinement under row sharding: census needs ±window//2 image
     rows; the scan itself is row-local.  Halo-row outputs (computed from
     zero-filled anchors) are cropped away."""
@@ -54,7 +55,11 @@ def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
     def one(lp, rp, pp):
         out = band_refine_census(lp, rp, pp, band_radius=band_radius,
                                  max_disparity=max_disparity,
-                                 window_size=window_size, subpixel=subpixel)
+                                 window_size=window_size, subpixel=subpixel,
+                                 return_best_cost=return_best_cost)
+        if return_best_cost:
+            disp, best = out
+            return disp[h:disp.shape[0] - h], best[h:best.shape[0] - h]
         return out[h:out.shape[0] - h]
 
     return jax.vmap(one)(lpad, rpad, ppad)

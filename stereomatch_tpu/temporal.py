@@ -71,6 +71,15 @@ class TemporalPipeline:
         disparities scores well), which is what the cadence bounds.
       median: 3x3-median the tracked disparity (same speckle argument as
         the pyramid's inter-level filter).
+      mesh: optional (batch, tile) ``jax.sharding.Mesh``.  The tracker
+        then spans chips: the batch axis carries independent streams (a
+        multi-camera rig — ``estimate`` takes/returns [B, H, W] stacks),
+        the tile axis shards image rows
+        (parallel/temporal_sharded.py), and the default keyframe becomes
+        the equivalent :class:`~stereomatch_tpu.parallel.ShardedPipeline`.
+        The keyframe schedule is shared across streams: a drift keyframe
+        fires when ANY stream's poor fraction exceeds the threshold
+        (per-stream schedules would diverge the compiled control flow).
     """
 
     def __init__(self, max_disparity: int, *,
@@ -82,7 +91,8 @@ class TemporalPipeline:
                  poor_bits: Optional[int] = None,
                  median: bool = True,
                  penalty1: float = 0.1, penalty2: float = 0.2,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 mesh=None):
         if band_radius < 1:
             raise ValueError("band_radius must be >= 1")
         if not 0.0 < drift_threshold <= 1.0:
@@ -96,13 +106,28 @@ class TemporalPipeline:
         self.poor_bits = (poor_bits if poor_bits is not None
                           else max(n_neighbour_bits // 3, 1))
         self.median = median
+        self.mesh = mesh
         if keyframe is None:
-            from .cli_common import create_pipeline
-            keyframe = create_pipeline(
-                "census", "wta", "sgm", max_disparity=max_disparity,
-                penalty1=penalty1, penalty2=penalty2, backend=backend)
+            if mesh is not None:
+                from .parallel import ShardedPipeline
+                keyframe = ShardedPipeline(
+                    mesh, max_disparity, cost="census",
+                    aggregation="sgm", reducer="wta",
+                    penalty1=penalty1, penalty2=penalty2, backend=backend)
+            else:
+                from .cli_common import create_pipeline
+                keyframe = create_pipeline(
+                    "census", "wta", "sgm", max_disparity=max_disparity,
+                    penalty1=penalty1, penalty2=penalty2, backend=backend)
         self.keyframe = keyframe
-        self._track_fn = jax.jit(self._track)
+        if mesh is not None:
+            from .parallel.temporal_sharded import make_temporal_track_sharded
+            self._track_fn = make_temporal_track_sharded(
+                mesh, max_disparity=max_disparity, band_radius=band_radius,
+                window_size=window_size, poor_bits=self.poor_bits,
+                median=median)
+        else:
+            self._track_fn = jax.jit(self._track)
         self.reset()
 
     def reset(self) -> None:
@@ -132,7 +157,23 @@ class TemporalPipeline:
     def estimate(self, left_image, right_image) -> jnp.ndarray:
         left = jnp.asarray(left_image)
         right = jnp.asarray(right_image)
-        validation.check_stereo_pair(left, right)
+        squeeze = False
+        if self.mesh is not None:
+            if left.ndim == 2:
+                # Single-stream convenience: rows shard over the tile
+                # axis; needs a trivial batch axis.
+                from .parallel.mesh import BATCH_AXIS
+                if self.mesh.shape[BATCH_AXIS] != 1:
+                    raise ValueError(
+                        "2-D frames in mesh mode need a batch axis of 1 "
+                        f"(got {self.mesh.shape[BATCH_AXIS]}); pass "
+                        "[B, H, W] stacks to use batch parallelism")
+                left, right = left[None], right[None]
+                squeeze = True
+            if left.ndim != 3 or left.shape != right.shape:
+                raise ValueError("mesh mode takes matching [B, H, W] stacks")
+        else:
+            validation.check_stereo_pair(left, right)
 
         due = (self._prev is None
                or (self.keyframe_interval > 0
@@ -141,7 +182,7 @@ class TemporalPipeline:
             due = True                     # geometry changed mid-stream
         if not due:
             disp, poor_frac = self._track_fn(left, right, self._prev)
-            if float(poor_frac) > self.drift_threshold:
+            if float(np.max(np.asarray(poor_frac))) > self.drift_threshold:
                 self.drift_keyframes += 1
                 due = True
         if due:
@@ -150,4 +191,4 @@ class TemporalPipeline:
 
         self._prev = disp
         self._frame_index += 1
-        return disp
+        return disp[0] if squeeze else disp

@@ -127,3 +127,57 @@ def test_validates_arguments():
         TemporalPipeline(16, band_radius=0)
     with pytest.raises(ValueError):
         TemporalPipeline(16, drift_threshold=0.0)
+
+
+def test_mesh_tracking_matches_single_chip():
+    """The row-sharded tracker (parallel/temporal_sharded.py) bit-matches
+    the single-chip TemporalPipeline per stream, with the same keyframe
+    schedule (the drift statistic psums to the identical fraction)."""
+    import jax
+    from stereomatch_tpu.parallel import make_mesh
+    assert len(jax.devices()) >= 8
+    D = 16
+    mesh = make_mesh(jax.devices()[:8], n_batch=2)
+    single = TemporalPipeline(D, keyframe_interval=3, backend="xla")
+    meshed = TemporalPipeline(D, keyframe_interval=3, backend="xla",
+                              mesh=mesh)
+    for left, right, _ in stereo_sequence(32, 48, D, 5, seed=3):
+        ref = np.asarray(single.estimate(left, right))
+        out = np.asarray(meshed.estimate(np.stack([left] * 2),
+                                         np.stack([right] * 2)))
+        np.testing.assert_array_equal(out[0], out[1])
+        np.testing.assert_array_equal(out[0], ref)
+    assert meshed.keyframes == single.keyframes
+    assert meshed.drift_keyframes == single.drift_keyframes
+
+
+def test_mesh_drift_triggers_keyframe_any_stream():
+    """Losing the track in ONE stream forces the shared keyframe (the
+    max over per-stream poor fractions crosses the threshold), even
+    while the other stream stays coherent."""
+    import jax
+    from stereomatch_tpu.parallel import make_mesh
+    assert len(jax.devices()) >= 8
+    D = 32
+    mesh = make_mesh(jax.devices()[:8], n_batch=2)
+    pipe = TemporalPipeline(D, keyframe_interval=0, backend="xla",
+                            mesh=mesh)
+    frames = stereo_sequence(64, 96, D, 2, seed=3, motion=1)
+    for l, r, _ in frames:
+        pipe.estimate(np.stack([l] * 2), np.stack([r] * 2))
+    assert pipe.drift_keyframes == 0
+    # stream 0 continues; stream 1 sees a reversed pair (all-negative
+    # true disparities: no plausible match anywhere in the band).
+    l, r, _ = frames[-1]
+    pipe.estimate(np.stack([l, r]), np.stack([r, l]))
+    assert pipe.drift_keyframes == 1
+
+
+def test_mesh_mode_validates_stacks():
+    import jax
+    import pytest as _pytest
+    from stereomatch_tpu.parallel import make_mesh
+    mesh = make_mesh(jax.devices()[:8], n_batch=2)
+    pipe = TemporalPipeline(16, mesh=mesh, backend="xla")
+    with _pytest.raises(ValueError):
+        pipe.estimate(np.zeros((32, 48)), np.zeros((32, 48)))

@@ -206,3 +206,38 @@ def test_video_cli_mesh_refine_y4m(tmp_path):
                      "--headless", "--output-dir", str(out_dir)])
     assert rc == 0
     assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_temporal_mesh_matches_single_chip(tmp_path):
+    """--temporal --mesh row-shards the stateful tracker (tile-only mesh)
+    and must reproduce the per-frame temporal CLI output bit-for-bit."""
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import Image
+    import jax
+    assert len(jax.devices()) >= 8
+    from stereomatch_tpu.io.synthetic import stereo_sequence
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i, (left, right, _) in enumerate(stereo_sequence(32, 48, D, 4,
+                                                         seed=3)):
+        sbs = np.concatenate([(left * 255).astype(np.uint8),
+                              (right * 255).astype(np.uint8)], axis=1)
+        PIL.fromarray(sbs).save(frames_dir / f"frame_{i:03d}.png")
+
+    mesh_dir = tmp_path / "mesh_out"
+    rc = video_main(["imgdir", str(frames_dir), str(D), "--temporal",
+                     "--mesh", "--keyframe-interval", "3",
+                     "--backend", "xla", "--headless",
+                     "--output-dir", str(mesh_dir)])
+    assert rc == 0
+    mesh_frames = sorted(mesh_dir.glob("depth_*.png"))
+    assert len(mesh_frames) == 4
+
+    ref_dir = tmp_path / "ref_out"
+    rc = video_main(["imgdir", str(frames_dir), str(D), "--temporal",
+                     "--keyframe-interval", "3", "--backend", "xla",
+                     "--headless", "--output-dir", str(ref_dir)])
+    assert rc == 0
+    for mf, rf in zip(mesh_frames, sorted(ref_dir.glob("depth_*.png"))):
+        np.testing.assert_array_equal(np.asarray(Image.open(mf)),
+                                      np.asarray(Image.open(rf)))
