@@ -95,6 +95,13 @@ def _traffic_models():
         # band scan over the full range; %SoL not meaningful).
         "temporal_track_teddy_d128": 8 * _vol_bytes(375, 450, 1),
         "temporal_track_hd_d256": 8 * _vol_bytes(1024, 1280, 1),
+        # refine: the sub-pixel one-hot reductions stream the volume once
+        # (a per-pixel depth gather instead measured 5.5 ms — XLA:TPU
+        # lowers arbitrary gathers to scalar loops); [H,W] maps are noise.
+        "refine_median_subpixel_teddy_d128": v2,
+        # speckle: disparity in, mask+fill out — everything else is
+        # VPU-resident shifted compares.
+        "speckle_filter_teddy_450x375": 2 * _vol_bytes(375, 450, 1),
     }
 
 
@@ -282,6 +289,32 @@ def build_benchmarks():
         return body, (*pair, jnp.zeros(pair[0].shape, jnp.int32))
 
     benches["temporal_track_teddy_d128"] = temporal_bench(d2, (l2, r2))
+
+    # Post-processing stages (ops/refine.py): 3x3 median + parabolic
+    # sub-pixel on the aggregated volume, and windowed-support speckle
+    # suppression.  No reference analogue (its pipeline stops at integer
+    # WTA/DP output).
+    from stereomatch_tpu.ops import refine
+
+    disp0 = jax.device_put(
+        rng.integers(0, d2, (h2, w2)).astype(np.int32))
+
+    def refine_body(carry):
+        vol, disp = carry
+        out = refine.median_filter_3x3.__wrapped__(disp)
+        idx = jnp.clip(jnp.round(out), 0, d2 - 1).astype(jnp.int32)
+        out = refine.subpixel_refine.__wrapped__(vol, idx)
+        return vol, disp + (out < -1).astype(jnp.int32)
+
+    benches["refine_median_subpixel_teddy_d128"] = (refine_body,
+                                                    (vol2, disp0))
+
+    def speckle_body(carry):
+        (disp,) = carry
+        out = refine.filter_speckles.__wrapped__(disp.astype(jnp.float32))
+        return (disp + (out < -1).astype(jnp.int32),)
+
+    benches["speckle_filter_teddy_450x375"] = (speckle_body, (disp0,))
 
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map

