@@ -14,9 +14,9 @@ import json
 import sys
 
 DEFAULT_CONFIGS = [
-    ("ssd", "wta", None),
-    ("ssd", "dyn", None),
-    ("ssd", "dyn", "sgm"),
+    ("ssd", "wta", None, False),
+    ("ssd", "dyn", None, False),
+    ("ssd", "dyn", "sgm", False),
 ]
 
 
@@ -37,9 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-size", type=int, default=None,
                         help="Evaluate at most this many scenes.")
     parser.add_argument("--configs", default=None,
-                        help="Comma-separated cost:disp[:aggr] configs, e.g. "
-                             "'ssd:wta,ssd:dyn:sgm'. Default: the reference's "
-                             "three configs.")
+                        help="Comma-separated cost:disp[:aggr][+refine] "
+                             "configs, e.g. 'ssd:wta,census:wta:sgm+refine' "
+                             "(+refine = median + sub-pixel). Default: the "
+                             "reference's three configs.")
     parser.add_argument("--bad-threshold", type=float, default=2.0)
     parser.add_argument("--confidence", action="store_true",
                         help="Also score each config's PKRN confidence map "
@@ -75,17 +76,27 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_configs(spec):
+    """``cost:disp[:aggr][+refine]`` or ``pyramidN[+refine]`` per item.
+
+    ``+refine`` routes the config through ``estimate_refined`` (3x3
+    median + parabolic sub-pixel) — the float output mainly moves RMSE /
+    avg-err, which the integer-step bad-pixel metric barely sees.
+    """
     configs = []
     for item in spec.split(","):
-        parts = item.strip().split(":")
+        item = item.strip()
+        refined = item.endswith("+refine")
+        if refined:
+            item = item[: -len("+refine")]
+        parts = item.split(":")
         if len(parts) == 1 and parts[0].startswith("pyramid"):
             # coarse-to-fine mode: "pyramid", "pyramid1", "pyramid2", ...
             int(parts[0][len("pyramid"):] or "1")   # validate early
-            configs.append((parts[0], None, None))
+            configs.append((parts[0], None, None, refined))
         elif len(parts) == 2:
-            configs.append((parts[0], parts[1], None))
+            configs.append((parts[0], parts[1], None, refined))
         elif len(parts) == 3:
-            configs.append((parts[0], parts[1], parts[2]))
+            configs.append((parts[0], parts[1], parts[2], refined))
         else:
             raise ValueError(f"Bad config spec: {item!r}")
     return configs
@@ -180,7 +191,7 @@ def main(argv=None) -> int:
         return tuned_cache[cost_m]
 
     rows = []
-    for cost_m, disp_m, aggr_m in configs:
+    for cost_m, disp_m, aggr_m, refined in configs:
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
         is_pyramid = cost_m.startswith("pyramid") and disp_m is None
         if is_pyramid:
@@ -201,6 +212,8 @@ def main(argv=None) -> int:
         dtyped_costs = ("ssd", "census", "sad", "ncc")
         if args.dtype != "float32" and cost_m in dtyped_costs:
             name += f"-{args.dtype}"
+        if refined:
+            name += "-refine"
         if not is_pyramid:
             pipeline = create_pipeline(cost_m, disp_m, aggr_m,
                                        volume_dtype=(args.dtype
@@ -236,7 +249,9 @@ def main(argv=None) -> int:
                 predicted = np.load(cache_file)
                 conf = np.load(conf_file) if args.confidence else None
             else:
-                predicted = np.asarray(pipeline.estimate(left, right))
+                estimate = (pipeline.estimate_refined if refined
+                            else pipeline.estimate)
+                predicted = np.asarray(estimate(left, right))
                 conf = (np.asarray(pipeline.last_confidence())
                         if args.confidence else None)
                 if cache_file is not None:

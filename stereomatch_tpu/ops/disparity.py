@@ -109,9 +109,17 @@ def dp_backward_chunk(path_volume: jnp.ndarray, current: jnp.ndarray,
     cols = path_volume[:, :-1, :] if emit_current else path_volume
     path_sv = jnp.swapaxes(cols, 0, 1)[::-1]            # [n, H, D]
 
+    # One-hot row selection instead of take_along_axis: a per-row dynamic
+    # gather lowers to scalar loops on XLA:TPU (same pathology as the
+    # refine-stage gathers, docs/performance.md); exactly one lane is
+    # selected so the masked sum is the gathered value bit-for-bit —
+    # and it mirrors the Pallas kernel's one-hot trace-back.
+    lane = lax.broadcasted_iota(jnp.int32, (height, max_disp), 1)
+
     def step(cur, path_col):                            # cur: [H]
-        direction = jnp.take_along_axis(
-            path_col, cur[:, None], axis=1)[:, 0].astype(jnp.int32)
+        direction = jnp.sum(jnp.where(lane == cur[:, None],
+                                      path_col.astype(jnp.int32), 0),
+                            axis=1)
         new = jnp.clip(cur + direction, 0, max_disp - 1)
         return new, new
 

@@ -150,3 +150,21 @@ def test_evaluate_pyramid_config(tmp_path):
 def test_evaluate_pyramid_rejects_confidence(tmp_path):
     assert evaluate_main(["--synthetic", "1", "--configs", "pyramid1",
                           "--confidence"]) == 2
+
+
+def test_parse_configs_refine_suffix():
+    from stereomatch_tpu.cli.evaluate import parse_configs
+    assert parse_configs("ssd:wta,census:wta:sgm+refine,pyramid2+refine") == [
+        ("ssd", "wta", None, False),
+        ("census", "wta", "sgm", True),
+        ("pyramid2", None, None, True),
+    ]
+
+
+def test_eval_refined_config_runs(capsys):
+    from stereomatch_tpu.cli.evaluate import main
+    rc = main(["--synthetic", "1", "--synthetic-size", "32x48x8",
+               "--configs", "census:wta:sgm+refine"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "census-wta-sgm-refine" in out
