@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="3x3 median + parabolic sub-pixel refinement "
                              "on each depthmap (composes with --batch and "
                              "--mesh).")
+    parser.add_argument("--speckle", action="store_true",
+                        help="Suppress speckles (small isolated disparity "
+                             "blobs) on each depthmap by windowed-support "
+                             "filtering; composes with every mode.")
+    parser.add_argument("--speckle-fill", choices=("zero", "background"),
+                        default="zero",
+                        help="Replacement for speckle pixels: 0 (unknown) "
+                             "or the scanline background disparity.")
     parser.add_argument("--pyramid", type=int, default=0, metavar="LEVELS",
                         help="Coarse-to-fine census pyramid (~8x less "
                              "volume work per level; overrides -cm/-am/-dm; "
@@ -225,7 +233,8 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   pyramid_levels=args.pyramid,
                   band_radius=(args.band_radius if args.band_radius is not None
                                else 4),
-                  median=args.refine, subpixel=args.refine)
+                  median=args.refine, subpixel=args.refine,
+                  speckle=args.speckle, speckle_fill=args.speckle_fill)
     if args.mesh:
         ok, first = capture.read_next()
         if not ok:
@@ -441,9 +450,12 @@ def main(argv=None) -> int:
 
         estimate = (pipeline.estimate_refined if args.refine
                     else pipeline.estimate)
-        depthmap = np.asarray(estimate(
-            np.asarray(frame0, np.float32),
-            np.asarray(frame1, np.float32)))
+        depthmap = estimate(np.asarray(frame0, np.float32),
+                            np.asarray(frame1, np.float32))
+        if args.speckle:
+            from ..ops.refine import filter_speckles
+            depthmap = filter_speckles(depthmap, fill=args.speckle_fill)
+        depthmap = np.asarray(depthmap)
         rgb_depthmap = colorize_disparity(depthmap, args.max_disparity)
         frame_idx += 1
 

@@ -175,17 +175,25 @@ def speckle_mask(disparity: jnp.ndarray, *, max_diff: float = 1.0,
     ``max_diff`` at least the expected slope times window radius, or
     gate on the mask only where confidence is low.
     """
-    height, width = disparity.shape
     r = window // 2
     d = disparity.astype(jnp.float32)
     padded = jnp.pad(d, r, mode="constant", constant_values=jnp.nan)
+    return _windowed_support(padded, d, max_diff=max_diff, window=window,
+                             min_frac=min_frac)
+
+
+def _windowed_support(padded, center, *, max_diff, window, min_frac):
+    """Support test given a NaN-padded (+window//2 per side) plane —
+    shared by the single-chip mask and the halo-padded mesh variant
+    (parallel/sharded.py feeds neighbor-row halos with NaN ring edges)."""
+    height, width = center.shape
     similar = jnp.zeros((height, width), jnp.int32)
     n_in = jnp.zeros((height, width), jnp.int32)
     for dy in range(window):
         for dx in range(window):
             shifted = padded[dy:dy + height, dx:dx + width]
             inside = ~jnp.isnan(shifted)
-            similar += jnp.where(jnp.abs(shifted - d) <= max_diff, 1, 0)
+            similar += jnp.where(jnp.abs(shifted - center) <= max_diff, 1, 0)
             n_in += inside.astype(jnp.int32)
     need = jnp.ceil(min_frac * n_in.astype(jnp.float32)).astype(jnp.int32)
     return similar >= need

@@ -77,6 +77,8 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                                   backend: str = "auto",
                                   subpixel: bool = False,
                                   median: bool = True,
+                                  speckle: bool = False,
+                                  speckle_fill: str = "zero",
                                   interpret: bool = False):
     """Compile the coarse-to-fine pyramid over a (batch, tile) mesh.
 
@@ -139,6 +141,11 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
             if median:
                 disp = _median3x3_rows(disp, axis_name=TILE_AXIS,
                                        n_tiles=n_tiles)
+        if speckle:
+            from .sharded import _speckle_rows
+            disp = _speckle_rows(disp, max_diff=1.0, window=9,
+                                 min_frac=0.25, fill=speckle_fill,
+                                 axis_name=TILE_AXIS, n_tiles=n_tiles)
         return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, None)

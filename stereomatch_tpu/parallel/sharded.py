@@ -536,6 +536,36 @@ def _median3x3_rows(disp, *, axis_name, n_tiles):
                     axis=-1)[..., 4].astype(disp.dtype)
 
 
+def _speckle_rows(disp, *, max_diff, window, min_frac, fill,
+                  axis_name, n_tiles):
+    """Windowed-support speckle suppression under row sharding: pull
+    ±window//2 disparity-row halos, overwrite ring-end halo rows with
+    NaN (the single-chip filter's out-of-image convention — ppermute's
+    zero fill would count as agreeing d=0 neighbors), pad W with NaN
+    locally, and run the shared support test.  [B, Hl, W] -> same."""
+    from ..ops import refine
+
+    r = window // 2
+    d = disp.astype(jnp.float32)
+    padded = halo.pad_with_halos(d, r, r, axis=1, axis_name=axis_name)
+    rank = lax.axis_index(axis_name)
+    nan = jnp.float32(jnp.nan)
+    top = jnp.where(rank == 0, nan, padded[:, :r])
+    bottom = jnp.where(rank == n_tiles - 1, nan, padded[:, -r:])
+    padded = jnp.concatenate([top, padded[:, r:-r], bottom], axis=1)
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (r, r)),
+                     constant_values=jnp.nan)
+    mask = jax.vmap(functools.partial(
+        refine._windowed_support, max_diff=max_diff, window=window,
+        min_frac=min_frac))(padded, d)
+    if fill == "zero":
+        return jnp.where(mask, disp, jnp.zeros((), disp.dtype))
+    if fill == "background":
+        return jax.vmap(refine.fill_inconsistent)(disp, mask).astype(
+            jnp.promote_types(disp.dtype, jnp.float32))
+    raise ValueError(f"unknown fill mode: {fill!r}")
+
+
 def make_sharded_estimate(mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
@@ -552,6 +582,8 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           lr_check: bool = False,
                           lr_max_diff: int = 1,
                           min_confidence: Optional[float] = None,
+                          speckle: bool = False,
+                          speckle_fill: str = "zero",
                           interpret: bool = False) -> Callable:
     """Compile the full pipeline over a (batch, tile) mesh.
 
@@ -669,6 +701,10 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
             conf = jax.vmap(refine.confidence_pkrn.__wrapped__)(agg)
             disp = jnp.where(conf >= min_confidence,
                              disp, jnp.zeros((), disp.dtype))
+        if speckle:
+            disp = _speckle_rows(disp, max_diff=1.0, window=9,
+                                 min_frac=0.25, fill=speckle_fill,
+                                 axis_name=TILE_AXIS, n_tiles=n_tiles)
         return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, None)
@@ -700,6 +736,7 @@ class ShardedPipeline:
                  median: bool = False, subpixel: bool = False,
                  lr_check: bool = False, lr_max_diff: int = 1,
                  min_confidence: Optional[float] = None,
+                 speckle: bool = False, speckle_fill: str = "zero",
                  interpret: bool = False):
         self.mesh = mesh
         self.max_disparity = max_disparity
@@ -711,7 +748,8 @@ class ShardedPipeline:
             penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
             overlap=overlap, backend=backend, median=median,
             subpixel=subpixel, lr_check=lr_check, lr_max_diff=lr_max_diff,
-            min_confidence=min_confidence, interpret=interpret)
+            min_confidence=min_confidence, speckle=speckle,
+            speckle_fill=speckle_fill, interpret=interpret)
         self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))
 
     def estimate(self, left, right) -> jnp.ndarray:

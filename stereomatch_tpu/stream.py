@@ -50,7 +50,8 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     aggregation: Optional[str], reducer: str,
                     penalty1: float, penalty2: float,
                     backend: str = "auto", cost_dtype=jnp.float32,
-                    median: bool = False, subpixel: bool = False):
+                    median: bool = False, subpixel: bool = False,
+                    speckle: bool = False, speckle_fill: str = "zero"):
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     if cost == "ssd-texture":
@@ -65,6 +66,9 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
             idx = jnp.clip(jnp.round(disp), 0,
                            max_disparity - 1).astype(jnp.int32)
             disp = refine.subpixel_refine.__wrapped__(vol, idx)
+        if speckle:
+            disp = refine.filter_speckles.__wrapped__(
+                disp.astype(jnp.float32), fill=speckle_fill)
         return disp
 
     def frame_fn(left, right):
@@ -130,7 +134,8 @@ class StreamingEstimator:
                  backend: str = "auto", mesh=None,
                  sgm_mode: str = "exact", overlap: int = 64,
                  pyramid_levels: int = 0, band_radius: int = 4,
-                 median: bool = False, subpixel: bool = False):
+                 median: bool = False, subpixel: bool = False,
+                 speckle: bool = False, speckle_fill: str = "zero"):
         if mesh is not None:
             from .parallel.mesh import BATCH_AXIS
             n_batch = mesh.shape[BATCH_AXIS]
@@ -146,7 +151,8 @@ class StreamingEstimator:
                     mesh, max_disparity=max_disparity, levels=pyramid_levels,
                     band_radius=band_radius, cost_dtype=cost_dtype,
                     penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
-                    overlap=overlap, backend=backend, subpixel=subpixel)
+                    overlap=overlap, backend=backend, subpixel=subpixel,
+                    speckle=speckle, speckle_fill=speckle_fill)
             else:
                 from .parallel.sharded import make_sharded_estimate
                 self._fn = make_sharded_estimate(
@@ -155,7 +161,8 @@ class StreamingEstimator:
                     aggregation=aggregation,
                     reducer=reducer, penalty1=penalty1, penalty2=penalty2,
                     sgm_mode=sgm_mode, overlap=overlap, backend=backend,
-                    median=median, subpixel=subpixel)
+                    median=median, subpixel=subpixel,
+                    speckle=speckle, speckle_fill=speckle_fill)
         else:
             self.batch = batch
             if pyramid_levels > 0:
@@ -164,12 +171,20 @@ class StreamingEstimator:
                                       band_radius=band_radius,
                                       penalty1=penalty1, penalty2=penalty2,
                                       cost_dtype=cost_dtype, backend=backend)
-                frame_fn = lambda l, r: pyr._estimate(l, r, subpixel)  # noqa: E731
+                pyr_fn = lambda l, r: pyr._estimate(l, r, subpixel)  # noqa: E731
+                if speckle:
+                    from .ops.refine import filter_speckles
+                    frame_fn = lambda l, r: filter_speckles.__wrapped__(  # noqa: E731
+                        pyr_fn(l, r), fill=speckle_fill)
+                else:
+                    frame_fn = pyr_fn
             else:
                 frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
                                            aggregation, reducer, penalty1,
                                            penalty2, backend, cost_dtype,
-                                           median=median, subpixel=subpixel)
+                                           median=median, subpixel=subpixel,
+                                           speckle=speckle,
+                                           speckle_fill=speckle_fill)
             # lax.map (sequential per-frame programs in one jit) beats vmap
             # for the Pallas stages: a vmapped kernel grid loses pipelining
             # at batch boundaries (~1.5x slower per frame measured), while

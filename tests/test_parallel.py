@@ -475,3 +475,22 @@ def test_sharded_subpixel_close_to_single_chip(pair, mesh):
                                    np.stack([right] * 2)))
     assert out.dtype == np.float32
     np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+
+def test_sharded_speckle_matches_single_chip(pair, mesh):
+    """Windowed-support speckle under row sharding (NaN ring-end halos =
+    the single-chip out-of-image convention) bit-matches filter_speckles
+    applied to the single-chip result."""
+    from stereomatch_tpu.ops.refine import filter_speckles
+    from stereomatch_tpu.pipeline import Pipeline
+    left, right = pair
+    single = Pipeline(SSD(D, kernel_size=3), WinnerTakesAll(), Semiglobal())
+    ref = np.asarray(filter_speckles(
+        np.asarray(single.estimate(left, right)).astype(np.float32),
+        fill="background"))
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact", backend="xla",
+                           speckle=True, speckle_fill="background")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)

@@ -241,3 +241,18 @@ def test_video_cli_temporal_mesh_matches_single_chip(tmp_path):
     for mf, rf in zip(mesh_frames, sorted(ref_dir.glob("depth_*.png"))):
         np.testing.assert_array_equal(np.asarray(Image.open(mf)),
                                       np.asarray(Image.open(rf)))
+
+
+def test_video_cli_speckle_modes(tmp_path):
+    """--speckle applies on the per-frame and mesh paths."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    for extra, subdir in ((["--speckle"], "a"),
+                          (["--mesh", "--speckle", "--backend", "xla"], "b")):
+        out_dir = tmp_path / subdir
+        rc = video_main(["y4m", str(path), str(D), "-am", "sgm",
+                         *extra, "--headless", "--output-dir", str(out_dir)])
+        assert rc == 0
+        assert len(list(out_dir.glob("depth_*.png"))) == 5
