@@ -14,9 +14,9 @@ import json
 import sys
 
 DEFAULT_CONFIGS = [
-    ("ssd", "wta", None, False),
-    ("ssd", "dyn", None, False),
-    ("ssd", "dyn", "sgm", False),
+    ("ssd", "wta", None, frozenset()),
+    ("ssd", "dyn", None, frozenset()),
+    ("ssd", "dyn", "sgm", frozenset()),
 ]
 
 
@@ -76,27 +76,30 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_configs(spec):
-    """``cost:disp[:aggr][+refine]`` or ``pyramidN[+refine]`` per item.
+    """``cost:disp[:aggr][+refine][+speckle]`` or ``pyramidN[+...]``.
 
     ``+refine`` routes the config through ``estimate_refined`` (3x3
     median + parabolic sub-pixel) — the float output mainly moves RMSE /
     avg-err, which the integer-step bad-pixel metric barely sees.
+    ``+speckle`` applies windowed-support speckle suppression
+    (background fill, so no pixels leave the metrics' valid mask).
     """
     configs = []
     for item in spec.split(","):
-        item = item.strip()
-        refined = item.endswith("+refine")
-        if refined:
-            item = item[: -len("+refine")]
-        parts = item.split(":")
+        head, *mods = item.strip().split("+")
+        bad = set(mods) - {"refine", "speckle"}
+        if bad:
+            raise ValueError(f"Unknown config modifiers: {sorted(bad)}")
+        mods = frozenset(mods)
+        parts = head.split(":")
         if len(parts) == 1 and parts[0].startswith("pyramid"):
             # coarse-to-fine mode: "pyramid", "pyramid1", "pyramid2", ...
             int(parts[0][len("pyramid"):] or "1")   # validate early
-            configs.append((parts[0], None, None, refined))
+            configs.append((parts[0], None, None, mods))
         elif len(parts) == 2:
-            configs.append((parts[0], parts[1], None, refined))
+            configs.append((parts[0], parts[1], None, mods))
         elif len(parts) == 3:
-            configs.append((parts[0], parts[1], parts[2], refined))
+            configs.append((parts[0], parts[1], parts[2], mods))
         else:
             raise ValueError(f"Bad config spec: {item!r}")
     return configs
@@ -191,7 +194,8 @@ def main(argv=None) -> int:
         return tuned_cache[cost_m]
 
     rows = []
-    for cost_m, disp_m, aggr_m, refined in configs:
+    for cost_m, disp_m, aggr_m, mods in configs:
+        refined = "refine" in mods
         name = "-".join(filter(None, [cost_m, disp_m, aggr_m]))
         is_pyramid = cost_m.startswith("pyramid") and disp_m is None
         if is_pyramid:
@@ -214,6 +218,8 @@ def main(argv=None) -> int:
             name += f"-{args.dtype}"
         if refined:
             name += "-refine"
+        if "speckle" in mods:
+            name += "-speckle"
         if not is_pyramid:
             pipeline = create_pipeline(cost_m, disp_m, aggr_m,
                                        volume_dtype=(args.dtype
@@ -251,7 +257,13 @@ def main(argv=None) -> int:
             else:
                 estimate = (pipeline.estimate_refined if refined
                             else pipeline.estimate)
-                predicted = np.asarray(estimate(left, right))
+                predicted = estimate(left, right)
+                if "speckle" in mods:
+                    from ..ops.refine import filter_speckles
+                    predicted = filter_speckles(
+                        np.asarray(predicted).astype(np.float32),
+                        fill="background")
+                predicted = np.asarray(predicted)
                 conf = (np.asarray(pipeline.last_confidence())
                         if args.confidence else None)
                 if cache_file is not None:

@@ -152,13 +152,17 @@ def test_evaluate_pyramid_rejects_confidence(tmp_path):
                           "--confidence"]) == 2
 
 
-def test_parse_configs_refine_suffix():
+def test_parse_configs_modifier_suffixes():
+    import pytest as _pytest
     from stereomatch_tpu.cli.evaluate import parse_configs
-    assert parse_configs("ssd:wta,census:wta:sgm+refine,pyramid2+refine") == [
-        ("ssd", "wta", None, False),
-        ("census", "wta", "sgm", True),
-        ("pyramid2", None, None, True),
+    assert parse_configs(
+        "ssd:wta,census:wta:sgm+refine+speckle,pyramid2+refine") == [
+        ("ssd", "wta", None, frozenset()),
+        ("census", "wta", "sgm", frozenset({"refine", "speckle"})),
+        ("pyramid2", None, None, frozenset({"refine"})),
     ]
+    with _pytest.raises(ValueError):
+        parse_configs("ssd:wta+bogus")
 
 
 def test_eval_refined_config_runs(capsys):

@@ -148,3 +148,44 @@ def test_bf16_pipeline_on_hardware(fixtures):
     assert agg16.dtype == jnp.bfloat16
     d16 = np.asarray(winner_takes_all(agg16))
     assert np.mean(d16 != ref) < 0.05
+
+
+def test_pyramid_sharded_on_hardware(fixtures):
+    """The row-sharded coarse-to-fine pyramid (coarse Pallas SGM with
+    exact hand-off, band scan, median) compiles and runs on real Mosaic
+    via a 1-device mesh, matching the single-chip pyramid."""
+    import jax
+    from stereomatch_tpu.parallel import make_mesh, make_pyramid_sharded_estimate
+    from stereomatch_tpu.pyramid import PyramidPipeline
+    D, left, right, _, _, _ = fixtures
+    ref = np.asarray(PyramidPipeline(D, levels=1,
+                                     backend="pallas").estimate(left, right))
+    mesh = make_mesh(jax.devices()[:1])
+    fn = make_pyramid_sharded_estimate(mesh, max_disparity=D, levels=1,
+                                       backend="pallas")
+    out = np.asarray(fn(left[None], right[None]))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_postprocessing_on_hardware(fixtures):
+    """Mesh post-processing (median + sub-pixel + speckle) on the chip:
+    the one-hot/min-sweep/shift formulations compile on real Mosaic and
+    match the single-chip refined output."""
+    import jax
+    from stereomatch_tpu.ops.refine import filter_speckles
+    from stereomatch_tpu.parallel import ShardedPipeline, make_mesh
+    from stereomatch_tpu.cli_common import create_pipeline
+    D, left, right, _, _, _ = fixtures
+    single = create_pipeline("ssd", "wta", "sgm", max_disparity=D,
+                             backend="pallas")
+    single.cost.kernel_size = 3
+    ref = np.asarray(single.estimate_refined(left, right, subpixel=True,
+                                             median=True))
+    ref = np.asarray(filter_speckles(ref, fill="background"))
+    mesh = make_mesh(jax.devices()[:1])
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", backend="pallas",
+                           median=True, subpixel=True,
+                           speckle=True, speckle_fill="background")
+    out = np.asarray(pipe.estimate(left[None], right[None]))
+    np.testing.assert_allclose(out[0], ref, atol=1e-4)
