@@ -34,6 +34,7 @@ back-pointer chunks.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -42,6 +43,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from . import halo
 from ..ops import sgm_pallas
 from ..ops.aggregation import semiglobal_aggregate
 from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
@@ -150,6 +152,61 @@ def _dp_tiled_w(vol, n_tile_w: int):
     return out
 
 
+def _median3x3_tiled(disp, n_tile: int, n_tile_w: int):
+    """3x3 median under 2-D tiling: one halo row/column per neighbor in
+    each axis (the W halos of the row-extended block carry the corners);
+    ring ends replicate the local edge, matching the single-chip
+    ``mode="edge"`` padding."""
+    x = disp.astype(jnp.float32)
+    top = halo.pull_from_prev(x, 1, 1, TILE_AXIS)
+    bottom = halo.pull_from_next(x, 1, 1, TILE_AXIS)
+    rh = lax.axis_index(TILE_AXIS)
+    top = jnp.where(rh == 0, x[:, :1], top)
+    bottom = jnp.where(rh == n_tile - 1, x[:, -1:], bottom)
+    x = jnp.concatenate([top, x, bottom], axis=1)
+    left_c = halo.pull_from_prev(x, 1, 2, TILE_W_AXIS)
+    right_c = halo.pull_from_next(x, 1, 2, TILE_W_AXIS)
+    rw = lax.axis_index(TILE_W_AXIS)
+    left_c = jnp.where(rw == 0, x[:, :, :1], left_c)
+    right_c = jnp.where(rw == n_tile_w - 1, x[:, :, -1:], right_c)
+    x = jnp.concatenate([left_c, x, right_c], axis=2)
+    hl, wl = disp.shape[1], disp.shape[2]
+    planes = [x[:, dy:dy + hl, dx:dx + wl]
+              for dy in range(3) for dx in range(3)]
+    return jnp.sort(jnp.stack(planes, axis=-1),
+                    axis=-1)[..., 4].astype(disp.dtype)
+
+
+def _speckle_tiled(disp, n_tile: int, n_tile_w: int, *, window: int = 9,
+                   max_diff: float = 1.0, min_frac: float = 0.25):
+    """Windowed-support speckle suppression under 2-D tiling: window//2
+    disparity halos per axis with NaN ring ends (the single-chip
+    out-of-image convention), zero fill for masked pixels (the
+    background fill's scanline scans would cross ``tile_w`` — use the
+    row-sharded pipeline for that variant)."""
+    from ..ops import refine
+
+    r = window // 2
+    d = disp.astype(jnp.float32)
+    nan = jnp.float32(jnp.nan)
+    top = halo.pull_from_prev(d, r, 1, TILE_AXIS)
+    bottom = halo.pull_from_next(d, r, 1, TILE_AXIS)
+    rh = lax.axis_index(TILE_AXIS)
+    top = jnp.where(rh == 0, nan, top)
+    bottom = jnp.where(rh == n_tile - 1, nan, bottom)
+    x = jnp.concatenate([top, d, bottom], axis=1)
+    left_c = halo.pull_from_prev(x, r, 2, TILE_W_AXIS)
+    right_c = halo.pull_from_next(x, r, 2, TILE_W_AXIS)
+    rw = lax.axis_index(TILE_W_AXIS)
+    left_c = jnp.where(rw == 0, nan, left_c)
+    right_c = jnp.where(rw == n_tile_w - 1, nan, right_c)
+    padded = jnp.concatenate([left_c, x, right_c], axis=2)
+    mask = jax.vmap(functools.partial(
+        refine._windowed_support, max_diff=max_diff, window=window,
+        min_frac=min_frac))(padded, d)
+    return jnp.where(mask, disp, jnp.zeros((), disp.dtype))
+
+
 def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
@@ -157,11 +214,21 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           penalty1: float = 0.1, penalty2: float = 0.2,
                           overlap: int = 48,
                           backend: str = "auto",
+                          median: bool = False,
+                          subpixel: bool = False,
+                          min_confidence: Optional[float] = None,
+                          speckle: bool = False,
                           interpret: bool = False) -> Callable:
     """Compile SSD/Birchfield + 8-path SGM + WTA over a 2-D tile mesh.
 
     Returns jitted ``fn(left, right) -> disparity`` over [B, H, W] stacks
     with B, H, W divisible by the batch/tile/tile_w axes respectively.
+
+    ``median``/``subpixel``/``min_confidence``/``speckle`` mirror the
+    row-sharded pipeline's post-processing (parallel/sharded.py) with
+    2-D halos where a window crosses tiles.  The LR check and the
+    speckle background fill are W-global (mirror run / scanline scans)
+    and only exist on the row-sharded pipeline.
     """
     # "ssd-texture" = texture sampler (identity over integer pixel centres
     # under nearest/unnormalized) into float32 SSD — same compute here,
@@ -261,8 +328,24 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         agg = jax.vmap(aggregate)(ext, img_e)
         agg = agg[:, ov_h:ov_h + h_loc, ov_w:ov_w + w_loc]
         if reducer == "dynamic_programming":
-            return _dp_tiled_w(agg, n_tile_w)
-        return jax.vmap(winner_takes_all.__wrapped__)(agg)
+            disp = _dp_tiled_w(agg, n_tile_w)
+        else:
+            disp = jax.vmap(winner_takes_all.__wrapped__)(agg)
+        if median:
+            disp = _median3x3_tiled(disp, n_tile, n_tile_w)
+        if subpixel:
+            from ..ops import refine
+            idx = jnp.clip(jnp.round(disp), 0,
+                           max_disparity - 1).astype(jnp.int32)
+            disp = jax.vmap(refine.subpixel_refine.__wrapped__)(agg, idx)
+        if min_confidence is not None:
+            from ..ops import refine
+            conf = jax.vmap(refine.confidence_pkrn.__wrapped__)(agg)
+            disp = jnp.where(conf >= min_confidence,
+                             disp, jnp.zeros((), disp.dtype))
+        if speckle:
+            disp = _speckle_tiled(disp, n_tile, n_tile_w)
+        return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, TILE_W_AXIS)
     mapped = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),

@@ -494,3 +494,49 @@ def test_sharded_speckle_matches_single_chip(pair, mesh):
     out = np.asarray(pipe.estimate(np.stack([left] * 2),
                                    np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_tiled2d_postprocessing_matches_single_chip(pair):
+    """2-D tiled post-processing (median with 2-D edge halos, one-hot
+    sub-pixel, confidence gate, NaN-halo speckle) vs the single-chip
+    stages applied to the exact (covering-overlap) result."""
+    from stereomatch_tpu.ops import refine
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    disp = WinnerTakesAll()(agg)
+    disp_m = refine.median_filter_3x3(disp)
+    idx = np.clip(np.round(np.asarray(disp_m)), 0, D - 1).astype(np.int32)
+    ref = np.asarray(refine.subpixel_refine(agg, idx))
+    ref = np.where(np.asarray(refine.speckle_mask(ref)), ref, 0.0)
+
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               overlap=max(left.shape), backend="xla",
+                               median=True, subpixel=True, speckle=True)
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    assert out.dtype == np.float32
+    # The extended-tile recompute evaluates the same math at different
+    # array shapes, so XLA may order reductions differently: the
+    # parabola amplifies last-ulp volume differences (same tolerance
+    # rationale as test_sharded_subpixel_close_to_single_chip).
+    np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+
+def test_tiled2d_confidence_gate_matches_single_chip(pair):
+    from stereomatch_tpu.ops import refine
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    disp = np.asarray(WinnerTakesAll()(agg))
+    conf = np.asarray(refine.confidence_pkrn(agg))
+    ref = np.where(conf >= 0.05, disp, 0)
+
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               overlap=max(left.shape), backend="xla",
+                               min_confidence=0.05)
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
