@@ -212,6 +212,31 @@ class _FnEstimator:
         return self._fn(left, right)
 
 
+def _peek_first_frame(capture, pyramid_levels: int):
+    """Read one frame to size a mesh; returns (height, capture', error).
+
+    ``capture'`` re-yields the consumed frame (_ReplayFirst).  ``error``
+    is a printable message when the stream is empty or the frame sides
+    don't divide by 2**pyramid_levels (the sharded pyramid cannot
+    edge-pad inside shard_map: padding would change the per-tile row
+    count mid-program).
+    """
+    import numpy as np
+
+    ok, first = capture.read_next()
+    if not ok:
+        return None, capture, "empty stream"
+    gray = (first if not hasattr(first, "to_grayscale")
+            else first.to_grayscale())
+    height, width = np.asarray(gray.left).shape
+    scale = 2 ** pyramid_levels
+    if pyramid_levels and (height % scale or width % scale):
+        return None, capture, (
+            f"--mesh --pyramid {pyramid_levels} needs frame sides "
+            f"divisible by {scale}; got {height}x{width}.")
+    return height, _ReplayFirst(capture, first), None
+
+
 def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
     """--batch / --mesh consumption: StreamingEstimator over the capture,
     single-chip lax.map batching or the sharded mesh program."""
@@ -236,28 +261,15 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   median=args.refine, subpixel=args.refine,
                   speckle=args.speckle, speckle_fill=args.speckle_fill)
     if args.mesh:
-        ok, first = capture.read_next()
-        if not ok:
-            print("empty stream")
-            return 1
-        gray = (first if not hasattr(first, "to_grayscale")
-                else first.to_grayscale())
-        height, width = np.asarray(gray.left).shape
-        scale = 2 ** args.pyramid
-        if args.pyramid and (height % scale or width % scale):
-            # The sharded pyramid cannot edge-pad inside shard_map the way
-            # the single-chip PyramidPipeline does: padding would change
-            # the per-tile row count mid-program.
-            print(f"--mesh --pyramid {args.pyramid} needs frame sides "
-                  f"divisible by {scale}; got {height}x{width}.",
-                  file=sys.stderr)
-            return 2
-        mesh = _pick_video_mesh(height, scale=scale)
+        height, capture, err = _peek_first_frame(capture, args.pyramid)
+        if err:
+            print(err, file=sys.stderr)
+            return 2 if "divisible" in err else 1
+        mesh = _pick_video_mesh(height, scale=2 ** args.pyramid)
         estimator = StreamingEstimator(args.max_disparity, mesh=mesh,
                                        batch=args.batch or 0,
                                        sgm_mode=args.sgm_mode,
                                        overlap=args.overlap, **common)
-        capture = _ReplayFirst(capture, first)
     else:
         estimator = StreamingEstimator(args.max_disparity,
                                        batch=args.batch, **common)
@@ -341,29 +353,24 @@ def main(argv=None) -> int:
     capture = _open_capture(args)
     temporal_mesh = None
     if args.temporal and args.mesh:
-        ok, first = capture.read_next()
-        if not ok:
-            print("empty stream")
-            return 1
-        gray = (first if not hasattr(first, "to_grayscale")
-                else first.to_grayscale())
-        height, width = np.asarray(gray.left).shape
-        scale = 2 ** args.pyramid
-        if args.pyramid and (height % scale or width % scale):
-            print(f"--mesh --pyramid {args.pyramid} needs frame sides "
-                  f"divisible by {scale}; got {height}x{width}.",
-                  file=sys.stderr)
-            return 2
-        temporal_mesh = _pick_temporal_mesh(height, scale=scale)
-        capture = _ReplayFirst(capture, first)
+        height, capture, err = _peek_first_frame(capture, args.pyramid)
+        if err:
+            print(err, file=sys.stderr)
+            return 2 if "divisible" in err else 1
+        temporal_mesh = _pick_temporal_mesh(height, scale=2 ** args.pyramid)
     if args.pyramid > 0:
         band = args.band_radius if args.band_radius is not None else 4
         if temporal_mesh is not None:
+            import jax.numpy as jnp
+
             from ..parallel import make_pyramid_sharded_estimate
             pipeline = _FnEstimator(make_pyramid_sharded_estimate(
                 temporal_mesh, max_disparity=args.max_disparity,
                 levels=args.pyramid, band_radius=band,
-                penalty1=args.p1, penalty2=args.p2, backend=args.backend))
+                cost_dtype=jnp.dtype(args.dtype),
+                penalty1=args.p1, penalty2=args.p2,
+                sgm_mode=args.sgm_mode, overlap=args.overlap,
+                backend=args.backend))
         elif not batched:
             import jax.numpy as jnp
 

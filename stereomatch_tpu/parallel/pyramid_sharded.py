@@ -38,7 +38,8 @@ from . import halo
 from .mesh import BATCH_AXIS, TILE_AXIS
 from .sharded import (_local_census, _median3x3_rows,
                       _pallas_exact_semiglobal,
-                      _pallas_overlap_semiglobal, sharded_semiglobal)
+                      _pallas_overlap_semiglobal, _speckle_rows,
+                      sharded_semiglobal)
 
 
 def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
@@ -142,7 +143,6 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                 disp = _median3x3_rows(disp, axis_name=TILE_AXIS,
                                        n_tiles=n_tiles)
         if speckle:
-            from .sharded import _speckle_rows
             disp = _speckle_rows(disp, max_diff=1.0, window=9,
                                  min_frac=0.25, fill=speckle_fill,
                                  axis_name=TILE_AXIS, n_tiles=n_tiles)

@@ -123,7 +123,9 @@ class StreamingEstimator:
     ``pyramid_levels`` > 0 switches every frame to the coarse-to-fine
     census pyramid (single-chip ``PyramidPipeline`` under ``lax.map``, or
     ``parallel.pyramid_sharded`` on a mesh); the census-based pyramid
-    ignores ``cost``/``aggregation``/``reducer``.
+    ignores ``cost``/``aggregation``/``reducer``, and its inter-level
+    3x3 filter is governed by ``pyramid_median`` (default on — the
+    post-reducer ``median`` knob applies to the flat paths only).
     """
 
     def __init__(self, max_disparity: int, *, batch: int = 4,
@@ -134,6 +136,7 @@ class StreamingEstimator:
                  backend: str = "auto", mesh=None,
                  sgm_mode: str = "exact", overlap: int = 64,
                  pyramid_levels: int = 0, band_radius: int = 4,
+                 pyramid_median: bool = True,
                  median: bool = False, subpixel: bool = False,
                  speckle: bool = False, speckle_fill: str = "zero"):
         if mesh is not None:
@@ -152,6 +155,7 @@ class StreamingEstimator:
                     band_radius=band_radius, cost_dtype=cost_dtype,
                     penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
                     overlap=overlap, backend=backend, subpixel=subpixel,
+                    median=pyramid_median,
                     speckle=speckle, speckle_fill=speckle_fill)
             else:
                 from .parallel.sharded import make_sharded_estimate
@@ -169,6 +173,7 @@ class StreamingEstimator:
                 from .pyramid import PyramidPipeline
                 pyr = PyramidPipeline(max_disparity, levels=pyramid_levels,
                                       band_radius=band_radius,
+                                      median=pyramid_median,
                                       penalty1=penalty1, penalty2=penalty2,
                                       cost_dtype=cost_dtype, backend=backend)
                 pyr_fn = lambda l, r: pyr._estimate(l, r, subpixel)  # noqa: E731
