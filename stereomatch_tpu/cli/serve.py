@@ -94,16 +94,9 @@ def _encode(disparity, fmt: str, max_disparity: int):
         return buf.getvalue(), "application/octet-stream"
     if fmt == "pfm":
         from ..io.data import write_pfm
-        import tempfile
-        import os
-        fd, path = tempfile.mkstemp(suffix=".pfm")
-        os.close(fd)
-        try:
-            write_pfm(path, np.asarray(disparity, np.float32))
-            with open(path, "rb") as f:
-                return f.read(), "application/octet-stream"
-        finally:
-            os.unlink(path)
+        buf = io.BytesIO()
+        write_pfm(buf, np.asarray(disparity, np.float32))
+        return buf.getvalue(), "application/octet-stream"
     from PIL import Image
     buf = io.BytesIO()
     if fmt == "png":
@@ -132,13 +125,14 @@ class _State:
         self.frames = 0
         self.lock = threading.Lock()
 
-    def estimate(self, left, right, refine: bool):
+    def estimate(self, left, right, refine: bool, count: bool = True):
         with self.lock:
             if refine:
                 out = self.pipeline.estimate_refined(left, right)
             else:
                 out = self.pipeline.estimate(left, right)
-            self.frames += 1
+            if count:
+                self.frames += 1
             return out
 
 
@@ -168,6 +162,11 @@ def _make_handler(state: _State):
                     "dtype": a.dtype, "backend": a.backend}
             self._reply(200, json.dumps(info).encode())
 
+        # Drop handlers whose socket stalls instead of blocking the
+        # worker thread forever (BaseHTTPRequestHandler honors this).
+        timeout = 30
+        _MAX_BODY = 64 * 1024 * 1024     # generous for any stereo frame
+
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse
             import numpy as np
@@ -179,17 +178,31 @@ def _make_handler(state: _State):
             q = parse_qs(url.query)
             fmt = q.get("format", ["png16"])[0]
             refine = q.get("refine", ["0"])[0] in ("1", "true")
+
+            # Client-fault stages -> 400; anything past decode is a
+            # server fault -> 500 (a dead device must not look like a
+            # stream of bad clients to load balancers).
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if not 0 < length <= self._MAX_BODY:
+                    raise ValueError(
+                        f"Content-Length must be in (0, {self._MAX_BODY}]")
+                if fmt not in ("png16", "png", "pfm", "npy"):
+                    raise ValueError(f"unknown format {fmt!r}")
                 from PIL import Image
+                from ..io.capture import split_side_by_side
                 img = Image.open(io.BytesIO(self.rfile.read(length)))
                 gray = np.asarray(img.convert("L"), np.float32)
-                width = gray.shape[1] // 2
-                left, right = gray[:, :width], gray[:, width:2 * width]
+                pair = split_side_by_side(gray)
+                left, right = np.asarray(pair.left), np.asarray(pair.right)
+            except Exception as exc:     # noqa: BLE001 — client fault
+                self._reply(400, json.dumps({"error": str(exc)}).encode())
+                return
+            try:
                 disp = np.asarray(state.estimate(left, right, refine))
                 body, ctype = _encode(disp, fmt, state.args.max_disparity)
-            except Exception as exc:     # noqa: BLE001 — report, don't die
-                self._reply(400, json.dumps({"error": str(exc)}).encode())
+            except Exception as exc:     # noqa: BLE001 — server fault
+                self._reply(500, json.dumps({"error": str(exc)}).encode())
                 return
             self._reply(200, body, ctype)
 
@@ -204,7 +217,7 @@ def make_server(args) -> ThreadingHTTPServer:
         import numpy as np
         h, w = (int(v) for v in args.warmup.split("x"))
         z = np.zeros((h, w), np.float32)
-        state.estimate(z, z, refine=False)
+        state.estimate(z, z, refine=False, count=False)
     return ThreadingHTTPServer((args.host, args.port), _make_handler(state))
 
 

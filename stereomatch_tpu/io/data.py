@@ -51,8 +51,13 @@ def read_pfm(path) -> np.ndarray:
     return img[:, :, 0] if channels == 1 else img
 
 
-def write_pfm(path, image: np.ndarray) -> None:
-    """Write a float32 image as (little-endian) PFM."""
+def write_pfm(path_or_file, image: np.ndarray) -> None:
+    """Write a float32 image as (little-endian) PFM.
+
+    ``path_or_file``: a filesystem path, or any binary file-like object
+    with ``write`` (e.g. ``io.BytesIO`` — stm-serve encodes responses
+    in memory).
+    """
     image = np.asarray(image, np.float32)
     if image.ndim == 2:
         header, channels = b"Pf", 1
@@ -60,11 +65,18 @@ def write_pfm(path, image: np.ndarray) -> None:
         header, channels = b"PF", 3
     else:
         raise ValueError(f"write_pfm: bad shape {image.shape}")
-    with open(path, "wb") as f:
+
+    def emit(f):
         f.write(header + b"\n")
         f.write(f"{image.shape[1]} {image.shape[0]}\n".encode())
         f.write(b"-1.0\n")  # negative scale = little-endian
         f.write(np.ascontiguousarray(image[::-1]).tobytes())
+
+    if hasattr(path_or_file, "write"):
+        emit(path_or_file)
+        return
+    with open(path_or_file, "wb") as f:
+        emit(f)
 
 
 def _natural_key(path: Path):
