@@ -77,6 +77,8 @@ def _traffic_models():
         "pipeline_hd_bf16_1024x1280_d256": 2 * v3,
         "pipeline_census_teddy_450x375_d128": 4 * v2,
         "pipeline_census_bf16_teddy_d128": 2 * v2,
+        # + one more bf16 volume read for the sub-pixel one-hot sweep
+        "pipeline_census_bf16_refined_teddy": 3 * v2,
         "pipeline_hd_census_bf16_d256": 2 * v3,
         # pyramid: full census pipeline on a volume 8x smaller per level
         # (4 volume-sized transfers); the band stages are VPU-bound
@@ -254,6 +256,24 @@ def build_benchmarks():
 
     benches["pipeline_census_bf16_teddy_d128"] = (pipe_census_bf16_body,
                                                   (l2, r2))
+
+    # The full production config: census bf16 volume + 8-path SGM + WTA
+    # + 3x3 median + in one-hot sub-pixel (float32 output) — what
+    # `stm-serve -cm census --dtype bfloat16` + refine=1 executes.
+    from stereomatch_tpu.ops import refine as _refine
+
+    def pipe_census_bf16_refined_body(carry):
+        l, r = carry
+        vol = census_hamming_cost_volume(l, r, max_disparity=d2,
+                                         cost_dtype=jnp.bfloat16)
+        agg = aggregate(vol, l)
+        disp = _refine.median_filter_3x3.__wrapped__(winner_takes_all(agg))
+        idx = jnp.clip(jnp.round(disp), 0, d2 - 1).astype(jnp.int32)
+        out = _refine.subpixel_refine.__wrapped__(agg, idx)
+        return feedback(l, out), r
+
+    benches["pipeline_census_bf16_refined_teddy"] = (
+        pipe_census_bf16_refined_body, (l2, r2))
 
     # Coarse-to-fine pyramid (pyramid.py): census+SGM+WTA at reduced
     # resolution and range, per-pixel census band refinement back up.

@@ -15,8 +15,9 @@ Protocol (stdlib-only on both ends):
   halves, any PIL-readable format; the ``stm-video`` frame convention).
   Query parameters: ``format=png16|png|pfm|npy`` (default ``png16``:
   uint16 grayscale disparities; ``png`` = colorized visualization),
-  ``refine=1`` for median + sub-pixel on this request (float formats
-  round under png16).
+  ``refine=1`` for median + sub-pixel, ``speckle=1`` for
+  windowed-support speckle suppression (background fill), per request
+  (float outputs round under png16).
 * ``GET /healthz`` — JSON: status, the serving config, frames served.
 
 Threaded server: decode/encode run concurrently while JAX serializes
@@ -178,6 +179,7 @@ def _make_handler(state: _State):
             q = parse_qs(url.query)
             fmt = q.get("format", ["png16"])[0]
             refine = q.get("refine", ["0"])[0] in ("1", "true")
+            speckle = q.get("speckle", ["0"])[0] in ("1", "true")
 
             # Client-fault stages -> 400; anything past decode is a
             # server fault -> 500 (a dead device must not look like a
@@ -200,6 +202,10 @@ def _make_handler(state: _State):
                 return
             try:
                 disp = np.asarray(state.estimate(left, right, refine))
+                if speckle:
+                    from ..ops.refine import filter_speckles
+                    disp = np.asarray(filter_speckles(
+                        disp.astype(np.float32), fill="background"))
                 body, ctype = _encode(disp, fmt, state.args.max_disparity)
             except Exception as exc:     # noqa: BLE001 — server fault
                 self._reply(500, json.dumps({"error": str(exc)}).encode())

@@ -73,6 +73,23 @@ def test_estimate_png16_and_refine(server):
     assert arr.max() < D
 
 
+def test_estimate_speckle_matches_local_filter(server):
+    from stereomatch_tpu.cli_common import create_pipeline
+    from stereomatch_tpu.ops.refine import filter_speckles
+    body, left, right, _ = _sbs_png()
+    req = urllib.request.Request(
+        f"{server}/estimate?format=npy&speckle=1", data=body)
+    with urllib.request.urlopen(req) as resp:
+        disp = np.load(io.BytesIO(resp.read()))
+    l8 = (left * 255).astype(np.uint8).astype(np.float32)
+    r8 = (right * 255).astype(np.uint8).astype(np.float32)
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    raw = np.asarray(pipe.estimate(l8, r8)).astype(np.float32)
+    expected = np.asarray(filter_speckles(raw, fill="background"))
+    np.testing.assert_array_equal(disp, expected)
+
+
 def test_estimate_rejects_garbage(server):
     req = urllib.request.Request(f"{server}/estimate", data=b"not a png")
     try:
