@@ -21,17 +21,25 @@ Protocol (stdlib-only on both ends):
 * ``GET /healthz`` — JSON: status, the serving config, frames served.
 
 Threaded server: decode/encode run concurrently while JAX serializes
-device work per process — the standard single-chip serving shape.  For
-multi-chip serving use the batched paths (``stm-video --mesh`` /
-``StreamingEstimator``); HTTP request batching is deliberately out of
-scope here (one request = one frame = one jitted call).
+device work per process.  With ``--batch 1`` (default) each request is
+one jitted call.  ``--batch N`` turns on request micro-batching — the
+TPU-idiomatic serving shape: concurrent requests with the same frame
+geometry and refine flag are coalesced (waiting at most ``--linger-ms``
+for company) into ONE ``lax.map``-batched device program, amortizing
+dispatch and keeping the kernels' single-frame schedule back to back
+(see stream.StreamingEstimator for why map beats vmap here).  Batches
+are padded up to the next power of two, so each (geometry, refine)
+group compiles at most log2(N)+1 programs.  For multi-chip serving use
+``stm-video --mesh`` / ``StreamingEstimator(mesh=...)``.
 """
 
 import argparse
 import io
 import json
+import queue
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -64,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Compile for this frame geometry at startup "
                              "so the first request doesn't pay the "
                              "compile (e.g. 375x450).")
+    parser.add_argument("--batch", type=int, default=1, metavar="N",
+                        help="Coalesce up to N concurrent requests into "
+                             "one batched device call (1 = no batching).")
+    parser.add_argument("--linger-ms", type=float, default=5.0,
+                        help="With --batch > 1: how long a request waits "
+                             "for companions before running short.")
     return parser
 
 
@@ -115,18 +129,149 @@ def _encode(disparity, fmt: str, max_disparity: int):
     raise ValueError(f"unknown format {fmt!r}")
 
 
-class _State:
-    """Pipeline + counters shared across handler threads; device calls
-    serialize through one lock (JAX dispatch is per-process anyway —
-    decode/encode are the parts worth overlapping)."""
+class _Job:
+    """One request waiting inside the batcher."""
+
+    __slots__ = ("left", "right", "refine", "done", "result", "error")
+
+    def __init__(self, left, right, refine):
+        self.left, self.right, self.refine = left, right, refine
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class _Batcher:
+    """Coalesces concurrent requests into batched device calls.
+
+    One daemon worker owns all JAX work: it takes the oldest pending
+    request, waits up to ``linger`` seconds for more requests with the
+    same (frame geometry, refine) key, stacks them, and runs a single
+    jitted ``lax.map`` program over the batch (padded to the next power
+    of two — at most log2(max_batch)+1 compilations per key).  Requests
+    with a different key park in a local list and lead the next batch,
+    preserving arrival order per key.
+
+    The batched frame function is stream._build_frame_fn with
+    median=subpixel=refine — the same op sequence ``Pipeline
+    .estimate_refined`` (its default flags) applies, so batched and
+    unbatched responses are identical.
+    """
 
     def __init__(self, args):
         self.args = args
-        self.pipeline = _build_pipeline(args)
+        self.max_batch = args.batch
+        self.linger = max(args.linger_ms, 0.0) / 1e3
+        self.queue = queue.SimpleQueue()
+        self._fns = {}
+        self.batches = 0
+        self.batched_frames = 0
+        threading.Thread(target=self._loop, daemon=True,
+                         name="stm-serve-batcher").start()
+
+    def estimate(self, left, right, refine: bool):
+        job = _Job(left, right, refine)
+        self.queue.put(job)
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    # -- worker side ----------------------------------------------------
+
+    def _fn(self, refine: bool):
+        if refine not in self._fns:
+            import jax
+            from jax import lax
+            a = self.args
+            if a.pyramid > 0:
+                pyr = _build_pipeline(a)
+                frame_fn = lambda l, r: pyr._estimate(l, r, refine)  # noqa: E731
+            else:
+                import jax.numpy as jnp
+
+                from ..stream import _build_frame_fn
+                reducer = {"wta": "wta",
+                           "dyn": "dynamic_programming"}[a.disparity_method]
+                frame_fn = _build_frame_fn(
+                    a.max_disparity, a.cost_method, None,
+                    a.aggregation_method, reducer, a.p1, a.p2, a.backend,
+                    jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32,
+                    median=refine, subpixel=refine)
+            self._fns[refine] = jax.jit(
+                lambda l, r: lax.map(lambda p: frame_fn(*p), (l, r)))
+        return self._fns[refine]
+
+    def _run(self, group):
+        import jax.numpy as jnp
+        import numpy as np
+        try:
+            n = len(group)
+            padded = 1 << (n - 1).bit_length()      # next power of two
+            lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
+            rights = ([j.right for j in group]
+                      + [group[-1].right] * (padded - n))
+            out = np.asarray(self._fn(group[0].refine)(
+                jnp.asarray(np.stack(lefts), jnp.float32),
+                jnp.asarray(np.stack(rights), jnp.float32)))
+            for job, disp in zip(group, out):
+                job.result = disp
+        except Exception as exc:                  # noqa: BLE001 — fan out
+            for job in group:
+                job.error = exc
+        finally:
+            self.batches += 1
+            self.batched_frames += len(group)
+            for job in group:
+                job.done.set()
+
+    def _loop(self):
+        parked = []
+        while True:
+            job = parked.pop(0) if parked else self.queue.get()
+            key = (job.left.shape, job.refine)
+            group = [job]
+            deadline = time.monotonic() + self.linger
+            while len(group) < self.max_batch:
+                i = next((k for k, p in enumerate(parked)
+                          if (p.left.shape, p.refine) == key), None)
+                if i is not None:
+                    group.append(parked.pop(i))
+                    continue
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if (nxt.left.shape, nxt.refine) == key:
+                    group.append(nxt)
+                else:
+                    parked.append(nxt)
+            self._run(group)
+
+
+class _State:
+    """Pipeline + counters shared across handler threads.  Unbatched:
+    device calls serialize through one lock (JAX dispatch is per-process
+    anyway — decode/encode are the parts worth overlapping).  Batched:
+    the _Batcher worker owns all device calls."""
+
+    def __init__(self, args):
+        self.args = args
+        self.batcher = _Batcher(args) if args.batch > 1 else None
+        self.pipeline = None if self.batcher else _build_pipeline(args)
         self.frames = 0
         self.lock = threading.Lock()
 
     def estimate(self, left, right, refine: bool, count: bool = True):
+        if self.batcher is not None:
+            out = self.batcher.estimate(left, right, refine)
+            if count:
+                with self.lock:
+                    self.frames += 1
+            return out
         with self.lock:
             if refine:
                 out = self.pipeline.estimate_refined(left, right)
@@ -161,6 +306,12 @@ def _make_handler(state: _State):
                                    a.cost_method, a.disparity_method,
                                    a.aggregation_method]))),
                     "dtype": a.dtype, "backend": a.backend}
+            if state.batcher is not None:
+                b = state.batcher
+                info["batching"] = {"max_batch": b.max_batch,
+                                    "linger_ms": a.linger_ms,
+                                    "batches": b.batches,
+                                    "batched_frames": b.batched_frames}
             self._reply(200, json.dumps(info).encode())
 
         # Drop handlers whose socket stalls instead of blocking the
@@ -218,6 +369,8 @@ def _make_handler(state: _State):
 def make_server(args) -> ThreadingHTTPServer:
     """Build (but don't run) the server — the test seam; ``server_port``
     reports the bound port when ``--port 0`` asked for an ephemeral one."""
+    if args.batch < 1:
+        raise ValueError("--batch must be >= 1")
     state = _State(args)
     if args.warmup:
         import numpy as np

@@ -106,3 +106,91 @@ def test_unknown_path_404(server):
         assert False, "expected HTTP 404"
     except urllib.error.HTTPError as err:
         assert err.code == 404
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla",
+         "--batch", "4", "--linger-ms", "500"])
+    srv = make_server(args)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_batched_concurrent_requests_match_unbatched(batch_server):
+    """6 concurrent clients through the micro-batcher: every response must
+    bit-match the unbatched pipeline, and the coalescer must have formed
+    at least one multi-frame batch (clients fire together, linger 500 ms)."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    body, left, right, _ = _sbs_png()
+    l8 = (left * 255).astype(np.uint8).astype(np.float32)
+    r8 = (right * 255).astype(np.uint8).astype(np.float32)
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    expected = np.asarray(pipe.estimate(l8, r8))
+
+    n = 6
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def client(i):
+        barrier.wait()
+        req = urllib.request.Request(f"{batch_server}/estimate?format=npy",
+                                     data=body)
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            results[i] = np.load(io.BytesIO(resp.read()))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(n):
+        assert results[i] is not None, f"client {i} got no response"
+        np.testing.assert_array_equal(results[i], expected)
+
+    with urllib.request.urlopen(f"{batch_server}/healthz") as resp:
+        info = json.loads(resp.read())
+    assert info["frames_served"] >= n
+    stats = info["batching"]
+    assert stats["max_batch"] == 4
+    assert stats["batched_frames"] >= n
+    assert stats["batches"] < stats["batched_frames"], \
+        "expected at least one coalesced multi-frame batch"
+
+
+def test_batcher_pyramid_mode_matches_pyramid_pipeline():
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    from stereomatch_tpu.pyramid import PyramidPipeline
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "2", "--pyramid", "2",
+         "--linger-ms", "0"])
+    batcher = _Batcher(args)
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=5)
+    out = batcher.estimate(left.astype(np.float32),
+                           right.astype(np.float32), refine=False)
+    pyr = PyramidPipeline(D, levels=2, backend="xla")
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(pyr.estimate(left, right)))
+
+
+def test_batched_refine_matches_estimate_refined(batch_server):
+    """refine=1 through the batcher == Pipeline.estimate_refined defaults
+    (median + sub-pixel) — pins the stream._build_frame_fn equivalence."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    body, left, right, _ = _sbs_png()
+    l8 = (left * 255).astype(np.uint8).astype(np.float32)
+    r8 = (right * 255).astype(np.uint8).astype(np.float32)
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    expected = np.asarray(pipe.estimate_refined(l8, r8))
+    req = urllib.request.Request(
+        f"{batch_server}/estimate?format=npy&refine=1", data=body)
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        disp = np.load(io.BytesIO(resp.read()))
+    np.testing.assert_array_equal(disp, expected)
