@@ -179,6 +179,45 @@ def test_batcher_pyramid_mode_matches_pyramid_pipeline():
         np.asarray(out), np.asarray(pyr.estimate(left, right)))
 
 
+def test_batcher_mixed_keys_all_served():
+    """Interleaved geometries and refine flags exercise the parked-job
+    path: every request must still get the correct-geometry answer."""
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "4", "--linger-ms", "50"])
+    batcher = _Batcher(args)
+    shapes = [(24, 40), (32, 48)]
+    jobs = []
+    for i in range(8):
+        h, w = shapes[i % 2]
+        left, right, _ = synthetic_stereo_pair(h, w, D, seed=i)
+        jobs.append((left.astype(np.float32), right.astype(np.float32),
+                     i % 4 == 3))
+
+    results = [None] * len(jobs)
+
+    def client(i):
+        left, right, refine = jobs[i]
+        results[i] = np.asarray(batcher.estimate(left, right, refine))
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(jobs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+
+    from stereomatch_tpu.cli_common import create_pipeline
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    for i, (left, right, refine) in enumerate(jobs):
+        assert results[i] is not None, f"job {i} unserved"
+        expected = (pipe.estimate_refined(left, right) if refine
+                    else pipe.estimate(left, right))
+        np.testing.assert_array_equal(results[i], np.asarray(expected))
+        assert results[i].shape == left.shape
+
+
 def test_batched_refine_matches_estimate_refined(batch_server):
     """refine=1 through the batcher == Pipeline.estimate_refined defaults
     (median + sub-pixel) — pins the stream._build_frame_fn equivalence."""
