@@ -29,8 +29,10 @@ for company) into ONE ``lax.map``-batched device program, amortizing
 dispatch and keeping the kernels' single-frame schedule back to back
 (see stream.StreamingEstimator for why map beats vmap here).  Batches
 are padded up to the next power of two, so each (geometry, refine)
-group compiles at most log2(N)+1 programs.  For multi-chip serving use
-``stm-video --mesh`` / ``StreamingEstimator(mesh=...)``.
+group compiles at most log2(N)+1 programs.  ``--mesh`` additionally
+spans every device: coalesced batches split over the mesh batch axis
+and image rows over the tile axis (the ``stm-video --mesh`` sharded
+program behind the HTTP face), one compiled program per frame geometry.
 """
 
 import argparse
@@ -78,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--linger-ms", type=float, default=5.0,
                         help="With --batch > 1: how long a request waits "
                              "for companions before running short.")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Serve over all devices: batched frames "
+                             "split across the mesh batch axis and image "
+                             "rows across the tile axis (the stm-video "
+                             "--mesh program behind the HTTP face; "
+                             "implies request batching).")
     return parser
 
 
@@ -160,7 +168,7 @@ class _Batcher:
 
     def __init__(self, args):
         self.args = args
-        self.max_batch = args.batch
+        self.max_batch = max(args.batch, 1)
         self.linger = max(args.linger_ms, 0.0) / 1e3
         self.queue = queue.SimpleQueue()
         self._fns = {}
@@ -179,41 +187,65 @@ class _Batcher:
 
     # -- worker side ----------------------------------------------------
 
-    def _fn(self, refine: bool):
+    def _fn(self, refine: bool, shape):
+        """(batched fn, batch-size multiple) for one (refine, shape) key.
+
+        Single-chip fns are shape-polymorphic (jit re-specializes), so
+        they cache under ``refine`` alone; mesh programs bake the tile
+        split for one geometry and cache under (refine, shape)."""
+        import jax.numpy as jnp
+        a = self.args
+        dtype = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+        if a.mesh:
+            key = (refine, shape)
+            if key not in self._fns:
+                from ..parallel.mesh import BATCH_AXIS
+                from ..stream import StreamingEstimator
+                from .video import _pick_video_mesh
+                mesh = _pick_video_mesh(shape[0], scale=2 ** a.pyramid)
+                reducer = {"wta": "wta",
+                           "dyn": "dynamic_programming"}[a.disparity_method]
+                est = StreamingEstimator(
+                    a.max_disparity, batch=self.max_batch,
+                    cost=a.cost_method, cost_dtype=dtype,
+                    aggregation=a.aggregation_method, reducer=reducer,
+                    penalty1=a.p1, penalty2=a.p2, backend=a.backend,
+                    mesh=mesh, pyramid_levels=a.pyramid,
+                    median=refine, subpixel=refine)
+                self._fns[key] = (est.estimate_batch,
+                                  mesh.shape[BATCH_AXIS])
+            return self._fns[key]
         if refine not in self._fns:
             import jax
             from jax import lax
-            a = self.args
             if a.pyramid > 0:
                 pyr = _build_pipeline(a)
                 frame_fn = lambda l, r: pyr._estimate(l, r, refine)  # noqa: E731
             else:
-                import jax.numpy as jnp
-
                 from ..stream import _build_frame_fn
                 reducer = {"wta": "wta",
                            "dyn": "dynamic_programming"}[a.disparity_method]
                 frame_fn = _build_frame_fn(
                     a.max_disparity, a.cost_method, None,
                     a.aggregation_method, reducer, a.p1, a.p2, a.backend,
-                    jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32,
-                    median=refine, subpixel=refine)
-            self._fns[refine] = jax.jit(
-                lambda l, r: lax.map(lambda p: frame_fn(*p), (l, r)))
+                    dtype, median=refine, subpixel=refine)
+            self._fns[refine] = (jax.jit(
+                lambda l, r: lax.map(lambda p: frame_fn(*p), (l, r))), 1)
         return self._fns[refine]
 
     def _run(self, group):
-        import jax.numpy as jnp
         import numpy as np
         try:
             n = len(group)
-            padded = 1 << (n - 1).bit_length()      # next power of two
+            fn, multiple = self._fn(group[0].refine, group[0].left.shape)
+            # Next power of two, rounded up to the mesh batch-axis
+            # multiple (a no-op single-chip, where multiple == 1).
+            padded = 1 << (n - 1).bit_length()
+            padded = -(-padded // multiple) * multiple
             lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
             rights = ([j.right for j in group]
                       + [group[-1].right] * (padded - n))
-            out = np.asarray(self._fn(group[0].refine)(
-                jnp.asarray(np.stack(lefts), jnp.float32),
-                jnp.asarray(np.stack(rights), jnp.float32)))
+            out = np.asarray(fn(np.stack(lefts), np.stack(rights)))
             for job, disp in zip(group, out):
                 job.result = disp
         except Exception as exc:                  # noqa: BLE001 — fan out
@@ -260,7 +292,8 @@ class _State:
 
     def __init__(self, args):
         self.args = args
-        self.batcher = _Batcher(args) if args.batch > 1 else None
+        self.batcher = (_Batcher(args)
+                        if args.batch > 1 or args.mesh else None)
         self.pipeline = None if self.batcher else _build_pipeline(args)
         self.frames = 0
         self.lock = threading.Lock()
@@ -310,6 +343,7 @@ def _make_handler(state: _State):
                 b = state.batcher
                 info["batching"] = {"max_batch": b.max_batch,
                                     "linger_ms": a.linger_ms,
+                                    "mesh": a.mesh,
                                     "batches": b.batches,
                                     "batched_frames": b.batched_frames}
             self._reply(200, json.dumps(info).encode())

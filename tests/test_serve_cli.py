@@ -218,6 +218,25 @@ def test_batcher_mixed_keys_all_served():
         assert results[i].shape == left.shape
 
 
+def test_batcher_mesh_mode_matches_single_chip():
+    """--mesh routes requests through the sharded mesh program (rows over
+    the tile axis, frames over the batch axis); exact-mode SGM keeps the
+    result bit-identical to the single-chip pipeline, including the
+    padding a lone request needs to fill the mesh batch axis."""
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    from stereomatch_tpu.cli_common import create_pipeline
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "4", "--mesh",
+         "--linger-ms", "50"])
+    batcher = _Batcher(args)
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=7)
+    left, right = left.astype(np.float32), right.astype(np.float32)
+    out = np.asarray(batcher.estimate(left, right, refine=False))
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    np.testing.assert_array_equal(out, np.asarray(pipe.estimate(left, right)))
+
+
 def test_batched_refine_matches_estimate_refined(batch_server):
     """refine=1 through the batcher == Pipeline.estimate_refined defaults
     (median + sub-pixel) — pins the stream._build_frame_fn equivalence."""
