@@ -14,10 +14,12 @@ Protocol (stdlib-only on both ends):
 * ``POST /estimate`` — body: one side-by-side stereo image (left|right
   halves, any PIL-readable format; the ``stm-video`` frame convention).
   Query parameters: ``format=png16|png|pfm|npy`` (default ``png16``:
-  uint16 grayscale disparities; ``png`` = colorized visualization),
-  ``refine=1`` for median + sub-pixel, ``speckle=1`` for
-  windowed-support speckle suppression (background fill), per request
-  (float outputs round under png16).
+  uint16 grayscale disparities; ``png`` = colorized visualization;
+  ``npy`` carries the smallest lossless dtype — uint8/uint16 for
+  integer disparities, float32 when refined/speckled), ``refine=1``
+  for median + sub-pixel, ``speckle=1`` for windowed-support speckle
+  suppression (background fill), per request (float outputs round
+  under png16).
 * ``GET /healthz`` — JSON: status, the serving config, frames served.
 
 Threaded server: decode/encode run concurrently while JAX serializes
@@ -137,6 +139,21 @@ def _encode(disparity, fmt: str, max_disparity: int):
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def _narrow_for_fetch(out, max_disparity: int):
+    """Device-side cast before the host fetch.
+
+    Integer disparities are < max_disparity, so uint8 (D <= 256) or
+    uint16 is lossless and cuts the PJRT fetch bytes 4x / 2x — on
+    relay-style transports the fetch is bandwidth-bound and dominates
+    the serving latency (benchmarks/serving.py).  Float (refined)
+    outputs pass through: float32 is part of the response contract.
+    """
+    import jax.numpy as jnp
+    if out.dtype == jnp.int32:
+        return out.astype(jnp.uint8 if max_disparity <= 256 else jnp.uint16)
+    return out
+
+
 class _Job:
     """One request waiting inside the batcher."""
 
@@ -230,7 +247,9 @@ class _Batcher:
                     a.aggregation_method, reducer, a.p1, a.p2, a.backend,
                     dtype, median=refine, subpixel=refine)
             self._fns[refine] = (jax.jit(
-                lambda l, r: lax.map(lambda p: frame_fn(*p), (l, r))), 1)
+                lambda l, r: _narrow_for_fetch(
+                    lax.map(lambda p: frame_fn(*p), (l, r)),
+                    a.max_disparity)), 1)
         return self._fns[refine]
 
     def _run(self, group):
@@ -245,7 +264,9 @@ class _Batcher:
             lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
             rights = ([j.right for j in group]
                       + [group[-1].right] * (padded - n))
-            out = np.asarray(fn(np.stack(lefts), np.stack(rights)))
+            out = np.asarray(_narrow_for_fetch(
+                fn(np.stack(lefts), np.stack(rights)),
+                self.args.max_disparity))
             for job, disp in zip(group, out):
                 job.result = disp
         except Exception as exc:                  # noqa: BLE001 — fan out
@@ -312,7 +333,7 @@ class _State:
                 out = self.pipeline.estimate(left, right)
             if count:
                 self.frames += 1
-            return out
+            return _narrow_for_fetch(out, self.args.max_disparity)
 
 
 def _make_handler(state: _State):
