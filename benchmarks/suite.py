@@ -77,8 +77,9 @@ def _traffic_models():
         "pipeline_hd_bf16_1024x1280_d256": 2 * v3,
         "pipeline_census_teddy_450x375_d128": 4 * v2,
         "pipeline_census_bf16_teddy_d128": 2 * v2,
-        # + one more bf16 volume read for the sub-pixel one-hot sweep
-        "pipeline_census_bf16_refined_teddy": 3 * v2,
+        # + one more bf16 volume read (0.5 * v2 under this file's
+        # f32-volume unit) for the sub-pixel one-hot sweep
+        "pipeline_census_bf16_refined_teddy": 5 * v2 // 2,
         "pipeline_hd_census_bf16_d256": 2 * v3,
         # pyramid: full census pipeline on a volume 8x smaller per level
         # (4 volume-sized transfers); the band stages are VPU-bound

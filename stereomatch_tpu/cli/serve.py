@@ -30,11 +30,12 @@ geometry and refine flag are coalesced (waiting at most ``--linger-ms``
 for company) into ONE ``lax.map``-batched device program, amortizing
 dispatch and keeping the kernels' single-frame schedule back to back
 (see stream.StreamingEstimator for why map beats vmap here).  Batches
-are padded up to the next power of two, so each (geometry, refine)
-group compiles at most log2(N)+1 programs.  ``--mesh`` additionally
-spans every device: coalesced batches split over the mesh batch axis
-and image rows over the tile axis (the ``stm-video --mesh`` sharded
-program behind the HTTP face), one compiled program per frame geometry.
+are padded up to the next power of two, so each (geometry, refine,
+speckle) key compiles at most log2(N)+1 programs — ``--warmup HxW``
+compiles all of them up front.  ``--mesh`` additionally spans every
+device: coalesced batches split over the mesh batch axis and image
+rows over the tile axis (the ``stm-video --mesh`` sharded program
+behind the HTTP face), with the same per-key compile count.
 """
 
 import argparse
@@ -157,30 +158,41 @@ def _narrow_for_fetch(out, max_disparity: int):
 class _Job:
     """One request waiting inside the batcher."""
 
-    __slots__ = ("left", "right", "refine", "done", "result", "error")
+    __slots__ = ("left", "right", "refine", "speckle", "t0", "done",
+                 "result", "error")
 
-    def __init__(self, left, right, refine):
-        self.left, self.right, self.refine = left, right, refine
+    def __init__(self, left, right, refine, speckle):
+        self.left, self.right = left, right
+        self.refine, self.speckle = refine, speckle
+        self.t0 = time.monotonic()
         self.done = threading.Event()
         self.result = None
         self.error = None
+
+    @property
+    def key(self):
+        return (self.left.shape, self.refine, self.speckle)
 
 
 class _Batcher:
     """Coalesces concurrent requests into batched device calls.
 
     One daemon worker owns all JAX work: it takes the oldest pending
-    request, waits up to ``linger`` seconds for more requests with the
-    same (frame geometry, refine) key, stacks them, and runs a single
-    jitted ``lax.map`` program over the batch (padded to the next power
-    of two — at most log2(max_batch)+1 compilations per key).  Requests
-    with a different key park in a local list and lead the next batch,
-    preserving arrival order per key.
+    request, waits until ``linger`` seconds past that request's arrival
+    for more requests with the same (frame geometry, refine, speckle)
+    key, stacks them, and runs a single jitted ``lax.map`` program over
+    the batch (padded to the next power of two — at most
+    log2(max_batch)+1 compilations per key).  Requests with a different
+    key park in a local list and lead the next batch, preserving
+    arrival order per key; anchoring the linger deadline to arrival
+    time means a parked request that already waited out a foreign
+    batch runs immediately when it becomes leader.
 
     The batched frame function is stream._build_frame_fn with
     median=subpixel=refine — the same op sequence ``Pipeline
-    .estimate_refined`` (its default flags) applies, so batched and
-    unbatched responses are identical.
+    .estimate_refined`` (its default flags) applies — and in-graph
+    speckle suppression, so batched and unbatched responses are
+    identical and a speckled request costs no extra device round trip.
     """
 
     def __init__(self, args):
@@ -194,69 +206,97 @@ class _Batcher:
         threading.Thread(target=self._loop, daemon=True,
                          name="stm-serve-batcher").start()
 
-    def estimate(self, left, right, refine: bool):
-        job = _Job(left, right, refine)
+    def estimate(self, left, right, refine: bool, speckle: bool = False):
+        job = _Job(left, right, refine, speckle)
         self.queue.put(job)
         job.done.wait()
         if job.error is not None:
             raise job.error
         return job.result
 
+    def warmup(self, left, right, refine: bool = False,
+               speckle: bool = False):
+        """Compile every padded batch size for one (geometry, flags) key
+        by running synthetic groups of each power-of-two size directly
+        (bypassing the queue; stats are restored after)."""
+        batches, frames = self.batches, self.batched_frames
+        b = 1
+        while b <= self.max_batch:
+            group = [_Job(left, right, refine, speckle) for _ in range(b)]
+            self._run(group)
+            for job in group:
+                if job.error is not None:
+                    raise job.error
+            b *= 2
+        self.batches, self.batched_frames = batches, frames
+
     # -- worker side ----------------------------------------------------
 
-    def _fn(self, refine: bool, shape):
-        """(batched fn, batch-size multiple) for one (refine, shape) key.
+    def _fn(self, job):
+        """(batched fn, batch-size multiple) for one job's key.
 
-        Single-chip fns are shape-polymorphic (jit re-specializes), so
-        they cache under ``refine`` alone; mesh programs bake the tile
-        split for one geometry and cache under (refine, shape)."""
+        Single-chip fns are shape-polymorphic (jit re-specializes per
+        padded batch shape), so they cache under (refine, speckle)
+        alone; mesh programs bake the tile split for one geometry and
+        cache under the full key."""
         import jax.numpy as jnp
+
+        from ..cli_common import STREAM_REDUCERS
         a = self.args
+        refine, speckle = job.refine, job.speckle
         dtype = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
         if a.mesh:
-            key = (refine, shape)
+            key = job.key
             if key not in self._fns:
                 from ..parallel.mesh import BATCH_AXIS
                 from ..stream import StreamingEstimator
                 from .video import _pick_video_mesh
-                mesh = _pick_video_mesh(shape[0], scale=2 ** a.pyramid)
-                reducer = {"wta": "wta",
-                           "dyn": "dynamic_programming"}[a.disparity_method]
+                mesh = _pick_video_mesh(job.left.shape[0],
+                                        scale=2 ** a.pyramid)
                 est = StreamingEstimator(
                     a.max_disparity, batch=self.max_batch,
                     cost=a.cost_method, cost_dtype=dtype,
-                    aggregation=a.aggregation_method, reducer=reducer,
+                    aggregation=a.aggregation_method,
+                    reducer=STREAM_REDUCERS[a.disparity_method],
                     penalty1=a.p1, penalty2=a.p2, backend=a.backend,
                     mesh=mesh, pyramid_levels=a.pyramid,
-                    median=refine, subpixel=refine)
+                    median=refine, subpixel=refine,
+                    speckle=speckle, speckle_fill="background")
                 self._fns[key] = (est.estimate_batch,
                                   mesh.shape[BATCH_AXIS])
             return self._fns[key]
-        if refine not in self._fns:
+        if (refine, speckle) not in self._fns:
             import jax
             from jax import lax
             if a.pyramid > 0:
                 pyr = _build_pipeline(a)
-                frame_fn = lambda l, r: pyr._estimate(l, r, refine)  # noqa: E731
+                pyr_fn = lambda l, r: pyr._estimate(l, r, refine)  # noqa: E731
+                if speckle:
+                    from ..ops.refine import filter_speckles
+                    frame_fn = lambda l, r: filter_speckles.__wrapped__(  # noqa: E731
+                        pyr_fn(l, r), fill="background")
+                else:
+                    frame_fn = pyr_fn
             else:
                 from ..stream import _build_frame_fn
-                reducer = {"wta": "wta",
-                           "dyn": "dynamic_programming"}[a.disparity_method]
                 frame_fn = _build_frame_fn(
                     a.max_disparity, a.cost_method, None,
-                    a.aggregation_method, reducer, a.p1, a.p2, a.backend,
-                    dtype, median=refine, subpixel=refine)
-            self._fns[refine] = (jax.jit(
+                    a.aggregation_method,
+                    STREAM_REDUCERS[a.disparity_method],
+                    a.p1, a.p2, a.backend, dtype,
+                    median=refine, subpixel=refine,
+                    speckle=speckle, speckle_fill="background")
+            self._fns[refine, speckle] = (jax.jit(
                 lambda l, r: _narrow_for_fetch(
                     lax.map(lambda p: frame_fn(*p), (l, r)),
                     a.max_disparity)), 1)
-        return self._fns[refine]
+        return self._fns[refine, speckle]
 
     def _run(self, group):
         import numpy as np
         try:
             n = len(group)
-            fn, multiple = self._fn(group[0].refine, group[0].left.shape)
+            fn, multiple = self._fn(group[0])
             # Next power of two, rounded up to the mesh batch-axis
             # multiple (a no-op single-chip, where multiple == 1).
             padded = 1 << (n - 1).bit_length()
@@ -282,12 +322,12 @@ class _Batcher:
         parked = []
         while True:
             job = parked.pop(0) if parked else self.queue.get()
-            key = (job.left.shape, job.refine)
+            key = job.key
             group = [job]
-            deadline = time.monotonic() + self.linger
+            deadline = job.t0 + self.linger
             while len(group) < self.max_batch:
                 i = next((k for k, p in enumerate(parked)
-                          if (p.left.shape, p.refine) == key), None)
+                          if p.key == key), None)
                 if i is not None:
                     group.append(parked.pop(i))
                     continue
@@ -298,7 +338,7 @@ class _Batcher:
                     nxt = self.queue.get(timeout=remaining)
                 except queue.Empty:
                     break
-                if (nxt.left.shape, nxt.refine) == key:
+                if nxt.key == key:
                     group.append(nxt)
                 else:
                     parked.append(nxt)
@@ -319,9 +359,10 @@ class _State:
         self.frames = 0
         self.lock = threading.Lock()
 
-    def estimate(self, left, right, refine: bool, count: bool = True):
+    def estimate(self, left, right, refine: bool, speckle: bool = False,
+                 count: bool = True):
         if self.batcher is not None:
-            out = self.batcher.estimate(left, right, refine)
+            out = self.batcher.estimate(left, right, refine, speckle)
             if count:
                 with self.lock:
                     self.frames += 1
@@ -331,6 +372,12 @@ class _State:
                 out = self.pipeline.estimate_refined(left, right)
             else:
                 out = self.pipeline.estimate(left, right)
+            if speckle:
+                import jax.numpy as jnp
+
+                from ..ops.refine import filter_speckles
+                out = filter_speckles(out.astype(jnp.float32),
+                                      fill="background")
             if count:
                 self.frames += 1
             return _narrow_for_fetch(out, self.args.max_disparity)
@@ -407,11 +454,8 @@ def _make_handler(state: _State):
                 self._reply(400, json.dumps({"error": str(exc)}).encode())
                 return
             try:
-                disp = np.asarray(state.estimate(left, right, refine))
-                if speckle:
-                    from ..ops.refine import filter_speckles
-                    disp = np.asarray(filter_speckles(
-                        disp.astype(np.float32), fill="background"))
+                disp = np.asarray(state.estimate(left, right, refine,
+                                                 speckle))
                 body, ctype = _encode(disp, fmt, state.args.max_disparity)
             except Exception as exc:     # noqa: BLE001 — server fault
                 self._reply(500, json.dumps({"error": str(exc)}).encode())
@@ -431,7 +475,12 @@ def make_server(args) -> ThreadingHTTPServer:
         import numpy as np
         h, w = (int(v) for v in args.warmup.split("x"))
         z = np.zeros((h, w), np.float32)
-        state.estimate(z, z, refine=False, count=False)
+        if state.batcher is not None:
+            # Compile every padded batch size (1, 2, ..., max_batch) up
+            # front, so no live batch pays a compile.
+            state.batcher.warmup(z, z)
+        else:
+            state.estimate(z, z, refine=False, count=False)
     return ThreadingHTTPServer((args.host, args.port), _make_handler(state))
 
 

@@ -250,8 +250,8 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
 
     import jax.numpy as jnp
 
-    reducer = ("dynamic_programming" if args.disparity_method == "dyn"
-               else "wta")
+    from ..cli_common import STREAM_REDUCERS
+    reducer = STREAM_REDUCERS[args.disparity_method]
     common = dict(cost=args.cost_method, aggregation=args.aggregation_method,
                   reducer=reducer, penalty1=args.p1, penalty2=args.p2,
                   backend=args.backend, cost_dtype=jnp.dtype(args.dtype),
@@ -384,12 +384,12 @@ def main(argv=None) -> int:
     elif temporal_mesh is not None:
         import jax.numpy as jnp
 
+        from ..cli_common import STREAM_REDUCERS
         from ..parallel import ShardedPipeline
         pipeline = ShardedPipeline(
             temporal_mesh, args.max_disparity, cost=args.cost_method,
             aggregation=args.aggregation_method,
-            reducer=("dynamic_programming" if args.disparity_method == "dyn"
-                     else "wta"),
+            reducer=STREAM_REDUCERS[args.disparity_method],
             penalty1=args.p1, penalty2=args.p2, sgm_mode=args.sgm_mode,
             overlap=args.overlap, backend=args.backend,
             cost_dtype=jnp.dtype(args.dtype))

@@ -28,6 +28,13 @@ DISPARITY_METHODS = {
     "dyn": DynamicProgramming,
 }
 
+# CLI disparity-method name -> stream/parallel reducer name
+# (stream.StreamingEstimator and parallel.* grew the long name first).
+STREAM_REDUCERS = {
+    "wta": "wta",
+    "dyn": "dynamic_programming",
+}
+
 
 VOLUME_DTYPES = ("float32", "bfloat16", "int32")
 

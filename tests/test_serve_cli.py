@@ -164,6 +164,40 @@ def test_batched_concurrent_requests_match_unbatched(batch_server):
         "expected at least one coalesced multi-frame batch"
 
 
+def test_batched_speckle_in_graph_matches_host_filter(batch_server):
+    """speckle=1 through the batcher runs in-graph (one device call);
+    must equal the host-side filter the unbatched path applies."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    from stereomatch_tpu.ops.refine import filter_speckles
+    body, left, right, _ = _sbs_png()
+    req = urllib.request.Request(
+        f"{batch_server}/estimate?format=npy&speckle=1", data=body)
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        disp = np.load(io.BytesIO(resp.read()))
+    l8 = (left * 255).astype(np.uint8).astype(np.float32)
+    r8 = (right * 255).astype(np.uint8).astype(np.float32)
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    raw = np.asarray(pipe.estimate(l8, r8)).astype(np.float32)
+    np.testing.assert_array_equal(
+        disp, np.asarray(filter_speckles(raw, fill="background")))
+
+
+def test_batcher_warmup_compiles_all_buckets():
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "4", "--linger-ms", "0"])
+    batcher = _Batcher(args)
+    z = np.zeros((16, 32), np.float32)
+    batcher.warmup(z, z)
+    assert batcher.batches == 0 and batcher.batched_frames == 0
+    assert set(batcher._fns) == {(False, False)}
+    # a real request afterwards still works and counts
+    out = batcher.estimate(z, z, refine=False)
+    assert np.asarray(out).shape == z.shape
+    assert batcher.batched_frames == 1
+
+
 def test_batcher_pyramid_mode_matches_pyramid_pipeline():
     from stereomatch_tpu.cli.serve import _Batcher, build_parser
     from stereomatch_tpu.pyramid import PyramidPipeline
