@@ -288,11 +288,13 @@ class _Batcher:
                     speckle=speckle, speckle_fill="background")
             self._fns[refine, speckle] = (jax.jit(
                 lambda l, r: _narrow_for_fetch(
-                    lax.map(lambda p: frame_fn(*p), (l, r)),
+                    lax.map(lambda p: frame_fn(*p),
+                            (l.astype(jnp.float32), r.astype(jnp.float32))),
                     a.max_disparity)), 1)
         return self._fns[refine, speckle]
 
     def _run(self, group):
+        import jax
         import numpy as np
         try:
             n = len(group)
@@ -304,8 +306,11 @@ class _Batcher:
             lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
             rights = ([j.right for j in group]
                       + [group[-1].right] * (padded - n))
+            # Upload in the request dtype (uint8 frames: 4x fewer bytes
+            # over the transport) and widen on device inside the program.
             out = np.asarray(_narrow_for_fetch(
-                fn(np.stack(lefts), np.stack(rights)),
+                fn(jax.device_put(np.stack(lefts)),
+                   jax.device_put(np.stack(rights))),
                 self.args.max_disparity))
             for job, disp in zip(group, out):
                 job.result = disp
@@ -367,6 +372,12 @@ class _State:
                 with self.lock:
                     self.frames += 1
             return out
+        import jax
+        import jax.numpy as jnp
+        # Upload in the request dtype (uint8: 4x fewer transport bytes),
+        # widen to float32 on device — exact for 8-bit values.
+        left = jax.device_put(left).astype(jnp.float32)
+        right = jax.device_put(right).astype(jnp.float32)
         with self.lock:
             if refine:
                 out = self.pipeline.estimate_refined(left, right)
@@ -447,7 +458,11 @@ def _make_handler(state: _State):
                 from PIL import Image
                 from ..io.capture import split_side_by_side
                 img = Image.open(io.BytesIO(self.rfile.read(length)))
-                gray = np.asarray(img.convert("L"), np.float32)
+                # Keep uint8 across the host->device upload (4x fewer
+                # bytes on bandwidth-bound transports); the compiled
+                # programs widen to float32 on device, which is exact
+                # for 8-bit values.
+                gray = np.asarray(img.convert("L"), np.uint8)
                 pair = split_side_by_side(gray)
                 left, right = np.asarray(pair.left), np.asarray(pair.right)
             except Exception as exc:     # noqa: BLE001 — client fault
@@ -474,7 +489,10 @@ def make_server(args) -> ThreadingHTTPServer:
     if args.warmup:
         import numpy as np
         h, w = (int(v) for v in args.warmup.split("x"))
-        z = np.zeros((h, w), np.float32)
+        # uint8, matching live request traffic (the handler uploads the
+        # decoded 8-bit frames as-is), so the warm programs are the ones
+        # requests actually hit.
+        z = np.zeros((h, w), np.uint8)
         if state.batcher is not None:
             # Compile every padded batch size (1, 2, ..., max_batch) up
             # front, so no live batch pays a compile.
