@@ -203,9 +203,14 @@ class StreamingEstimator:
 
         Returns without blocking: XLA queues the work, so callers can feed
         the next batch while this one computes.
+
+        Frames upload in their storage dtype and widen to float32 on
+        device — for the common uint8 video frames that is 4x fewer
+        host->device bytes (exact: 8/16-bit integers are representable
+        in float32), which matters on bandwidth-bound PJRT transports.
         """
-        return self._fn(jnp.asarray(left, jnp.float32),
-                        jnp.asarray(right, jnp.float32))
+        return self._fn(jnp.asarray(left).astype(jnp.float32),
+                        jnp.asarray(right).astype(jnp.float32))
 
     def run(self, capture, max_frames: Optional[int] = None
             ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -43,6 +43,22 @@ def test_stream_counts_and_consistency(y4m_stream):
         np.testing.assert_array_equal(disp, outs[0][1])
 
 
+def test_estimate_batch_uint8_equals_float32():
+    """uint8 frame stacks upload narrow and widen on device — results
+    must bit-match float32 uploads of the same integer values."""
+    est = StreamingEstimator(D, batch=2, kernel_size=3,
+                             aggregation="sgm", reducer="wta")
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=9)
+    l8 = (left * 255).astype(np.uint8)
+    r8 = (right * 255).astype(np.uint8)
+    a = np.asarray(est.estimate_batch(np.stack([l8] * 2),
+                                      np.stack([r8] * 2)))
+    b = np.asarray(est.estimate_batch(
+        np.stack([l8.astype(np.float32)] * 2),
+        np.stack([r8.astype(np.float32)] * 2)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_stream_matches_single_frame_pipeline(y4m_stream):
     """Batched streaming output equals the unbatched jitted pipeline on the
     same (uint8-quantized) frames."""
