@@ -510,6 +510,15 @@ def main(argv=None) -> int:
     server = make_server(args)
     print(f"stm-serve listening on http://{args.host}:{server.server_port} "
           f"(D={args.max_disparity})", file=sys.stderr)
+
+    # Orchestrators stop containers with SIGTERM: treat it like Ctrl-C so
+    # in-flight handlers finish and the socket closes cleanly.
+    import signal
+
+    def _terminate(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _terminate)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

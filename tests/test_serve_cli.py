@@ -100,6 +100,26 @@ def test_estimate_rejects_garbage(server):
         assert "error" in json.loads(err.read())
 
 
+def test_sigterm_clean_exit(tmp_path):
+    """SIGTERM must exit 0 after closing the socket (container stop)."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from stereomatch_tpu.cli.serve import main;"
+         f"main(['{D}', '--port', '0', '--backend', 'xla'])"],
+        stderr=subprocess.PIPE, text=True)
+    # Wait for the listening banner so the server loop is running.
+    line = proc.stderr.readline()
+    assert "listening" in line, line
+    proc.send_signal(signal.SIGTERM)
+    assert proc.wait(timeout=60) == 0
+
+
 def test_unknown_path_404(server):
     try:
         urllib.request.urlopen(f"{server}/nope")
