@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "rows across the tile axis (the stm-video "
                              "--mesh program behind the HTTP face; "
                              "implies request batching).")
+    parser.add_argument("--request-timeout-s", type=float, default=600.0,
+                        help="With batching: how long a request waits on "
+                             "the device worker before failing with 500 "
+                             "(a hung transport must not pile up handler "
+                             "threads forever).")
     return parser
 
 
@@ -209,7 +214,13 @@ class _Batcher:
     def estimate(self, left, right, refine: bool, speckle: bool = False):
         job = _Job(left, right, refine, speckle)
         self.queue.put(job)
-        job.done.wait()
+        if not job.done.wait(timeout=self.args.request_timeout_s):
+            # The worker may still complete the job later; this request
+            # just stops waiting (hung transports must not accumulate
+            # blocked handler threads).
+            raise RuntimeError(
+                f"device work did not complete within "
+                f"{self.args.request_timeout_s:g}s")
         if job.error is not None:
             raise job.error
         return job.result

@@ -218,6 +218,31 @@ def test_batcher_warmup_compiles_all_buckets():
     assert batcher.batched_frames == 1
 
 
+def test_batcher_request_timeout():
+    """A hung device worker must fail the request, not block forever."""
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "2",
+         "--request-timeout-s", "0.2", "--linger-ms", "0"])
+    batcher = _Batcher(args)
+
+    # Stall the worker with a job whose _fn blocks.
+    import time as _time
+    blocker = threading.Event()
+
+    def hang(job):
+        blocker.wait(10)
+        raise RuntimeError("unblocked")
+
+    batcher._fn = hang
+    left = np.zeros((8, 12), np.float32)
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError, match="did not complete"):
+        batcher.estimate(left, left, refine=False)
+    assert _time.monotonic() - t0 < 5
+    blocker.set()
+
+
 def test_batcher_pyramid_mode_matches_pyramid_pipeline():
     from stereomatch_tpu.cli.serve import _Batcher, build_parser
     from stereomatch_tpu.pyramid import PyramidPipeline
