@@ -374,6 +374,22 @@ class _State:
         self.pipeline = None if self.batcher else _build_pipeline(args)
         self.frames = 0
         self.lock = threading.Lock()
+        self._latencies = []            # rolling window, seconds
+
+    def record_latency(self, seconds: float, keep: int = 512):
+        with self.lock:
+            self._latencies.append(seconds)
+            if len(self._latencies) > keep:
+                del self._latencies[:-keep]
+
+    def latency_stats(self):
+        with self.lock:
+            lat = sorted(self._latencies)
+        if not lat:
+            return None
+        return {"window": len(lat),
+                "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+                "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 1)}
 
     def estimate(self, left, right, refine: bool, speckle: bool = False,
                  count: bool = True):
@@ -436,6 +452,9 @@ def _make_handler(state: _State):
                                     "mesh": a.mesh,
                                     "batches": b.batches,
                                     "batched_frames": b.batched_frames}
+            stats = state.latency_stats()
+            if stats is not None:
+                info["latency"] = stats
             self._reply(200, json.dumps(info).encode())
 
         # Drop handlers whose socket stalls instead of blocking the
@@ -480,9 +499,11 @@ def _make_handler(state: _State):
                 self._reply(400, json.dumps({"error": str(exc)}).encode())
                 return
             try:
+                t0 = time.perf_counter()
                 disp = np.asarray(state.estimate(left, right, refine,
                                                  speckle))
                 body, ctype = _encode(disp, fmt, state.args.max_disparity)
+                state.record_latency(time.perf_counter() - t0)
             except Exception as exc:     # noqa: BLE001 — server fault
                 self._reply(500, json.dumps({"error": str(exc)}).encode())
                 return

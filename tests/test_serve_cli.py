@@ -45,6 +45,18 @@ def test_healthz(server):
     assert info["config"] == "census-wta-sgm"
 
 
+def test_healthz_latency_window(server):
+    body, *_ = _sbs_png()
+    req = urllib.request.Request(f"{server}/estimate?format=npy", data=body)
+    with urllib.request.urlopen(req) as resp:
+        resp.read()
+    with urllib.request.urlopen(f"{server}/healthz") as resp:
+        info = json.loads(resp.read())
+    assert info["latency"]["window"] >= 1
+    assert info["latency"]["p50_ms"] > 0
+    assert info["latency"]["p95_ms"] >= info["latency"]["p50_ms"]
+
+
 def test_estimate_npy_matches_local_pipeline(server):
     from stereomatch_tpu.cli_common import create_pipeline
     body, left, right, _ = _sbs_png()
