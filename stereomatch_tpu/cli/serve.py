@@ -12,7 +12,9 @@ configuration.
 Protocol (stdlib-only on both ends):
 
 * ``POST /estimate`` — body: one side-by-side stereo image (left|right
-  halves, any PIL-readable format; the ``stm-video`` frame convention).
+  halves, any PIL-readable format, or a raw ``.npy`` ``[H, 2W]``
+  grayscale array for machine clients; the ``stm-video`` frame
+  convention).
   Query parameters: ``format=png16|png|pfm|npy`` (default ``png16``:
   uint16 grayscale disparities; ``png`` = colorized visualization;
   ``npy`` carries the smallest lossless dtype — uint8/uint16 for
@@ -176,7 +178,10 @@ class _Job:
 
     @property
     def key(self):
-        return (self.left.shape, self.refine, self.speckle)
+        # dtype is part of the key: npy requests may carry float frames
+        # and must not stack with (and promote) a uint8 batch.
+        return (self.left.shape, str(self.left.dtype),
+                self.refine, self.speckle)
 
 
 class _Batcher:
@@ -485,14 +490,24 @@ def _make_handler(state: _State):
                         f"Content-Length must be in (0, {self._MAX_BODY}]")
                 if fmt not in ("png16", "png", "pfm", "npy"):
                     raise ValueError(f"unknown format {fmt!r}")
-                from PIL import Image
                 from ..io.capture import split_side_by_side
-                img = Image.open(io.BytesIO(self.rfile.read(length)))
-                # Keep uint8 across the host->device upload (4x fewer
-                # bytes on bandwidth-bound transports); the compiled
-                # programs widen to float32 on device, which is exact
-                # for 8-bit values.
-                gray = np.asarray(img.convert("L"), np.uint8)
+                body = self.rfile.read(length)
+                if body[:6] == b"\x93NUMPY":
+                    # Raw .npy side-by-side grayscale [H, 2W] — machine
+                    # clients skip image encode/decode entirely.
+                    gray = np.load(io.BytesIO(body), allow_pickle=False)
+                    if gray.ndim != 2:
+                        raise ValueError(
+                            f"npy body must be [H, 2W] grayscale, got "
+                            f"shape {gray.shape}")
+                else:
+                    from PIL import Image
+                    img = Image.open(io.BytesIO(body))
+                    # Keep uint8 across the host->device upload (4x fewer
+                    # bytes on bandwidth-bound transports); the compiled
+                    # programs widen to float32 on device, which is exact
+                    # for 8-bit values.
+                    gray = np.asarray(img.convert("L"), np.uint8)
                 pair = split_side_by_side(gray)
                 left, right = np.asarray(pair.left), np.asarray(pair.right)
             except Exception as exc:     # noqa: BLE001 — client fault

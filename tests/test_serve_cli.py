@@ -85,6 +85,36 @@ def test_estimate_png16_and_refine(server):
     assert arr.max() < D
 
 
+def test_estimate_npy_input_body(server):
+    """Raw .npy [H, 2W] bodies skip image decode and give the same
+    answer as the PNG path for the same 8-bit values."""
+    png_body, left, right, _ = _sbs_png()
+    sbs = np.concatenate([(left * 255).astype(np.uint8),
+                          (right * 255).astype(np.uint8)], axis=1)
+    buf = io.BytesIO()
+    np.save(buf, sbs)
+    req = urllib.request.Request(f"{server}/estimate?format=npy",
+                                 data=buf.getvalue())
+    with urllib.request.urlopen(req) as resp:
+        via_npy = np.load(io.BytesIO(resp.read()))
+    req = urllib.request.Request(f"{server}/estimate?format=npy",
+                                 data=png_body)
+    with urllib.request.urlopen(req) as resp:
+        via_png = np.load(io.BytesIO(resp.read()))
+    np.testing.assert_array_equal(via_npy, via_png)
+
+
+def test_estimate_rejects_bad_npy_shape(server):
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((2, 3, 4), np.uint8))
+    req = urllib.request.Request(f"{server}/estimate", data=buf.getvalue())
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+
+
 def test_estimate_speckle_matches_local_filter(server):
     from stereomatch_tpu.cli_common import create_pipeline
     from stereomatch_tpu.ops.refine import filter_speckles
