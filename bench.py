@@ -70,7 +70,40 @@ def _timed_fetch(fn, left, right, n, repeats):
     return best
 
 
+def _wait_for_device(max_wait_s: float) -> None:
+    """Ride out transient relay outages before touching JAX here.
+
+    A failed axon init can be cached within a process, so the probe runs
+    in fresh subprocesses; only when one succeeds does this process
+    initialize its own backend.  Gives up (and lets the normal error
+    surface) after ``max_wait_s``.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300)
+            if probe.returncode == 0:
+                return
+            err = probe.stderr.decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            err = "device discovery timed out"
+        if time.monotonic() > deadline:
+            print(f"bench: device still unavailable after {max_wait_s:g}s "
+                  f"({err})", file=sys.stderr)
+            return
+        print(f"bench: device unavailable ({err}); retrying in 60s",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    import os
+
+    _wait_for_device(float(os.environ.get("STM_BENCH_WAIT_S", "1800")))
     import jax
 
     rng = np.random.default_rng(0)
