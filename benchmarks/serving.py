@@ -134,12 +134,16 @@ def main():
                         choices=("float32", "bfloat16"))
     parser.add_argument("--backend", default="auto",
                         choices=("auto", "pallas", "xla"))
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="stm-serve worker fetch/dispatch overlap "
+                             "(1 = synchronous, the pre-pipelining path)")
     parser.add_argument("--json", default=None)
     args = parser.parse_args()
 
     import jax
     device = jax.devices()[0].device_kind
-    extra = ["--dtype", args.dtype, "--backend", args.backend]
+    extra = ["--dtype", args.dtype, "--backend", args.backend,
+             "--pipeline-depth", str(args.pipeline_depth)]
 
     results = {}
     for batch in (int(b) for b in args.batches.split(",")):
@@ -150,7 +154,8 @@ def main():
 
     payload = {"device": device, "clients": args.clients,
                "frame": f"{HEIGHT}x{WIDTH}xD{MAX_DISPARITY}",
-               "config": f"census-wta-sgm {args.dtype}",
+               "config": f"census-wta-sgm {args.dtype} "
+                         f"depth{args.pipeline_depth}",
                "results": results}
     if args.json:
         with open(args.json, "w") as f:

@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "rows across the tile axis (the stm-video "
                              "--mesh program behind the HTTP face; "
                              "implies request batching).")
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        metavar="N",
+                        help="With batching: overlap the host fetch of a "
+                             "batch with dispatching the next, keeping up "
+                             "to N batches in flight (1 = synchronous). "
+                             "Identical results; hides the per-batch "
+                             "transport round trip under load.")
     parser.add_argument("--request-timeout-s", type=float, default=600.0,
                         help="With batching: how long a request waits on "
                              "the device worker before failing with 500 "
@@ -203,6 +210,17 @@ class _Batcher:
     .estimate_refined`` (its default flags) applies — and in-graph
     speckle suppression, so batched and unbatched responses are
     identical and a speckled request costs no extra device round trip.
+
+    With ``--pipeline-depth`` > 1 the host fetch moves to a completion
+    thread: the worker dispatches batch N (upload + queue the XLA
+    program — asynchronous) and immediately starts gathering batch N+1
+    while N's result crosses the transport.  On relay-style PJRT
+    transports each host round trip costs ~40 ms each way, so
+    overlapping fetch with the next upload/dispatch roughly doubles
+    saturated throughput.  A bounded hand-off queue (depth − 1 batches
+    beyond the one being fetched) backpressures the worker so device
+    memory stays bounded.  Results per key still complete in arrival
+    order — the hand-off queue is FIFO.
     """
 
     def __init__(self, args):
@@ -213,6 +231,11 @@ class _Batcher:
         self._fns = {}
         self.batches = 0
         self.batched_frames = 0
+        self.depth = max(getattr(args, "pipeline_depth", 1), 1)
+        if self.depth > 1:
+            self._inflight = queue.Queue(maxsize=self.depth - 1)
+            threading.Thread(target=self._completion_loop, daemon=True,
+                             name="stm-serve-completion").start()
         threading.Thread(target=self._loop, daemon=True,
                          name="stm-serve-batcher").start()
 
@@ -309,26 +332,35 @@ class _Batcher:
                     a.max_disparity)), 1)
         return self._fns[refine, speckle]
 
-    def _run(self, group):
+    def _dispatch(self, group):
+        """Upload + queue the batched program; returns the device result
+        without waiting for it (XLA computes while the caller moves on)."""
         import jax
         import numpy as np
+        n = len(group)
+        fn, multiple = self._fn(group[0])
+        # Next power of two, rounded up to the mesh batch-axis
+        # multiple (a no-op single-chip, where multiple == 1).
+        padded = 1 << (n - 1).bit_length()
+        padded = -(-padded // multiple) * multiple
+        lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
+        rights = ([j.right for j in group]
+                  + [group[-1].right] * (padded - n))
+        # Upload in the request dtype (uint8 frames: 4x fewer bytes
+        # over the transport) and widen to float32 inside the program.
+        return _narrow_for_fetch(
+            fn(jax.device_put(np.stack(lefts)),
+               jax.device_put(np.stack(rights))),
+            self.args.max_disparity)
+
+    def _finish(self, group, out):
+        """Fetch the batch result and release its waiting requests."""
+        import numpy as np
         try:
-            n = len(group)
-            fn, multiple = self._fn(group[0])
-            # Next power of two, rounded up to the mesh batch-axis
-            # multiple (a no-op single-chip, where multiple == 1).
-            padded = 1 << (n - 1).bit_length()
-            padded = -(-padded // multiple) * multiple
-            lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
-            rights = ([j.right for j in group]
-                      + [group[-1].right] * (padded - n))
-            # Upload in the request dtype (uint8 frames: 4x fewer bytes
-            # over the transport) and widen on device inside the program.
-            out = np.asarray(_narrow_for_fetch(
-                fn(jax.device_put(np.stack(lefts)),
-                   jax.device_put(np.stack(rights))),
-                self.args.max_disparity))
-            for job, disp in zip(group, out):
+            if isinstance(out, Exception):
+                raise out
+            host = np.asarray(out)
+            for job, disp in zip(group, host):
                 job.result = disp
         except Exception as exc:                  # noqa: BLE001 — fan out
             for job in group:
@@ -339,31 +371,59 @@ class _Batcher:
             for job in group:
                 job.done.set()
 
+    def _run(self, group):
+        """Synchronous dispatch + fetch (warmup and --pipeline-depth 1)."""
+        try:
+            out = self._dispatch(group)
+        except Exception as exc:                  # noqa: BLE001 — fan out
+            out = exc
+        self._finish(group, out)
+
+    def _completion_loop(self):
+        while True:
+            group, out = self._inflight.get()
+            self._finish(group, out)
+
+    def _gather(self, parked):
+        """Form the next batch: oldest request leads; same-key requests
+        join until the leader's linger deadline; others park."""
+        job = parked.pop(0) if parked else self.queue.get()
+        key = job.key
+        group = [job]
+        deadline = job.t0 + self.linger
+        while len(group) < self.max_batch:
+            i = next((k for k, p in enumerate(parked)
+                      if p.key == key), None)
+            if i is not None:
+                group.append(parked.pop(i))
+                continue
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self.queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt.key == key:
+                group.append(nxt)
+            else:
+                parked.append(nxt)
+        return group
+
     def _loop(self):
         parked = []
         while True:
-            job = parked.pop(0) if parked else self.queue.get()
-            key = job.key
-            group = [job]
-            deadline = job.t0 + self.linger
-            while len(group) < self.max_batch:
-                i = next((k for k, p in enumerate(parked)
-                          if p.key == key), None)
-                if i is not None:
-                    group.append(parked.pop(i))
-                    continue
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self.queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if nxt.key == key:
-                    group.append(nxt)
-                else:
-                    parked.append(nxt)
-            self._run(group)
+            group = self._gather(parked)
+            if self.depth <= 1:
+                self._run(group)
+                continue
+            try:
+                out = self._dispatch(group)
+            except Exception as exc:              # noqa: BLE001 — fan out
+                out = exc
+            # Blocks when depth - 1 batches are already in flight:
+            # backpressure bounds device-resident batches.
+            self._inflight.put((group, out))
 
 
 class _State:

@@ -373,3 +373,62 @@ def test_batched_refine_matches_estimate_refined(batch_server):
     with urllib.request.urlopen(req, timeout=120) as resp:
         disp = np.load(io.BytesIO(resp.read()))
     np.testing.assert_array_equal(disp, expected)
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+def test_batcher_pipeline_depths_match(depth):
+    """--pipeline-depth 1 (synchronous worker) and > 2 (deeper in-flight
+    window) both serve a stream of sequential-and-concurrent requests
+    with answers identical to the local pipeline; the bounded hand-off
+    must not drop, reorder, or deadlock batches."""
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    from stereomatch_tpu.cli_common import create_pipeline
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "2", "--linger-ms", "20",
+         "--pipeline-depth", str(depth)])
+    batcher = _Batcher(args)
+    left, right, _ = synthetic_stereo_pair(24, 40, D, seed=5)
+    left, right = left.astype(np.float32), right.astype(np.float32)
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
+                           backend="xla")
+    expected = np.asarray(pipe.estimate(left, right))
+
+    n = 9   # odd: forces a mix of full and short batches
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def client(i):
+        barrier.wait()
+        results[i] = np.asarray(batcher.estimate(left, right, refine=False))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(n):
+        assert results[i] is not None, f"request {i} unserved"
+        np.testing.assert_array_equal(results[i], expected)
+    assert batcher.batched_frames == n
+
+
+def test_batcher_pipelined_dispatch_error_fans_out():
+    """An exception raised at dispatch time (before the device program
+    runs) must fail every request of that batch, not hang the worker —
+    and the worker must keep serving afterwards."""
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "2", "--linger-ms", "10"])
+    batcher = _Batcher(args)
+    left, right, _ = synthetic_stereo_pair(24, 40, D, seed=6)
+    left, right = left.astype(np.float32), right.astype(np.float32)
+
+    boom = RuntimeError("dispatch boom")
+    real_fn = batcher._fn
+    batcher._fn = lambda job: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="dispatch boom"):
+        batcher.estimate(left, right, refine=False)
+
+    batcher._fn = real_fn
+    out = np.asarray(batcher.estimate(left, right, refine=False))
+    assert out.shape == left.shape
