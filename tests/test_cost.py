@@ -112,7 +112,8 @@ def test_sad_int32_uint8_exact(stereo_pair_small):
                                      cost_dtype=np.int32))
     want = sad_oracle(left8.astype(np.float32), right8.astype(np.float32), 8)
     expected = np.where(np.isinf(want), np.iinfo(np.int32).max,
-                        want.astype(np.int64)).astype(np.int64)
+                        np.nan_to_num(want, posinf=0)
+                        .astype(np.int64)).astype(np.int64)
     np.testing.assert_array_equal(got.astype(np.int64), expected)
 
 
