@@ -92,8 +92,15 @@ def parse_configs(spec):
             raise ValueError(f"Unknown config modifiers: {sorted(bad)}")
         mods = frozenset(mods)
         parts = head.split(":")
-        if len(parts) == 1 and parts[0].startswith("pyramid"):
+        if parts[0].startswith("pyramid"):
             # coarse-to-fine mode: "pyramid", "pyramid1", "pyramid2", ...
+            # It names a whole pipeline, so trailing :parts are a
+            # malformed spec, not a cost method — fail here, not with a
+            # KeyError deep inside the run.
+            if len(parts) != 1:
+                raise ValueError(
+                    f"Bad config spec: {item!r} (pyramidN takes no "
+                    f":cost/:disp parts)")
             int(parts[0][len("pyramid"):] or "1")   # validate early
             configs.append((parts[0], None, None, mods))
         elif len(parts) == 2:

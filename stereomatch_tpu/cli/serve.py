@@ -325,11 +325,12 @@ class _Batcher:
                     a.p1, a.p2, a.backend, dtype,
                     median=refine, subpixel=refine,
                     speckle=speckle, speckle_fill="background")
+            # Transport narrowing happens once, in _dispatch, for both
+            # the single-chip and mesh paths.
             self._fns[refine, speckle] = (jax.jit(
-                lambda l, r: _narrow_for_fetch(
-                    lax.map(lambda p: frame_fn(*p),
-                            (l.astype(jnp.float32), r.astype(jnp.float32))),
-                    a.max_disparity)), 1)
+                lambda l, r: lax.map(lambda p: frame_fn(*p),
+                                     (l.astype(jnp.float32),
+                                      r.astype(jnp.float32)))), 1)
         return self._fns[refine, speckle]
 
     def _dispatch(self, group):
@@ -386,7 +387,14 @@ class _Batcher:
 
     def _gather(self, parked):
         """Form the next batch: oldest request leads; same-key requests
-        join until the leader's linger deadline; others park."""
+        join until the leader's linger deadline; others park.
+
+        Past the deadline the queue is still drained non-blocking: under
+        sustained load companions arrive while the previous batch
+        computes, so by the time a backlogged leader is pulled its linger
+        window has usually already expired — without the drain every
+        batch would degenerate to size 1 exactly in the overload regime
+        batching exists for."""
         job = parked.pop(0) if parked else self.queue.get()
         key = job.key
         group = [job]
@@ -398,10 +406,9 @@ class _Batcher:
                 group.append(parked.pop(i))
                 continue
             remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
             try:
-                nxt = self.queue.get(timeout=remaining)
+                nxt = (self.queue.get_nowait() if remaining <= 0
+                       else self.queue.get(timeout=remaining))
             except queue.Empty:
                 break
             if nxt.key == key:
@@ -570,6 +577,18 @@ def _make_handler(state: _State):
                     gray = np.asarray(img.convert("L"), np.uint8)
                 pair = split_side_by_side(gray)
                 left, right = np.asarray(pair.left), np.asarray(pair.right)
+                a = state.args
+                if a.mesh and a.pyramid:
+                    # The sharded pyramid cannot edge-pad inside
+                    # shard_map; reject cleanly instead of surfacing an
+                    # XLA reshape error as a 500 (mirrors the stm-video
+                    # --mesh --pyramid guard).
+                    scale = 2 ** a.pyramid
+                    h, w = left.shape
+                    if h % scale or w % scale:
+                        raise ValueError(
+                            f"--mesh --pyramid {a.pyramid} needs frame "
+                            f"sides divisible by {scale}; got {h}x{w}")
             except Exception as exc:     # noqa: BLE001 — client fault
                 self._reply(400, json.dumps({"error": str(exc)}).encode())
                 return
@@ -600,13 +619,24 @@ def make_server(args) -> ThreadingHTTPServer:
         # decoded 8-bit frames as-is), so the warm programs are the ones
         # requests actually hit.
         z = np.zeros((h, w), np.uint8)
-        if state.batcher is not None:
-            # Compile every padded batch size (1, 2, ..., max_batch) up
-            # front, so no live batch pays a compile.
-            state.batcher.warmup(z, z)
-        else:
-            state.estimate(z, z, refine=False, count=False)
-    return ThreadingHTTPServer((args.host, args.port), _make_handler(state))
+        # Every (refine, speckle) flag combination is a distinct XLA
+        # program; a live request must never be the first to compile one
+        # (minutes on remote-compile relays).
+        for refine in (False, True):
+            for speckle in (False, True):
+                if state.batcher is not None:
+                    # Compile every padded batch size (1, 2, ...,
+                    # max_batch) up front, so no live batch pays a
+                    # compile.
+                    state.batcher.warmup(z, z, refine=refine,
+                                         speckle=speckle)
+                else:
+                    state.estimate(z, z, refine=refine, speckle=speckle,
+                                   count=False)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 _make_handler(state))
+    server.stm_state = state            # introspection / test seam
+    return server
 
 
 def main(argv=None) -> int:

@@ -21,8 +21,11 @@ fraction of poor winners exceeds ``drift_threshold`` — a scene cut makes
 that fraction jump an order of magnitude (tests/test_temporal.py) — or
 every ``keyframe_interval`` frames as a hard bound on error accumulation.
 
-The drift statistic rides back with the disparity fetch the caller
-already performs per frame; it adds no extra device round trip.
+The drift statistic costs no extra device *compute* (it is a reduction
+over the band scores the tracker already produced), and its host read is
+overlapped with the disparity transfer the caller performs anyway
+(``copy_to_host_async`` on both results), so a tracked frame pays one
+transport window, not two.
 """
 
 from __future__ import annotations
@@ -182,6 +185,17 @@ class TemporalPipeline:
             due = True                     # geometry changed mid-stream
         if not due:
             disp, poor_frac = self._track_fn(left, right, self._prev)
+            # The drift decision needs the scalar on the host, so one
+            # device round trip per tracked frame is inherent — but the
+            # caller's own disparity fetch must not become a second,
+            # serialized one.  Start both host copies now: they share
+            # the same transport window, and the caller's np.asarray
+            # finds the disparity already (mostly) landed.
+            for arr in (disp, poor_frac):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    break
             if float(np.max(np.asarray(poor_frac))) > self.drift_threshold:
                 self.drift_keyframes += 1
                 due = True

@@ -163,6 +163,10 @@ def test_parse_configs_modifier_suffixes():
     ]
     with _pytest.raises(ValueError):
         parse_configs("ssd:wta+bogus")
+    # pyramidN names a whole pipeline: trailing :parts must fail as a
+    # bad spec, not slip through as a cost method named "pyramid1".
+    with _pytest.raises(ValueError, match="Bad config spec"):
+        parse_configs("pyramid1:wta")
 
 
 def test_eval_refined_config_runs(capsys):

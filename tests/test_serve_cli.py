@@ -432,3 +432,77 @@ def test_batcher_pipelined_dispatch_error_fans_out():
     batcher._fn = real_fn
     out = np.asarray(batcher.estimate(left, right, refine=False))
     assert out.shape == left.shape
+
+
+def test_batcher_coalesces_backlog_past_linger():
+    """Requests that piled up while a previous batch computed must still
+    coalesce even though the new leader's linger window has already
+    expired (linger 0 here) — the overload regime batching exists for."""
+    from stereomatch_tpu.cli.serve import _Batcher, build_parser
+    args = build_parser().parse_args(
+        [str(D), "--backend", "xla", "--batch", "4", "--linger-ms", "0"])
+    batcher = _Batcher(args)
+    left, right, _ = synthetic_stereo_pair(24, 40, D, seed=8)
+    left, right = left.astype(np.float32), right.astype(np.float32)
+
+    n = 8
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def client(i):
+        barrier.wait()
+        results[i] = np.asarray(batcher.estimate(left, right, refine=False))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(r is not None for r in results)
+    assert batcher.batched_frames == n
+    # The first request may run alone, but everything enqueued during
+    # its (slow, compiling) batch must coalesce afterwards.
+    assert batcher.batches < n, \
+        "zero-linger backlog was served one request per batch"
+
+
+def test_warmup_compiles_every_flag_combo():
+    """--warmup must pre-compile all four (refine, speckle) programs —
+    a live request must never be the first to compile one."""
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla", "--batch", "2",
+         "--warmup", "24x40"])
+    srv = make_server(args)
+    try:
+        fns = srv.stm_state.batcher._fns
+        assert set(fns) == {(False, False), (False, True),
+                            (True, False), (True, True)}
+    finally:
+        srv.server_close()
+
+
+def test_mesh_pyramid_rejects_indivisible_frames():
+    """--mesh --pyramid: a frame whose sides don't divide by 2**levels
+    must fail as a clean 400 client error, not an XLA reshape 500."""
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla", "--batch", "2",
+         "--mesh", "--pyramid", "2", "--linger-ms", "0"])
+    srv = make_server(args)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from PIL import Image
+        sbs = np.zeros((30, 68), np.uint8)     # 30 % 4 != 0, 34 % 4 != 0
+        buf = io.BytesIO()
+        Image.fromarray(sbs).save(buf, "PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/estimate?format=npy",
+            data=buf.getvalue())
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=120)
+        assert err.value.code == 400
+        assert "divisible" in json.loads(err.value.read())["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
