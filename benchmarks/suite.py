@@ -64,6 +64,10 @@ def _traffic_models():
         "zncc_cost_512x256_d32": 7 * v1,
         # SGM: read the cost volume + write the aggregated volume
         "sgm_450x375_d128": 2 * v2,
+        # cvf (guided cost-volume filtering): same minimum — read + write
+        # the volume (the implementation's intermediate box-filter planes
+        # are what %SoL charges it for, exactly like SGM's 4 passes)
+        "cvf_450x375_d128": 2 * v2,
         # reducers: read the volume, write [H, W] int32 (~1/D of it)
         "wta_450x375_d128": v2,
         "argmin_baseline_450x375_d128": v2,
@@ -77,6 +81,7 @@ def _traffic_models():
         "pipeline_hd_bf16_1024x1280_d256": 2 * v3,
         "pipeline_census_teddy_450x375_d128": 4 * v2,
         "pipeline_census_bf16_teddy_d128": 2 * v2,
+        "pipeline_census_cvf_teddy_d128": 4 * v2,
         # + one more bf16 volume read (0.5 * v2 under this file's
         # f32-volume unit) for the sub-pixel one-hot sweep
         "pipeline_census_bf16_refined_teddy": 5 * v2 // 2,
@@ -144,6 +149,7 @@ def build_benchmarks():
                                           census_hamming_cost_volume,
                                           sad_cost_volume, ssd_cost_volume,
                                           zncc_cost_volume)
+    from stereomatch_tpu.ops.cvf import guided_filter_aggregate
     from stereomatch_tpu.ops.disparity import (dynamic_programming,
                                                winner_takes_all)
     from stereomatch_tpu.ops.dp_pallas import dynamic_programming_pallas
@@ -208,6 +214,8 @@ def build_benchmarks():
         return body, (vol2, l2)
 
     benches["sgm_450x375_d128"] = vol_bench(lambda v, img: aggregate(v, img))
+    benches["cvf_450x375_d128"] = vol_bench(
+        lambda v, img: guided_filter_aggregate(v, img))
     benches["wta_450x375_d128"] = vol_bench(
         lambda v, img: winner_takes_all(v))
     benches["argmin_baseline_450x375_d128"] = vol_bench(
@@ -257,6 +265,17 @@ def build_benchmarks():
 
     benches["pipeline_census_bf16_teddy_d128"] = (pipe_census_bf16_body,
                                                   (l2, r2))
+
+    # Census + guided cost-volume filtering + WTA: the scan-free
+    # low-latency aggregation config (no SGM recurrence at all).
+    def pipe_census_cvf_body(carry):
+        l, r = carry
+        vol = census_hamming_cost_volume(l, r, max_disparity=d2)
+        disp = winner_takes_all(guided_filter_aggregate(vol, l))
+        return feedback(l, disp), r
+
+    benches["pipeline_census_cvf_teddy_d128"] = (pipe_census_cvf_body,
+                                                 (l2, r2))
 
     # The full production config: census bf16 volume + 8-path SGM + WTA
     # + 3x3 median + in one-hot sub-pixel (float32 output) — what

@@ -8,6 +8,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .ops.aggregation import semiglobal_aggregate
+from .ops.cvf import guided_filter_aggregate
 from .ops.sgm_pallas import semiglobal_aggregate_pallas
 from .utils import validation
 from .utils.backend import resolve_backend
@@ -60,3 +61,56 @@ class Semiglobal:
         return semiglobal_aggregate(cost_volume, left_image,
                                     penalty1=float(self.penalty1),
                                     penalty2=float(self.penalty2))
+
+
+class CostFilter:
+    """Guided-filter cost-volume aggregation (Hosni et al., PAMI 2013).
+
+    Edge-aware *local* smoothing of every disparity slice with the left
+    image as the filtering guide — the scan-free alternative to
+    :class:`Semiglobal` (beyond the reference's aggregation surface,
+    which is SGM only, stereomatch/aggregation.py:12-57).  Pure box
+    filters and elementwise algebra: no sequential recurrence, so it is
+    the low-latency aggregation and shards over image tiles with plain
+    halos (see ops/cvf.py for the semantics, including +inf-invalid
+    handling and bf16 storage).
+
+    ``penalty1``/``penalty2``/``backend`` are accepted so the class is
+    registry-compatible with :class:`Semiglobal` (cli_common.py factory)
+    but do not apply: the method has no disparity-jump penalties, and
+    its box filters are a single XLA formulation (already at the memory
+    floor — no Pallas variant exists to select).
+    """
+
+    def __init__(self, radius: int = 8, eps: float = 1e-4,
+                 penalty1: float = None, penalty2: float = None,
+                 backend: str = "auto"):
+        """
+        Args:
+            radius: box window half-size (support (2*radius+1)^2; the
+              second filter stage doubles the effective reach).
+            eps: edge-stop regularizer in image-intensity^2 units —
+              larger smooths across weaker image edges.
+            penalty1/penalty2/backend: ignored (registry compatibility).
+        """
+        del penalty1, penalty2, backend
+        self.radius = radius
+        self.eps = eps
+
+    def __call__(self, cost_volume, left_image,
+                 sga_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cost_volume = jnp.asarray(cost_volume)
+        left_image = jnp.asarray(left_image)
+        validation.check_cost_volume(cost_volume)
+        validation.check_rank("left_image", left_image, 2)
+        if cost_volume.shape[:2] != left_image.shape:
+            raise validation.ShapeError(
+                f"cost_volume spatial dims {cost_volume.shape[:2]} do not "
+                f"match left_image {left_image.shape}")
+        if not jnp.issubdtype(cost_volume.dtype, jnp.floating):
+            raise validation.DTypeError(
+                "cost-volume filtering computes windowed means, a float "
+                f"quantity; got cost volume dtype {cost_volume.dtype}")
+        return guided_filter_aggregate(cost_volume, left_image,
+                                       radius=int(self.radius),
+                                       eps=float(self.eps))

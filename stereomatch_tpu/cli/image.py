@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--p2", type=float, default=0.2,
                         help="SGM base penalty for larger jumps "
                              "(adaptively scaled by image gradient).")
+    parser.add_argument("--cvf-radius", type=int, default=8,
+                        help="-am cvf: box window half-size (use smaller "
+                             "radii on small images).")
+    parser.add_argument("--cvf-eps", type=float, default=1e-4,
+                        help="-am cvf: edge-stop regularizer in "
+                             "intensity^2 units; larger smooths across "
+                             "weaker image edges.")
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto",
                         help="Kernel backend for SGM/DP stages.")
@@ -137,6 +144,8 @@ def main(argv=None) -> int:
                                    args.aggregation_method,
                                    max_disparity=args.max_disparity,
                                    penalty1=args.p1, penalty2=args.p2,
+                                   cvf_radius=args.cvf_radius,
+                                   cvf_eps=args.cvf_eps,
                                    backend=args.backend,
                                    volume_dtype=args.dtype)
 

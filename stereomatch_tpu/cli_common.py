@@ -5,7 +5,7 @@ Mirrors the reference (stereomatch/cli_common.py:9-52).
 
 from __future__ import annotations
 
-from .aggregation import Semiglobal
+from .aggregation import CostFilter, Semiglobal
 from .cost import NCC, SAD, SSD, Birchfield, Census, SSDTexture
 from .disparity_reduce import DynamicProgramming, WinnerTakesAll
 from .pipeline import Pipeline
@@ -21,6 +21,8 @@ COST_METHODS = {
 
 AGGREGATION_METHODS = {
     "sgm": Semiglobal,
+    "cvf": CostFilter,              # beyond the reference's aggregation
+                                    # surface (guided cost-volume filtering)
 }
 
 DISPARITY_METHODS = {
@@ -43,6 +45,7 @@ def create_pipeline(cost_method: str, disp_method: str,
                     aggr_method: str = None,
                     max_disparity: int = 32,
                     penalty1: float = 0.1, penalty2: float = 0.2,
+                    cvf_radius: int = 8, cvf_eps: float = 1e-4,
                     backend: str = "auto",
                     volume_dtype: str = "float32") -> Pipeline:
     """Create a pipeline from method names.
@@ -51,7 +54,8 @@ def create_pipeline(cost_method: str, disp_method: str,
     ``list(DISPARITY_METHODS)``; aggregation methods:
     ``list(AGGREGATION_METHODS)`` (or None).
 
-    ``penalty1``/``penalty2`` configure SGM (ignored without aggregation);
+    ``penalty1``/``penalty2`` configure SGM and ``cvf_radius``/``cvf_eps``
+    configure cvf (each ignored by the other methods);
     ``backend`` selects pallas/xla kernels for the stages that have both
     (see utils.backend.resolve_backend); ``volume_dtype`` is the cost
     volume's storage dtype — "bfloat16" halves the HBM traffic of every
@@ -64,13 +68,17 @@ def create_pipeline(cost_method: str, disp_method: str,
         raise ValueError(f"unknown volume_dtype {volume_dtype!r}; "
                          f"expected one of {VOLUME_DTYPES}")
     if volume_dtype == "int32" and aggr_method is not None:
-        raise ValueError("int32 cost volumes do not support SGM "
-                         "aggregation (its adaptive P2 is a float "
-                         "quantity, semiglobal.cpp:137-138)")
+        raise ValueError("int32 cost volumes do not support aggregation "
+                         "(SGM's adaptive P2, semiglobal.cpp:137-138, and "
+                         "cvf's windowed means are float quantities)")
     aggregation_cls = AGGREGATION_METHODS.get(aggr_method, None)
-    aggregation = (aggregation_cls(penalty1=penalty1, penalty2=penalty2,
-                                   backend=backend)
-                   if aggregation_cls is not None else None)
+    if aggregation_cls is CostFilter:
+        aggregation = CostFilter(radius=cvf_radius, eps=cvf_eps)
+    elif aggregation_cls is not None:
+        aggregation = aggregation_cls(penalty1=penalty1, penalty2=penalty2,
+                                      backend=backend)
+    else:
+        aggregation = None
 
     disparity_cls = DISPARITY_METHODS[disp_method]
     disparity = (disparity_cls(backend=backend)

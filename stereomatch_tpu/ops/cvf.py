@@ -1,0 +1,176 @@
+"""Guided-filter cost-volume aggregation (functional, jittable).
+
+A second aggregation family alongside SGM: edge-aware *local* smoothing
+of the cost volume by guided image filtering (He et al. 2010), applied
+per disparity slice with the left image as the guide — the "cost volume
+filtering" method of Hosni et al. (PAMI 2013).  This has no analogue in
+the reference (its only aggregation is semiglobal,
+stereomatch/aggregation.py:12-57); it is beyond-parity capability.
+
+Why it earns its place on TPU: the whole method is box filters and
+elementwise algebra over the [H, W, D] volume — no sequential scans at
+all, so unlike SGM it has no recurrence to serialize, trivially
+vectorizes over the disparity lane axis, and shards over image tiles
+with plain halos (no carry hand-off, no direction families).  It is the
+low-latency quality/speed point between raw WTA and full SGM.
+
+Semantics:
+
+* Windows are symmetric ``(2r+1) x (2r+1)`` boxes, clipped at the image
+  border, every mean normalized by the count actually inside (the
+  published guided-filter convention; note this differs from the SSD
+  cost window, which mirrors the reference's half-open ``[i-k, i+k)``).
+* Non-finite cost entries (the ``+inf`` fill of the ``d > column``
+  wedge, ssd.cu:58-60) are excluded from every window statistic via a
+  validity mask and restored as ``+inf`` in the output, so downstream
+  WTA/DP see the same invalid-disparity contract as with SGM.  On an
+  all-finite volume the masked form reduces exactly to the standard
+  guided filter (``assume_finite=True`` skips the mask work — correct
+  for census/Birchfield volumes, which have no infinite entries).
+* Storage dtype is preserved: bfloat16 volumes stream in/out as bf16
+  while all statistics are computed in float32 (the repo-wide
+  widen-on-load discipline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _box_sum_sym(x: jnp.ndarray, radius: int, axes=(0, 1)) -> jnp.ndarray:
+    """Separable clipped box sum over a symmetric (2r+1) window.
+
+    Out-of-image taps contribute zero (additive identity), which is the
+    window-clipping semantic once sums are normalized by the in-image
+    tap count.
+    """
+    for ax in axes:
+        window = [1] * x.ndim
+        padding = [(0, 0)] * x.ndim
+        window[ax] = 2 * radius + 1
+        padding[ax] = (radius, radius)
+        x = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
+                              window_dimensions=tuple(window),
+                              window_strides=(1,) * x.ndim,
+                              padding=tuple(padding))
+    return x
+
+
+def _filter_stats(p32, i32, radius, eps, assume_finite):
+    """First guided-filter stage: per-window linear model (a, b).
+
+    Returns (a, b, finite, box) where ``finite`` is the validity mask
+    (None when assume_finite) and ``box`` the normalizing box closure
+    reused by the second stage.
+    """
+    box = functools.partial(_box_sum_sym, radius=radius)
+    guide = i32[:, :, None]
+
+    if assume_finite:
+        finite = None
+        ones = jnp.ones(p32.shape[:2], jnp.float32)
+        count = box(ones)[:, :, None]                      # [H, W, 1]
+        mean_p = box(p32) / count
+        mean_i = (box(i32) / count[:, :, 0])[:, :, None]
+        corr_ip = box(guide * p32) / count
+        corr_ii = (box(i32 * i32) / count[:, :, 0])[:, :, None]
+    else:
+        finite = jnp.isfinite(p32)
+        valid = finite.astype(jnp.float32)                 # [H, W, D]
+        p0 = jnp.where(finite, p32, 0.0)
+        count = jnp.maximum(box(valid), 1.0)               # guard 0/0 —
+        # zero-valid windows exist only deep inside the invalid wedge,
+        # whose cells are restored to +inf below anyway.
+        mean_p = box(p0) / count
+        mean_i = box(guide * valid) / count
+        corr_ip = box(guide * p0) / count
+        corr_ii = box(guide * guide * valid) / count
+
+    var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
+    cov_ip = corr_ip - mean_i * mean_p
+    a = cov_ip / (var_i + jnp.float32(eps))
+    b = mean_p - a * mean_i
+    return a, b, finite, box
+
+
+def _filter_body(volume, guide, radius, eps, assume_finite):
+    p32 = volume.astype(jnp.float32)
+    i32 = guide.astype(jnp.float32)
+    a, b, finite, box = _filter_stats(p32, i32, radius, eps, assume_finite)
+
+    # Second stage: each output pixel averages the linear models of every
+    # window that contains it.  Under masking only windows centered at a
+    # valid cell contribute (their (a, b) describe real data); on finite
+    # volumes this is the plain box mean of the standard algorithm.
+    if finite is None:
+        count2 = box(jnp.ones(p32.shape[:2], jnp.float32))[:, :, None]
+        q = (box(a) / count2) * i32[:, :, None] + box(b) / count2
+    else:
+        valid = finite.astype(jnp.float32)
+        count2 = jnp.maximum(box(valid), 1.0)
+        q = ((box(a * valid) / count2) * i32[:, :, None]
+             + box(b * valid) / count2)
+        q = jnp.where(finite, q, jnp.float32(jnp.inf))
+    return q.astype(volume.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "eps", "assume_finite"))
+def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
+                            *, radius: int = 8, eps: float = 1e-4,
+                            assume_finite: bool = False) -> jnp.ndarray:
+    """Edge-aware local aggregation: guided-filter each disparity slice.
+
+    Args:
+        cost_volume: [H, W, D] matching costs (float32/bfloat16; +inf
+          marks invalid disparities and survives the filter).
+        guide: [H, W] left image (the edge structure the smoothing
+          respects — disparity boundaries in stereo follow image edges).
+        radius: window half-size; the smoothing support is
+          (2*radius+1)^2 (second stage doubles the effective reach).
+        eps: edge-stop regularizer — larger blurs across weaker edges
+          (the guided-filter epsilon; scale is image-intensity^2, so
+          1e-4 suits [0, 1]-normalized images).
+        assume_finite: skip the validity-mask plumbing (exact only when
+          the volume has no non-finite entries, e.g. census/Birchfield).
+    """
+    if cost_volume.ndim != 3:
+        raise ValueError(f"cost_volume must be [H, W, D], got "
+                         f"{cost_volume.shape}")
+    if guide.shape != cost_volume.shape[:2]:
+        raise ValueError(f"guide {guide.shape} does not match volume "
+                         f"spatial dims {cost_volume.shape[:2]}")
+    return _filter_body(cost_volume, guide, int(radius), float(eps),
+                        bool(assume_finite))
+
+
+def guided_filter_from_padded(volume_padded: jnp.ndarray,
+                              guide_padded: jnp.ndarray,
+                              pad_before: int, pad_after: int,
+                              *, radius: int = 8, eps: float = 1e-4,
+                              assume_finite: bool = False) -> jnp.ndarray:
+    """Row-sharded body: filter a tile carrying halo rows, crop the halo.
+
+    Both filter stages are box means, so the output at row y depends on
+    input rows [y - 2*radius, y + 2*radius]; with ``pad_*`` >= 2*radius
+    halo rows from the neighboring tiles (zero rows beyond the global
+    image edge, where windows clip anyway) the cropped interior is
+    bit-identical to the unsharded filter — this is what the sharded
+    parity tests assert.  Ragged halos (first/last tile) are fine: the
+    caller passes the rows that exist and the clipped-count
+    normalization handles the rest, PROVIDED out-of-image pad rows are
+    marked invalid.  With ``assume_finite`` there is no mask to mark
+    them with, so callers must pass exactly the existing rows
+    (pad_before = 0 on the first tile, etc.), which the halo helpers'
+    ring-end zero fill does not guarantee — the sharded layer therefore
+    always uses the masked path and poisons out-of-image halo rows to
+    +inf instead.
+    """
+    out = _filter_body(volume_padded, guide_padded, int(radius),
+                       float(eps), bool(assume_finite))
+    height = out.shape[0] - pad_before - pad_after
+    return lax.dynamic_slice_in_dim(out, pad_before, height, axis=0)

@@ -51,6 +51,7 @@ from ..ops.aggregation import sgm_scan_with_carry
 from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
                         sad_cost_from_padded, ssd_cost_from_padded,
                         zncc_cost_from_padded)
+from ..ops.cvf import guided_filter_from_padded
 from ..ops.disparity import dynamic_programming, winner_takes_all
 from ..ops.dp_pallas import dynamic_programming_pallas
 from ..ops import sgm_pallas
@@ -126,6 +127,38 @@ def _local_zncc(left, right, *, max_disparity, kernel_size, cost_dtype,
                            pad_after=k - 1, max_disparity=max_disparity,
                            kernel_size=kernel_size, cost_dtype=cost_dtype)
     return jax.vmap(lambda l, r: fn(l, r, row_valid=row_valid))(lpad, rpad)
+
+
+def _local_cvf(vol, guide, *, radius, eps, axis_name, n_tiles):
+    """Guided-filter aggregation under row sharding (ops/cvf.py).
+
+    Both filter stages are (2r+1) box means, so the output row depends on
+    input rows within ±2*radius: pull that many halo rows of the volume
+    and the guide, filter, crop.  Halo rows beyond the true image (the
+    ppermute zero fill at ranks 0 and n-1) are poisoned to +inf so the
+    filter's validity mask excludes them — zero is NOT the identity for
+    the window-count statistic (same trick as _local_zncc's row_valid).
+    Identity-zero summation order then matches the single-chip
+    reduce_window program, so the crop is bit-exact (asserted by
+    tests/test_cvf.py on the CPU mesh).
+    """
+    h = 2 * radius
+    h_local = guide.shape[1]
+    if h > h_local:
+        raise ValueError(
+            f"cvf radius {radius} needs {h} halo rows but tiles are only "
+            f"{h_local} rows tall; use fewer tiles or a smaller radius")
+    vpad = halo.pad_with_halos(vol, h, h, axis=1, axis_name=axis_name)
+    gpad = halo.pad_with_halos(guide, h, h, axis=1, axis_name=axis_name)
+    p = lax.axis_index(axis_name)
+    rows = lax.broadcasted_iota(jnp.int32, (h_local + 2 * h,), 0)
+    global_row = rows + p * h_local - h
+    oob = (global_row < 0) | (global_row >= n_tiles * h_local)
+    vpad = jnp.where(oob[None, :, None, None],
+                     jnp.asarray(jnp.inf, vpad.dtype), vpad)
+    fn = functools.partial(guided_filter_from_padded, pad_before=h,
+                           pad_after=h, radius=radius, eps=eps)
+    return jax.vmap(fn)(vpad, gpad)
 
 
 def _local_birchfield(left, right, *, max_disparity, kernel_size):
@@ -574,6 +607,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           aggregation: Optional[str] = "sgm",
                           reducer: str = "wta",
                           penalty1: float = 0.1, penalty2: float = 0.2,
+                          cvf_radius: int = 8, cvf_eps: float = 1e-4,
                           sgm_mode: str = "exact",
                           overlap: int = 64,
                           backend: str = "auto",
@@ -606,8 +640,12 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
         raise ValueError(f"unknown cost: {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer: {reducer!r}")
-    if aggregation not in (None, "sgm"):
+    if aggregation not in (None, "sgm", "cvf"):
         raise ValueError(f"unknown aggregation: {aggregation!r}")
+    if aggregation == "cvf" and not jnp.issubdtype(jnp.dtype(cost_dtype),
+                                                   jnp.floating):
+        raise ValueError("cvf aggregation computes windowed means, a float "
+                         f"quantity; got cost_dtype {cost_dtype}")
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     if cost == "census" and kernel_size != 1:
@@ -663,6 +701,9 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                                          axis_name=TILE_AXIS,
                                          n_tiles=n_tiles, mode=sgm_mode,
                                          overlap=overlap)
+        elif aggregation == "cvf":
+            vol = _local_cvf(vol, left, radius=cvf_radius, eps=cvf_eps,
+                             axis_name=TILE_AXIS, n_tiles=n_tiles)
         if reducer == "wta":
             return vol, jax.vmap(winner_takes_all.__wrapped__)(vol)
         if backend == "pallas":
@@ -731,6 +772,7 @@ class ShardedPipeline:
                  cost_dtype=jnp.float32, census_window: int = 5,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
+                 cvf_radius: int = 8, cvf_eps: float = 1e-4,
                  sgm_mode: str = "exact", overlap: int = 64,
                  backend: str = "auto",
                  median: bool = False, subpixel: bool = False,
@@ -745,7 +787,8 @@ class ShardedPipeline:
             kernel_size=kernel_size, cost_dtype=cost_dtype,
             census_window=census_window,
             aggregation=aggregation, reducer=reducer,
-            penalty1=penalty1, penalty2=penalty2, sgm_mode=sgm_mode,
+            penalty1=penalty1, penalty2=penalty2,
+            cvf_radius=cvf_radius, cvf_eps=cvf_eps, sgm_mode=sgm_mode,
             overlap=overlap, backend=backend, median=median,
             subpixel=subpixel, lr_check=lr_check, lr_max_diff=lr_max_diff,
             min_confidence=min_confidence, speckle=speckle,

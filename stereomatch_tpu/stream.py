@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.aggregation import semiglobal_aggregate
+from .ops.cvf import guided_filter_aggregate
 from .ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
                        sad_cost_volume, ssd_cost_volume, zncc_cost_volume)
 from .ops.disparity import dynamic_programming, winner_takes_all
@@ -50,6 +51,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     aggregation: Optional[str], reducer: str,
                     penalty1: float, penalty2: float,
                     backend: str = "auto", cost_dtype=jnp.float32,
+                    cvf_radius: int = 8, cvf_eps: float = 1e-4,
                     median: bool = False, subpixel: bool = False,
                     speckle: bool = False, speckle_fill: str = "zero"):
     if kernel_size is None:
@@ -99,6 +101,9 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
             agg = (semiglobal_aggregate_pallas if use_pallas
                    else semiglobal_aggregate)
             vol = agg(vol, left, penalty1=penalty1, penalty2=penalty2)
+        elif aggregation == "cvf":
+            vol = guided_filter_aggregate(vol, left, radius=cvf_radius,
+                                          eps=cvf_eps)
         elif aggregation is not None:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if reducer == "wta":
@@ -133,6 +138,7 @@ class StreamingEstimator:
                  cost_dtype=jnp.float32,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
+                 cvf_radius: int = 8, cvf_eps: float = 1e-4,
                  backend: str = "auto", mesh=None,
                  sgm_mode: str = "exact", overlap: int = 64,
                  pyramid_levels: int = 0, band_radius: int = 4,
@@ -164,6 +170,7 @@ class StreamingEstimator:
                     kernel_size=kernel_size, cost_dtype=cost_dtype,
                     aggregation=aggregation,
                     reducer=reducer, penalty1=penalty1, penalty2=penalty2,
+                    cvf_radius=cvf_radius, cvf_eps=cvf_eps,
                     sgm_mode=sgm_mode, overlap=overlap, backend=backend,
                     median=median, subpixel=subpixel,
                     speckle=speckle, speckle_fill=speckle_fill)
@@ -187,6 +194,8 @@ class StreamingEstimator:
                 frame_fn = _build_frame_fn(max_disparity, cost, kernel_size,
                                            aggregation, reducer, penalty1,
                                            penalty2, backend, cost_dtype,
+                                           cvf_radius=cvf_radius,
+                                           cvf_eps=cvf_eps,
                                            median=median, subpixel=subpixel,
                                            speckle=speckle,
                                            speckle_fill=speckle_fill)

@@ -1,0 +1,219 @@
+"""Guided-filter cost-volume aggregation (ops/cvf.py, aggregation.CostFilter).
+
+Oracle pattern as everywhere else in this suite: a direct NumPy
+implementation of the documented semantics (symmetric clipped windows,
+count-normalized masked means) is the trusted form; the separable XLA
+formulation must match it, the masked and assume_finite paths must agree
+on finite volumes, and the row-sharded variant must reproduce the
+single-chip program bit-for-bit on the 8-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereomatch_tpu.aggregation import CostFilter
+from stereomatch_tpu.cost import SSD, Census
+from stereomatch_tpu.disparity_reduce import WinnerTakesAll
+from stereomatch_tpu.ops.cvf import guided_filter_aggregate
+from stereomatch_tpu.utils import validation
+
+from .conftest import STM_MAX_DISPARITY, synthetic_stereo_pair
+
+D = STM_MAX_DISPARITY
+
+
+def _gf_oracle(vol, guide, radius, eps):
+    """Direct (non-separable) masked guided filter, float64."""
+    height, width, ndisp = vol.shape
+    vol = np.asarray(vol, np.float64)
+    guide = np.asarray(guide, np.float64)
+    finite = np.isfinite(vol)
+    p0 = np.where(finite, vol, 0.0)
+
+    def window(y, x):
+        return (slice(max(0, y - radius), min(height, y + radius + 1)),
+                slice(max(0, x - radius), min(width, x + radius + 1)))
+
+    a = np.zeros_like(p0)
+    b = np.zeros_like(p0)
+    for y in range(height):
+        for x in range(width):
+            ys, xs = window(y, x)
+            v = finite[ys, xs]                       # [wy, wx, D]
+            n = np.maximum(v.sum(axis=(0, 1)), 1.0)
+            g = guide[ys, xs][:, :, None]
+            mean_p = (p0[ys, xs] * 1.0).sum(axis=(0, 1)) / n
+            mean_i = (g * v).sum(axis=(0, 1)) / n
+            corr_ip = (g * p0[ys, xs]).sum(axis=(0, 1)) / n
+            corr_ii = (g * g * v).sum(axis=(0, 1)) / n
+            var_i = np.maximum(corr_ii - mean_i * mean_i, 0.0)
+            cov_ip = corr_ip - mean_i * mean_p
+            a[y, x] = cov_ip / (var_i + eps)
+            b[y, x] = mean_p - a[y, x] * mean_i
+
+    out = np.full_like(p0, np.inf)
+    for y in range(height):
+        for x in range(width):
+            ys, xs = window(y, x)
+            v = finite[ys, xs]
+            n = np.maximum(v.sum(axis=(0, 1)), 1.0)
+            q = ((a[ys, xs] * v).sum(axis=(0, 1)) / n * guide[y, x]
+                 + (b[ys, xs] * v).sum(axis=(0, 1)) / n)
+            out[y, x] = np.where(finite[y, x], q, np.inf)
+    return out
+
+
+@pytest.fixture(scope="module")
+def masked_volume():
+    """Small SSD volume: carries the +inf d > column wedge."""
+    rng = np.random.default_rng(11)
+    left = rng.random((10, 14), np.float32)
+    right = rng.random((10, 14), np.float32)
+    vol = np.asarray(SSD(6, kernel_size=2)(left, right))
+    return vol, left
+
+
+def test_matches_oracle_with_inf_wedge(masked_volume):
+    vol, left = masked_volume
+    out = np.asarray(guided_filter_aggregate(vol, left, radius=2, eps=1e-4))
+    ref = _gf_oracle(vol, left, radius=2, eps=1e-4)
+    assert np.array_equal(np.isinf(out), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def test_matches_oracle_all_finite():
+    rng = np.random.default_rng(3)
+    vol = rng.random((9, 11, 5), np.float32)
+    guide = rng.random((9, 11), np.float32)
+    out = np.asarray(guided_filter_aggregate(vol, guide, radius=3,
+                                             eps=1e-3))
+    ref = _gf_oracle(vol, guide, radius=3, eps=1e-3)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_assume_finite_equals_masked_on_finite_volume():
+    rng = np.random.default_rng(5)
+    vol = rng.random((12, 9, 4), np.float32)
+    guide = rng.random((12, 9), np.float32)
+    masked = np.asarray(guided_filter_aggregate(vol, guide, radius=2))
+    fast = np.asarray(guided_filter_aggregate(vol, guide, radius=2,
+                                              assume_finite=True))
+    np.testing.assert_allclose(fast, masked, rtol=1e-6, atol=1e-7)
+
+
+def test_invalid_cells_preserved_and_finite_elsewhere(masked_volume):
+    vol, left = masked_volume
+    out = np.asarray(guided_filter_aggregate(vol, left, radius=2))
+    assert np.array_equal(np.isinf(out), np.isinf(vol))
+    assert np.isfinite(out[np.isfinite(vol)]).all()
+
+
+def test_bf16_storage_roundtrip(masked_volume):
+    vol, left = masked_volume
+    out16 = guided_filter_aggregate(jnp.asarray(vol, jnp.bfloat16), left,
+                                    radius=2)
+    assert out16.dtype == jnp.bfloat16
+    out32 = np.asarray(guided_filter_aggregate(vol, left, radius=2))
+    m = np.isfinite(out32)
+    np.testing.assert_allclose(np.asarray(out16, np.float32)[m], out32[m],
+                               rtol=0.02, atol=0.01)
+
+
+def test_costfilter_validation(masked_volume):
+    vol, left = masked_volume
+    with pytest.raises(validation.ShapeError):
+        CostFilter()(vol, left[:-1])
+    with pytest.raises(validation.DTypeError):
+        CostFilter()(np.zeros_like(vol, np.int32), left)
+    # Registry-compat kwargs are accepted (and ignored).
+    out = CostFilter(radius=2, penalty1=0.5, penalty2=9.0,
+                     backend="xla")(vol, left)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(guided_filter_aggregate(vol, left, radius=2)))
+
+
+def test_pipeline_quality_on_noisy_scene():
+    """CVF must reduce WTA bad-pixel error vs no aggregation (the whole
+    point of aggregating) once the per-pixel cost is ambiguous — a
+    noise-free synthetic scene gives a nearly noise-free census cost
+    with nothing to aggregate, so perturb the images first."""
+    left, right, gt = synthetic_stereo_pair(40, 56, D, seed=9)
+    rng = np.random.default_rng(0)
+    left = np.clip(left + rng.normal(0, 0.08, left.shape), 0, 1)
+    right = np.clip(right + rng.normal(0, 0.08, right.shape), 0, 1)
+    left = left.astype(np.float32)
+    right = right.astype(np.float32)
+    vol = Census(D)(left, right).astype(jnp.float32)
+    raw = np.asarray(WinnerTakesAll()(vol))
+    agg = np.asarray(WinnerTakesAll()(CostFilter(radius=4)(vol, left)))
+    bad_raw = (np.abs(raw - gt) > 1).mean()
+    bad_agg = (np.abs(agg - gt) > 1).mean()
+    assert bad_agg < bad_raw
+
+
+def test_registry_pipeline():
+    from stereomatch_tpu.cli_common import create_pipeline
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=2)
+    pipe = create_pipeline("census", "wta", "cvf", max_disparity=D)
+    out = np.asarray(pipe.estimate(left, right))
+    assert out.shape == left.shape and out.dtype == np.int32
+    with pytest.raises(ValueError):
+        create_pipeline("ssd", "wta", "cvf", max_disparity=D,
+                        volume_dtype="int32")
+
+
+def test_streaming_estimator_cvf_matches_pipeline():
+    from stereomatch_tpu.cli_common import create_pipeline
+    from stereomatch_tpu.stream import StreamingEstimator
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=4)
+    ref = np.asarray(
+        create_pipeline("census", "wta", "cvf",
+                        max_disparity=D).estimate(left, right))
+    est = StreamingEstimator(D, batch=2, cost="census",
+                             aggregation="cvf", reducer="wta")
+    out = np.asarray(est.estimate_batch(np.stack([left] * 2),
+                                        np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+    np.testing.assert_array_equal(out[1], ref)
+
+
+# --------------------------------------------------------------------------
+# Row-sharded parity (8-device CPU mesh)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+    from stereomatch_tpu.parallel import make_mesh
+    assert len(jax.devices()) >= 8, "tests need the 8-device CPU mesh"
+    return make_mesh(jax.devices()[:8], n_batch=2)   # 4 row tiles
+
+
+def test_sharded_cvf_matches_single_chip(mesh):
+    """Bit-exact: halo rows make every window see the same values in the
+    same reduce_window order, out-of-image halo rows are +inf-poisoned
+    (invalid, contributing exact zeros — see _local_cvf)."""
+    from stereomatch_tpu.parallel import ShardedPipeline
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3)
+    vol = SSD(D, kernel_size=3)(left, right)
+    ref = np.asarray(WinnerTakesAll()(
+        guided_filter_aggregate(vol, left, radius=3)))
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="cvf",
+                           cvf_radius=3, reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_sharded_cvf_radius_too_large_raises(mesh):
+    from stereomatch_tpu.parallel import ShardedPipeline
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3)
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="cvf",
+                           cvf_radius=8, reducer="wta")  # 16 > Hl = 8
+    with pytest.raises(ValueError, match="halo rows"):
+        pipe.estimate(np.stack([left] * 2), np.stack([right] * 2))
