@@ -29,6 +29,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.cvf import guided_filter_aggregate
 from ..ops.cost import (birchfield_cost_volume,
                         census_hamming_cost_volume,
                         sad_cost_volume, ssd_cost_volume,
@@ -51,7 +52,10 @@ def make_disp_mesh(devices=None, n_disp: Optional[int] = None) -> Mesh:
 def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
-                          cost_dtype=jnp.float32) -> Callable:
+                          cost_dtype=jnp.float32,
+                          aggregation: Optional[str] = None,
+                          cvf_radius: int = 8,
+                          cvf_eps: float = 1e-4) -> Callable:
     """Compile cost + WTA with the disparity axis sharded over ``mesh``.
 
     Returns ``fn(left, right) -> disparity`` over [H, W] images (replicated
@@ -61,6 +65,12 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
     if cost not in ("ssd", "ssd-texture", "birchfield", "census", "sad",
                     "ncc"):
         raise ValueError(f"unknown cost {cost!r}")
+    if aggregation not in (None, "cvf"):
+        # SGM/DP recurrences reduce over ALL of D every scan step (see
+        # module docstring) — cvf is the one aggregation with no cross-D
+        # coupling at all, so it is the one that composes with D-blocks.
+        raise ValueError(f"unknown aggregation {aggregation!r} (disparity "
+                         "sharding supports None or 'cvf')")
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     n_disp = mesh.shape[DISP_AXIS]
@@ -103,6 +113,13 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
                                          kernel_size=kernel_size,
                                          disparity_offset=offset)
         vol = vol.astype(jnp.float32)
+        if aggregation == "cvf":
+            # Every guided-filter statistic is per-disparity-slice, so
+            # each chip filtering its own D block (with its own +inf
+            # wedge mask) IS the single-chip filter restricted to that
+            # block — bit-exact, no collectives.
+            vol = guided_filter_aggregate(vol, left, radius=cvf_radius,
+                                          eps=cvf_eps)
         local_min = jnp.min(vol, axis=2)                      # [H, W]
         local_arg = (jnp.argmin(vol, axis=2).astype(jnp.int32)
                      + offset)                                # global d

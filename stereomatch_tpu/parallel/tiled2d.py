@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from . import halo
 from ..ops import sgm_pallas
 from ..ops.aggregation import semiglobal_aggregate
+from ..ops.cvf import guided_filter_aggregate
 from ..ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
                         sad_cost_from_padded, ssd_cost_from_padded,
                         zncc_cost_from_padded)
@@ -211,7 +212,9 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
                           reducer: str = "wta",
+                          aggregation: Optional[str] = "sgm",
                           penalty1: float = 0.1, penalty2: float = 0.2,
+                          cvf_radius: int = 8, cvf_eps: float = 1e-4,
                           overlap: int = 48,
                           backend: str = "auto",
                           median: bool = False,
@@ -219,7 +222,12 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           min_confidence: Optional[float] = None,
                           speckle: bool = False,
                           interpret: bool = False) -> Callable:
-    """Compile SSD/Birchfield + 8-path SGM + WTA over a 2-D tile mesh.
+    """Compile cost + aggregation + reduce over a 2-D tile mesh.
+
+    ``aggregation``: "sgm" (8-path semiglobal on the overlap-extended
+    tile — approximate, warm-up quality governed by ``overlap``), "cvf"
+    (guided cost-volume filtering — EXACT under tiling, finite support
+    pulled as 2*cvf_radius halos), or None (raw cost volume).
 
     Returns jitted ``fn(left, right) -> disparity`` over [B, H, W] stacks
     with B, H, W divisible by the batch/tile/tile_w axes respectively.
@@ -238,6 +246,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         raise ValueError(f"unknown cost {cost!r}")
     if reducer not in ("wta", "dynamic_programming"):
         raise ValueError(f"unknown reducer {reducer!r}")
+    if aggregation not in (None, "sgm", "cvf"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
     if kernel_size is None:
         kernel_size = 4 if cost == "birchfield" else 7
     if cost == "census":
@@ -316,17 +326,51 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
 
         vol = jax.vmap(cost_one_padded)(left_ext, right_ext)
 
-        # 8-neighborhood halo extension of the volume + image, then the
-        # plain single-chip aggregation on the extended tile.
-        ov_h = min(overlap, h_loc)
-        ov_w = min(overlap, w_loc)
-        ext = _extend(vol, ov_h, 1, TILE_AXIS, n_tile)
-        ext = _extend(ext, ov_w, 2, TILE_W_AXIS, n_tile_w)
-        img_e = _extend(left, ov_h, 1, TILE_AXIS, n_tile)
-        img_e = _extend(img_e, ov_w, 2, TILE_W_AXIS, n_tile_w)
+        if aggregation == "sgm":
+            # 8-neighborhood halo extension of the volume + image, then
+            # the plain single-chip aggregation on the extended tile.
+            ov_h = min(overlap, h_loc)
+            ov_w = min(overlap, w_loc)
+            ext = _extend(vol, ov_h, 1, TILE_AXIS, n_tile)
+            ext = _extend(ext, ov_w, 2, TILE_W_AXIS, n_tile_w)
+            img_e = _extend(left, ov_h, 1, TILE_AXIS, n_tile)
+            img_e = _extend(img_e, ov_w, 2, TILE_W_AXIS, n_tile_w)
 
-        agg = jax.vmap(aggregate)(ext, img_e)
-        agg = agg[:, ov_h:ov_h + h_loc, ov_w:ov_w + w_loc]
+            agg = jax.vmap(aggregate)(ext, img_e)
+            agg = agg[:, ov_h:ov_h + h_loc, ov_w:ov_w + w_loc]
+        elif aggregation == "cvf":
+            # Guided cost-volume filtering has finite support (both box
+            # stages reach 2*radius), so unlike the SGM overlap warm-up
+            # the 2-D halo extension here is EXACT, not approximate.
+            # Out-of-image halo rows/columns (ppermute zero fill at the
+            # mesh edges) are +inf-poisoned so the filter's validity
+            # mask excludes them — matching the single-chip clipped
+            # window counts bit-for-bit (same trick as _local_cvf under
+            # row sharding).
+            ov = 2 * cvf_radius
+            if ov > h_loc or ov > w_loc:
+                raise ValueError(
+                    f"cvf radius {cvf_radius} needs {ov} halo rows/cols "
+                    f"but tiles are {h_loc}x{w_loc}; use fewer tiles or "
+                    f"a smaller radius")
+            ext = _extend(vol, ov, 1, TILE_AXIS, n_tile)
+            ext = _extend(ext, ov, 2, TILE_W_AXIS, n_tile_w)
+            img_e = _extend(left, ov, 1, TILE_AXIS, n_tile)
+            img_e = _extend(img_e, ov, 2, TILE_W_AXIS, n_tile_w)
+            p_w = lax.axis_index(TILE_W_AXIS)
+            r_iota = lax.broadcasted_iota(jnp.int32, (h_loc + 2 * ov,), 0)
+            c_iota = lax.broadcasted_iota(jnp.int32, (w_loc + 2 * ov,), 0)
+            g_row = r_iota + p_h * h_loc - ov
+            g_col = c_iota + p_w * w_loc - ov
+            oob = ((g_row < 0) | (g_row >= n_tile * h_loc))[:, None] | \
+                  ((g_col < 0) | (g_col >= n_tile_w * w_loc))[None, :]
+            ext = jnp.where(oob[None, :, :, None],
+                            jnp.asarray(jnp.inf, ext.dtype), ext)
+            agg = jax.vmap(lambda v, g: guided_filter_aggregate(
+                v, g, radius=cvf_radius, eps=cvf_eps))(ext, img_e)
+            agg = agg[:, ov:ov + h_loc, ov:ov + w_loc]
+        else:
+            agg = vol
         if reducer == "dynamic_programming":
             disp = _dp_tiled_w(agg, n_tile_w)
         else:

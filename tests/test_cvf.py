@@ -210,6 +210,46 @@ def test_sharded_cvf_matches_single_chip(mesh):
         np.testing.assert_array_equal(out[b], ref)
 
 
+def test_tiled2d_cvf_matches_single_chip():
+    """Under 2-D tiling CVF is EXACT (finite support via 2r halos in both
+    axes, +inf-poisoned outside the true image) — unlike SGM, whose
+    overlap extension is a warm-up approximation."""
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3)
+    vol = SSD(D, kernel_size=3)(left, right)
+    ref = np.asarray(WinnerTakesAll()(
+        guided_filter_aggregate(vol, left, radius=3)))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               aggregation="cvf", cvf_radius=3,
+                               backend="xla")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_disp_sharded_cvf_matches_single_chip():
+    """CVF is per-disparity-slice, so it is the one aggregation that
+    composes with disparity-block sharding (SGM/DP reduce over all of D
+    every step and stay whole-D by design)."""
+    from stereomatch_tpu.parallel import make_disp_mesh, make_disp_sharded_wta
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3)
+    vol = SSD(D, kernel_size=3)(left, right)
+    ref = np.asarray(WinnerTakesAll()(
+        guided_filter_aggregate(vol, left, radius=3)))
+    mesh = make_disp_mesh(n_disp=8)
+    fn = make_disp_sharded_wta(mesh, max_disparity=D, kernel_size=3,
+                               aggregation="cvf", cvf_radius=3)
+    np.testing.assert_array_equal(np.asarray(fn(left, right)), ref)
+
+
+def test_disp_sharded_sgm_rejected():
+    from stereomatch_tpu.parallel import make_disp_mesh, make_disp_sharded_wta
+    mesh = make_disp_mesh(n_disp=8)
+    with pytest.raises(ValueError, match="disparity .*sharding supports"):
+        make_disp_sharded_wta(mesh, max_disparity=D, aggregation="sgm")
+
+
 def test_sharded_cvf_radius_too_large_raises(mesh):
     from stereomatch_tpu.parallel import ShardedPipeline
     left, right, _ = synthetic_stereo_pair(32, 48, D, seed=3)
