@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(+refine = median + sub-pixel). Default: the "
                              "reference's three configs.")
     parser.add_argument("--bad-threshold", type=float, default=2.0)
+    parser.add_argument("--cvf-radius", type=int, default=8,
+                        help="cvf configs: box window half-size (shrink "
+                             "on small scenes).")
+    parser.add_argument("--cvf-eps", type=float, default=1e-4,
+                        help="cvf configs: edge-stop regularizer.")
     parser.add_argument("--confidence", action="store_true",
                         help="Also score each config's PKRN confidence map "
                              "via sparsification AUSE (0 = ranks pixels as "
@@ -232,6 +237,8 @@ def main(argv=None) -> int:
                                        volume_dtype=(args.dtype
                                                      if cost_m in dtyped_costs
                                                      else "float32"),
+                                       cvf_radius=args.cvf_radius,
+                                       cvf_eps=args.cvf_eps,
                                        **penalty_kwargs)
         per_scene = []
         for item in items:

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=DISPARITY_METHODS.keys(), default="wta")
     parser.add_argument("--p1", type=float, default=0.1)
     parser.add_argument("--p2", type=float, default=0.2)
+    parser.add_argument("--cvf-radius", type=int, default=8,
+                        help="-am cvf: box window half-size.")
+    parser.add_argument("--cvf-eps", type=float, default=1e-4,
+                        help="-am cvf: edge-stop regularizer.")
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
@@ -121,6 +125,7 @@ def _build_pipeline(args):
                            args.aggregation_method,
                            max_disparity=args.max_disparity,
                            penalty1=args.p1, penalty2=args.p2,
+                           cvf_radius=args.cvf_radius, cvf_eps=args.cvf_eps,
                            backend=args.backend, volume_dtype=args.dtype)
 
 
@@ -297,7 +302,9 @@ class _Batcher:
                     cost=a.cost_method, cost_dtype=dtype,
                     aggregation=a.aggregation_method,
                     reducer=STREAM_REDUCERS[a.disparity_method],
-                    penalty1=a.p1, penalty2=a.p2, backend=a.backend,
+                    penalty1=a.p1, penalty2=a.p2,
+                    cvf_radius=a.cvf_radius, cvf_eps=a.cvf_eps,
+                    backend=a.backend,
                     mesh=mesh, pyramid_levels=a.pyramid,
                     median=refine, subpixel=refine,
                     speckle=speckle, speckle_fill="background")
@@ -323,6 +330,7 @@ class _Batcher:
                     a.aggregation_method,
                     STREAM_REDUCERS[a.disparity_method],
                     a.p1, a.p2, a.backend, dtype,
+                    cvf_radius=a.cvf_radius, cvf_eps=a.cvf_eps,
                     median=refine, subpixel=refine,
                     speckle=speckle, speckle_fill="background")
             # Transport narrowing happens once, in _dispatch, for both

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Warm-up rows for --sgm-mode overlap.")
     parser.add_argument("--p1", type=float, default=0.1,
                         help="SGM penalty for +-1 disparity changes.")
+    parser.add_argument("--cvf-radius", type=int, default=8,
+                        help="-am cvf: box window half-size.")
+    parser.add_argument("--cvf-eps", type=float, default=1e-4,
+                        help="-am cvf: edge-stop regularizer.")
     parser.add_argument("--p2", type=float, default=0.2,
                         help="SGM base penalty for larger jumps.")
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
@@ -254,6 +258,7 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
     reducer = STREAM_REDUCERS[args.disparity_method]
     common = dict(cost=args.cost_method, aggregation=args.aggregation_method,
                   reducer=reducer, penalty1=args.p1, penalty2=args.p2,
+                  cvf_radius=args.cvf_radius, cvf_eps=args.cvf_eps,
                   backend=args.backend, cost_dtype=jnp.dtype(args.dtype),
                   pyramid_levels=args.pyramid,
                   band_radius=(args.band_radius if args.band_radius is not None
