@@ -37,10 +37,15 @@ back-pointers are defined as 0, the intended no-predecessor value.
 from __future__ import annotations
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
-_INF = jnp.float32(jnp.inf)
+# np.float32 (not jnp.float32): identical f32 promotion, but a jnp
+# scalar is a device array whose construction initializes the backend
+# at IMPORT time — which blocks every CLI when the TPU relay is down.
+_INF = np.float32(np.inf)
 
 
 @jax.jit

@@ -33,10 +33,14 @@ differentiate, both classic where/inf cotangent traps:
 from __future__ import annotations
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
-_GRAD_EPS = jnp.float32(1e-30)
+# np.float32, not jnp.float32: keep module import free of device-array
+# construction (backend init at import hangs on a dead relay).
+_GRAD_EPS = np.float32(1e-30)
 
 
 def _diff_scan(cost_sv, image_sv, p1, p2, carry_shift):

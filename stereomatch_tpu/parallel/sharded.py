@@ -42,6 +42,8 @@ import functools
 from typing import Callable, Optional
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
@@ -59,7 +61,10 @@ from ..utils.backend import resolve_backend
 from . import halo
 from .mesh import BATCH_AXIS, TILE_AXIS
 
-_INF = jnp.float32(jnp.inf)
+# np.float32, not jnp.float32: a jnp scalar is a device array and its
+# construction at import time initializes the backend (hangs CLIs when
+# the relay is unreachable); the numpy scalar promotes identically.
+_INF = np.float32(np.inf)
 
 
 def _varying(x):
