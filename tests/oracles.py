@@ -283,3 +283,50 @@ def dynamic_programming_oracle(cost: np.ndarray) -> np.ndarray:
                                   0, max_disp - 1))
             disparity[row, col] = current
     return disparity
+
+
+def guided_filter_oracle(vol: np.ndarray, guide: np.ndarray,
+                         radius: int, eps: float) -> np.ndarray:
+    """Masked guided cost-volume filter, direct windowed form (float64).
+
+    Documented semantics of ops/cvf.py: symmetric clipped (2r+1) windows,
+    every mean normalized by the number of *valid* (finite) cells inside,
+    second stage averaging only windows centered at valid cells, +inf
+    invalid entries preserved.
+    """
+    height, width, _ = vol.shape
+    vol = np.asarray(vol, np.float64)
+    guide = np.asarray(guide, np.float64)
+    finite = np.isfinite(vol)
+    p0 = np.where(finite, vol, 0.0)
+
+    def window(y, x):
+        return (slice(max(0, y - radius), min(height, y + radius + 1)),
+                slice(max(0, x - radius), min(width, x + radius + 1)))
+
+    a = np.zeros_like(p0)
+    b = np.zeros_like(p0)
+    for y in range(height):
+        for x in range(width):
+            ys, xs = window(y, x)
+            v = finite[ys, xs]
+            n = np.maximum(v.sum(axis=(0, 1)), 1.0)
+            g = guide[ys, xs][:, :, None]
+            mean_p = p0[ys, xs].sum(axis=(0, 1)) / n
+            mean_i = (g * v).sum(axis=(0, 1)) / n
+            corr_ip = (g * p0[ys, xs]).sum(axis=(0, 1)) / n
+            corr_ii = (g * g * v).sum(axis=(0, 1)) / n
+            var_i = np.maximum(corr_ii - mean_i * mean_i, 0.0)
+            a[y, x] = (corr_ip - mean_i * mean_p) / (var_i + eps)
+            b[y, x] = mean_p - a[y, x] * mean_i
+
+    out = np.full_like(p0, np.inf)
+    for y in range(height):
+        for x in range(width):
+            ys, xs = window(y, x)
+            v = finite[ys, xs]
+            n = np.maximum(v.sum(axis=(0, 1)), 1.0)
+            q = ((a[ys, xs] * v).sum(axis=(0, 1)) / n * guide[y, x]
+                 + (b[ys, xs] * v).sum(axis=(0, 1)) / n)
+            out[y, x] = np.where(finite[y, x], q, np.inf)
+    return out

@@ -20,49 +20,9 @@ from stereomatch_tpu.ops.cvf import guided_filter_aggregate
 from stereomatch_tpu.utils import validation
 
 from .conftest import STM_MAX_DISPARITY, synthetic_stereo_pair
+from .oracles import guided_filter_oracle as _gf_oracle
 
 D = STM_MAX_DISPARITY
-
-
-def _gf_oracle(vol, guide, radius, eps):
-    """Direct (non-separable) masked guided filter, float64."""
-    height, width, ndisp = vol.shape
-    vol = np.asarray(vol, np.float64)
-    guide = np.asarray(guide, np.float64)
-    finite = np.isfinite(vol)
-    p0 = np.where(finite, vol, 0.0)
-
-    def window(y, x):
-        return (slice(max(0, y - radius), min(height, y + radius + 1)),
-                slice(max(0, x - radius), min(width, x + radius + 1)))
-
-    a = np.zeros_like(p0)
-    b = np.zeros_like(p0)
-    for y in range(height):
-        for x in range(width):
-            ys, xs = window(y, x)
-            v = finite[ys, xs]                       # [wy, wx, D]
-            n = np.maximum(v.sum(axis=(0, 1)), 1.0)
-            g = guide[ys, xs][:, :, None]
-            mean_p = (p0[ys, xs] * 1.0).sum(axis=(0, 1)) / n
-            mean_i = (g * v).sum(axis=(0, 1)) / n
-            corr_ip = (g * p0[ys, xs]).sum(axis=(0, 1)) / n
-            corr_ii = (g * g * v).sum(axis=(0, 1)) / n
-            var_i = np.maximum(corr_ii - mean_i * mean_i, 0.0)
-            cov_ip = corr_ip - mean_i * mean_p
-            a[y, x] = cov_ip / (var_i + eps)
-            b[y, x] = mean_p - a[y, x] * mean_i
-
-    out = np.full_like(p0, np.inf)
-    for y in range(height):
-        for x in range(width):
-            ys, xs = window(y, x)
-            v = finite[ys, xs]
-            n = np.maximum(v.sum(axis=(0, 1)), 1.0)
-            q = ((a[ys, xs] * v).sum(axis=(0, 1)) / n * guide[y, x]
-                 + (b[ys, xs] * v).sum(axis=(0, 1)) / n)
-            out[y, x] = np.where(finite[y, x], q, np.inf)
-    return out
 
 
 @pytest.fixture(scope="module")

@@ -167,3 +167,31 @@ def test_teddy_class_integer_cost_wta():
     assert vol_i[vol_i != np.iinfo(np.int32).max].max() < 2 ** 24
     np.testing.assert_array_equal(np.asarray(winner_takes_all(vol_i)),
                                   np.asarray(winner_takes_all(vol_f)))
+
+
+@pytest.mark.parametrize("seed", SOAK_SEEDS[::2])
+def test_cvf_differential(seed):
+    """Guided cost-volume filtering vs its direct windowed oracle across
+    random geometries, radii, and edge regularizers, on a volume carrying
+    the +inf invalid wedge (the masked-statistics path)."""
+    from stereomatch_tpu.ops.cvf import guided_filter_aggregate
+    from .oracles import guided_filter_oracle
+
+    rng = np.random.default_rng(seed)
+    height = int(rng.integers(6, 24))
+    width = int(rng.integers(10, 32))
+    max_disp = int(rng.integers(2, min(width, 16)))
+    k = int(rng.integers(1, 4))
+    radius = int(rng.integers(1, 5))
+    eps = float(rng.uniform(1e-5, 1e-2))
+    left = rng.random((height, width)).astype(np.float32)
+    right = rng.random((height, width)).astype(np.float32)
+
+    vol = np.asarray(ssd_cost_volume(left, right, max_disparity=max_disp,
+                                     kernel_size=k))
+    out = np.asarray(guided_filter_aggregate(vol, left, radius=radius,
+                                             eps=eps))
+    ref = guided_filter_oracle(vol, left, radius, eps)
+    assert np.array_equal(np.isinf(out), np.isinf(ref))
+    mask = np.isfinite(ref)
+    np.testing.assert_allclose(out[mask], ref[mask], rtol=5e-4, atol=5e-5)
