@@ -217,3 +217,21 @@ def test_sharded_cvf_radius_too_large_raises(mesh):
                            cvf_radius=8, reducer="wta")  # 16 > Hl = 8
     with pytest.raises(ValueError, match="halo rows"):
         pipe.estimate(np.stack([left] * 2), np.stack([right] * 2))
+
+
+def test_sharded_cvf_bf16_matches_single_chip(mesh):
+    """bf16 volume storage through the sharded cvf: same widen-on-load
+    discipline as the kernels, bit-exact vs the single-chip bf16 run."""
+    import jax.numpy as jnp
+    from stereomatch_tpu.parallel import ShardedPipeline
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=6)
+    vol = SSD(D, kernel_size=3,
+              cost_volume_dtype=jnp.bfloat16)(left, right)
+    ref = np.asarray(WinnerTakesAll()(
+        guided_filter_aggregate(vol, left, radius=3)))
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="cvf",
+                           cvf_radius=3, reducer="wta",
+                           cost_dtype=jnp.bfloat16)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)

@@ -506,3 +506,31 @@ def test_mesh_pyramid_rejects_indivisible_frames():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_cvf_batched_matches_local_pipeline():
+    """-am cvf behind the HTTP face, with request micro-batching: the
+    batched lax.map program must reproduce the local cvf pipeline
+    (narrowed to uint8 for the fetch — lossless for D <= 256)."""
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    from stereomatch_tpu.cli_common import create_pipeline
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla",
+         "-cm", "census", "-am", "cvf", "--cvf-radius", "3", "--batch", "2"])
+    srv = make_server(args)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body, left, right, _ = _sbs_png()
+        url = f"http://127.0.0.1:{srv.server_port}/estimate?format=npy"
+        with urllib.request.urlopen(
+                urllib.request.Request(url, data=body)) as resp:
+            disp = np.load(io.BytesIO(resp.read()))
+        l8 = (left * 255).astype(np.uint8).astype(np.float32)
+        r8 = (right * 255).astype(np.uint8).astype(np.float32)
+        pipe = create_pipeline("census", "wta", "cvf", max_disparity=D,
+                               cvf_radius=3, backend="xla")
+        np.testing.assert_array_equal(disp.astype(np.int32),
+                                      np.asarray(pipe.estimate(l8, r8)))
+    finally:
+        srv.shutdown()
+        srv.server_close()
