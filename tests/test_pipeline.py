@@ -151,3 +151,19 @@ def test_pipeline_is_deterministic(stereo_pair_small):
     c = np.asarray(Pipeline(SSD(16, kernel_size=3), WinnerTakesAll(),
                             aggregation=Semiglobal()).estimate(left, right))
     np.testing.assert_array_equal(a, c)
+
+
+def test_torch_tensor_inputs():
+    """Migration parity: the reference's users hold torch tensors
+    (stereomatch/pipeline.py operates on them); every entry point here
+    accepts them via the NumPy protocol — no conversion code needed when
+    switching."""
+    torch = pytest.importorskip("torch")
+    from stereomatch_tpu.cli_common import create_pipeline
+    gen = torch.Generator().manual_seed(0)
+    left = torch.rand(24, 32, generator=gen)
+    right = torch.rand(24, 32, generator=gen)
+    pipe = create_pipeline("ssd", "wta", "sgm", max_disparity=8)
+    out = np.asarray(pipe.estimate(left, right))
+    ref = np.asarray(pipe.estimate(left.numpy(), right.numpy()))
+    np.testing.assert_array_equal(out, ref)
