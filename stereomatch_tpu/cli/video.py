@@ -395,7 +395,9 @@ def main(argv=None) -> int:
             temporal_mesh, args.max_disparity, cost=args.cost_method,
             aggregation=args.aggregation_method,
             reducer=STREAM_REDUCERS[args.disparity_method],
-            penalty1=args.p1, penalty2=args.p2, sgm_mode=args.sgm_mode,
+            penalty1=args.p1, penalty2=args.p2,
+            cvf_radius=args.cvf_radius, cvf_eps=args.cvf_eps,
+            sgm_mode=args.sgm_mode,
             overlap=args.overlap, backend=args.backend,
             cost_dtype=jnp.dtype(args.dtype))
     elif not batched:
@@ -403,6 +405,8 @@ def main(argv=None) -> int:
                                    args.aggregation_method,
                                    max_disparity=args.max_disparity,
                                    penalty1=args.p1, penalty2=args.p2,
+                                   cvf_radius=args.cvf_radius,
+                                   cvf_eps=args.cvf_eps,
                                    backend=args.backend,
                                    volume_dtype=args.dtype)
     if args.temporal:

@@ -71,14 +71,24 @@ def create_pipeline(cost_method: str, disp_method: str,
         raise ValueError("int32 cost volumes do not support aggregation "
                          "(SGM's adaptive P2, semiglobal.cpp:137-138, and "
                          "cvf's windowed means are float quantities)")
+    if aggr_method is not None and aggr_method not in AGGREGATION_METHODS:
+        # .get() with a None default would silently run the config with
+        # NO aggregation and label the results with the mistyped name —
+        # a quietly wrong benchmark row (stm-eval passes user config
+        # strings straight through here).
+        raise ValueError(f"unknown aggregation method {aggr_method!r}; "
+                         f"expected one of {sorted(AGGREGATION_METHODS)} "
+                         "or None")
     aggregation_cls = AGGREGATION_METHODS.get(aggr_method, None)
-    if aggregation_cls is CostFilter:
-        aggregation = CostFilter(radius=cvf_radius, eps=cvf_eps)
-    elif aggregation_cls is not None:
-        aggregation = aggregation_cls(penalty1=penalty1, penalty2=penalty2,
-                                      backend=backend)
-    else:
+    if aggregation_cls is None:
         aggregation = None
+    else:
+        # Every registry class accepts (penalty1, penalty2, backend) and
+        # ignores what doesn't apply; class-specific knobs join here.
+        kwargs = dict(penalty1=penalty1, penalty2=penalty2, backend=backend)
+        if aggregation_cls is CostFilter:
+            kwargs.update(radius=cvf_radius, eps=cvf_eps)
+        aggregation = aggregation_cls(**kwargs)
 
     disparity_cls = DISPARITY_METHODS[disp_method]
     disparity = (disparity_cls(backend=backend)

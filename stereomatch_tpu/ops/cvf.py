@@ -98,6 +98,14 @@ def _filter_stats(p32, i32, radius, eps, assume_finite):
 
 
 def _filter_body(volume, guide, radius, eps, assume_finite):
+    # Trace-time checks shared by both entry points (the CLIs take bare
+    # int/float flags; fail with a clear message, not a reduce_window
+    # shape error or an inf/NaN division at runtime).
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    if not eps > 0:
+        raise ValueError(f"eps must be > 0, got {eps} (zero divides by "
+                         "the variance of constant-guide windows)")
     p32 = volume.astype(jnp.float32)
     i32 = guide.astype(jnp.float32)
     a, b, finite, box = _filter_stats(p32, i32, radius, eps, assume_finite)

@@ -47,6 +47,26 @@ def pull_from_next(x: jnp.ndarray, count: int, axis: int,
                         perm=[(i + 1, i) for i in range(n - 1)])
 
 
+def out_of_image_mask(axis_name: str, n_shards: int, local_len: int,
+                      before: int, after: int = None) -> jnp.ndarray:
+    """Which positions of a halo-extended block lie beyond the true image.
+
+    Boolean ``[before + local_len + after]`` vector (``after`` defaults to
+    ``before``): True where the global coordinate ``idx + rank*local_len -
+    before`` falls outside ``[0, n_shards*local_len)`` — i.e. the ppermute
+    ring-end zero fill.  Zero is the additive identity for window *sums*
+    but not for window *counts*, so every count-normalized windowed
+    statistic (ZNCC, guided cost-volume filtering) must exclude these
+    positions; shared here so the bounds arithmetic lives in one place.
+    """
+    if after is None:
+        after = before
+    p = lax.axis_index(axis_name)
+    idx = lax.broadcasted_iota(jnp.int32, (before + local_len + after,), 0)
+    g = idx + p * local_len - before
+    return (g < 0) | (g >= n_shards * local_len)
+
+
 def pad_with_halos(x: jnp.ndarray, before: int, after: int, axis: int,
                    axis_name: str) -> jnp.ndarray:
     """Concatenate neighbor halos around this shard's block along ``axis``.

@@ -123,11 +123,8 @@ def _local_zncc(left, right, *, max_disparity, kernel_size, cost_dtype,
     k = kernel_size
     lpad = halo.pad_with_halos(left, k, k - 1, axis=1, axis_name=axis_name)
     rpad = halo.pad_with_halos(right, k, k - 1, axis=1, axis_name=axis_name)
-    h_local = left.shape[1]
-    p = lax.axis_index(axis_name)
-    rows = lax.broadcasted_iota(jnp.int32, (h_local + 2 * k - 1,), 0)
-    global_row = rows + p * h_local - k
-    row_valid = (global_row >= 0) & (global_row < n_tiles * h_local)
+    row_valid = ~halo.out_of_image_mask(axis_name, n_tiles,
+                                        left.shape[1], k, k - 1)
     fn = functools.partial(zncc_cost_from_padded, pad_before=k,
                            pad_after=k - 1, max_disparity=max_disparity,
                            kernel_size=kernel_size, cost_dtype=cost_dtype)
@@ -155,10 +152,7 @@ def _local_cvf(vol, guide, *, radius, eps, axis_name, n_tiles):
             f"{h_local} rows tall; use fewer tiles or a smaller radius")
     vpad = halo.pad_with_halos(vol, h, h, axis=1, axis_name=axis_name)
     gpad = halo.pad_with_halos(guide, h, h, axis=1, axis_name=axis_name)
-    p = lax.axis_index(axis_name)
-    rows = lax.broadcasted_iota(jnp.int32, (h_local + 2 * h,), 0)
-    global_row = rows + p * h_local - h
-    oob = (global_row < 0) | (global_row >= n_tiles * h_local)
+    oob = halo.out_of_image_mask(axis_name, n_tiles, h_local, h)
     vpad = jnp.where(oob[None, :, None, None],
                      jnp.asarray(jnp.inf, vpad.dtype), vpad)
     fn = functools.partial(guided_filter_from_padded, pad_before=h,

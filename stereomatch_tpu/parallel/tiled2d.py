@@ -290,10 +290,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         # Birchfield's window is scanline-local: the halo rows just drop.
         # ZNCC's window count must exclude halo rows beyond the true image
         # (zero fill is the additive identity for its sums, not its count).
-        p_h = lax.axis_index(TILE_AXIS)
-        row_iota = lax.broadcasted_iota(jnp.int32, (h_loc + 2 * k - 1,), 0)
-        global_row = row_iota + p_h * h_loc - k
-        row_valid = (global_row >= 0) & (global_row < n_tile * h_loc)
+        row_valid = ~halo.out_of_image_mask(TILE_AXIS, n_tile, h_loc,
+                                            k, k - 1)
 
         def cost_one_padded(le, re):
             if cost in ("ssd", "ssd-texture"):
@@ -357,13 +355,10 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
             ext = _extend(ext, ov, 2, TILE_W_AXIS, n_tile_w)
             img_e = _extend(left, ov, 1, TILE_AXIS, n_tile)
             img_e = _extend(img_e, ov, 2, TILE_W_AXIS, n_tile_w)
-            p_w = lax.axis_index(TILE_W_AXIS)
-            r_iota = lax.broadcasted_iota(jnp.int32, (h_loc + 2 * ov,), 0)
-            c_iota = lax.broadcasted_iota(jnp.int32, (w_loc + 2 * ov,), 0)
-            g_row = r_iota + p_h * h_loc - ov
-            g_col = c_iota + p_w * w_loc - ov
-            oob = ((g_row < 0) | (g_row >= n_tile * h_loc))[:, None] | \
-                  ((g_col < 0) | (g_col >= n_tile_w * w_loc))[None, :]
+            oob = (halo.out_of_image_mask(TILE_AXIS, n_tile,
+                                          h_loc, ov)[:, None]
+                   | halo.out_of_image_mask(TILE_W_AXIS, n_tile_w,
+                                            w_loc, ov)[None, :])
             ext = jnp.where(oob[None, :, :, None],
                             jnp.asarray(jnp.inf, ext.dtype), ext)
             agg = jax.vmap(lambda v, g: guided_filter_aggregate(

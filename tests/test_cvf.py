@@ -235,3 +235,11 @@ def test_sharded_cvf_bf16_matches_single_chip(mesh):
     out = np.asarray(pipe.estimate(np.stack([left] * 2),
                                    np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_bad_radius_and_eps_raise(masked_volume):
+    vol, left = masked_volume
+    with pytest.raises(ValueError, match="radius must be"):
+        guided_filter_aggregate(vol, left, radius=-1)
+    with pytest.raises(ValueError, match="eps must be"):
+        guided_filter_aggregate(vol, left, radius=2, eps=0.0)

@@ -167,3 +167,11 @@ def test_torch_tensor_inputs():
     out = np.asarray(pipe.estimate(left, right))
     ref = np.asarray(pipe.estimate(left.numpy(), right.numpy()))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_unknown_aggregation_method_raises():
+    """A mistyped aggregation token must fail loudly, not silently run
+    with no aggregation under the mistyped label (stm-eval feeds user
+    config strings straight through)."""
+    with pytest.raises(ValueError, match="unknown aggregation method"):
+        create_pipeline("ssd", "wta", "cfv", max_disparity=8)
