@@ -68,6 +68,9 @@ def _traffic_models():
         # the volume (the implementation's intermediate box-filter planes
         # are what %SoL charges it for, exactly like SGM's 4 passes)
         "cvf_450x375_d128": 2 * v2,
+        # fast (subsampled) cvf: read + write + two low-res resample
+        # passes over the volume
+        "cvf_fast_s2_450x375_d128": 3 * v2,
         # reducers: read the volume, write [H, W] int32 (~1/D of it)
         "wta_450x375_d128": v2,
         "argmin_baseline_450x375_d128": v2,
@@ -216,6 +219,8 @@ def build_benchmarks():
     benches["sgm_450x375_d128"] = vol_bench(lambda v, img: aggregate(v, img))
     benches["cvf_450x375_d128"] = vol_bench(
         lambda v, img: guided_filter_aggregate(v, img))
+    benches["cvf_fast_s2_450x375_d128"] = vol_bench(
+        lambda v, img: guided_filter_aggregate(v, img, subsample=2))
     benches["wta_450x375_d128"] = vol_bench(
         lambda v, img: winner_takes_all(v))
     benches["argmin_baseline_450x375_d128"] = vol_bench(

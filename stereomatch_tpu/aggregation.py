@@ -83,6 +83,7 @@ class CostFilter:
     """
 
     def __init__(self, radius: int = 8, eps: float = 1e-4,
+                 subsample: int = 1,
                  penalty1: float = None, penalty2: float = None,
                  backend: str = "auto"):
         """
@@ -91,11 +92,14 @@ class CostFilter:
               second filter stage doubles the effective reach).
             eps: edge-stop regularizer in image-intensity^2 units —
               larger smooths across weaker image edges.
+            subsample: > 1 = Fast Guided Filter (statistics on an
+              s x-downsampled grid; approximate, box work / s^2).
             penalty1/penalty2/backend: ignored (registry compatibility).
         """
         del penalty1, penalty2, backend
         self.radius = radius
         self.eps = eps
+        self.subsample = subsample
 
     def __call__(self, cost_volume, left_image,
                  sga_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -113,4 +117,5 @@ class CostFilter:
                 f"quantity; got cost volume dtype {cost_volume.dtype}")
         return guided_filter_aggregate(cost_volume, left_image,
                                        radius=int(self.radius),
-                                       eps=float(self.eps))
+                                       eps=float(self.eps),
+                                       subsample=int(self.subsample))

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="-am cvf: edge-stop regularizer in "
                              "intensity^2 units; larger smooths across "
                              "weaker image edges.")
+    parser.add_argument("--cvf-subsample", type=int, default=1,
+                        help="-am cvf: > 1 = Fast Guided Filter "
+                             "(statistics on an s x-downsampled grid; "
+                             "approximate, box-filter work / s^2).")
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto",
                         help="Kernel backend for SGM/DP stages.")
@@ -146,6 +150,7 @@ def main(argv=None) -> int:
                                    penalty1=args.p1, penalty2=args.p2,
                                    cvf_radius=args.cvf_radius,
                                    cvf_eps=args.cvf_eps,
+                                   cvf_subsample=args.cvf_subsample,
                                    backend=args.backend,
                                    volume_dtype=args.dtype)
 

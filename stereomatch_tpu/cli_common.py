@@ -46,6 +46,7 @@ def create_pipeline(cost_method: str, disp_method: str,
                     max_disparity: int = 32,
                     penalty1: float = 0.1, penalty2: float = 0.2,
                     cvf_radius: int = 8, cvf_eps: float = 1e-4,
+                    cvf_subsample: int = 1,
                     backend: str = "auto",
                     volume_dtype: str = "float32") -> Pipeline:
     """Create a pipeline from method names.
@@ -87,7 +88,8 @@ def create_pipeline(cost_method: str, disp_method: str,
         # ignores what doesn't apply; class-specific knobs join here.
         kwargs = dict(penalty1=penalty1, penalty2=penalty2, backend=backend)
         if aggregation_cls is CostFilter:
-            kwargs.update(radius=cvf_radius, eps=cvf_eps)
+            kwargs.update(radius=cvf_radius, eps=cvf_eps,
+                          subsample=cvf_subsample)
         aggregation = aggregation_cls(**kwargs)
 
     disparity_cls = DISPARITY_METHODS[disp_method]

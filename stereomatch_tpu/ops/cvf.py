@@ -30,6 +30,18 @@ Semantics:
 * Storage dtype is preserved: bfloat16 volumes stream in/out as bf16
   while all statistics are computed in float32 (the repo-wide
   widen-on-load discipline).
+* ``subsample=s`` > 1 switches to the Fast Guided Filter (He & Sun
+  2015): all window statistics are computed on an s x-downsampled grid
+  (bilinear ``jax.image.resize`` both ways — einsum-based on TPU, no
+  gathers) and the per-window linear model is bilinearly upsampled
+  before the final ``q = a*I + b``.  The box-filter arithmetic — the
+  dominant VPU cost at full resolution, ~2*(2r+1) adds per element per
+  statistic — shrinks by s^2 while edges stay sharp because the model
+  is still applied against the FULL-resolution guide.  Approximate by
+  construction (published quality is near-indistinguishable for
+  s <= r/2); ``subsample=1`` is the exact path, bit-identical to the
+  default.  Single-chip/streaming only: the partitioners run the exact
+  filter (low-res grid alignment does not tile bit-exactly).
 """
 
 from __future__ import annotations
@@ -97,7 +109,69 @@ def _filter_stats(p32, i32, radius, eps, assume_finite):
     return a, b, finite, box
 
 
-def _filter_body(volume, guide, radius, eps, assume_finite):
+def _resize2d(x, height, width):
+    """Bilinear resize over the two leading (spatial) axes."""
+    return jax.image.resize(x, (height, width) + x.shape[2:], "bilinear")
+
+
+def _filter_body_fast(volume, guide, radius, eps, assume_finite,
+                      subsample):
+    """Fast Guided Filter: statistics on an s x-downsampled grid.
+
+    The masked form downsamples the zeroed volume and the validity mask
+    with the SAME bilinear kernel, so their ratio is a kernel-weighted
+    masked mean; low-res windows whose pooled validity underflows are
+    guarded exactly like empty windows in the exact path.  The +inf
+    invalid cells are restored from the FULL-resolution mask.
+    """
+    s = subsample
+    height, width = guide.shape
+    lh, lw = max(1, height // s), max(1, width // s)
+    p32 = volume.astype(jnp.float32)
+    i32 = guide.astype(jnp.float32)
+    low_r = max(1, radius // s)
+
+    i_low = _resize2d(i32, lh, lw)
+    if assume_finite:
+        p_low = _resize2d(p32, lh, lw)
+        finite = None
+        a, b, _, box = _filter_stats(p_low, i_low, low_r, eps, True)
+        count2 = box(jnp.ones((lh, lw), jnp.float32))[:, :, None]
+        a_bar = box(a) / count2
+        b_bar = box(b) / count2
+    else:
+        finite = jnp.isfinite(p32)
+        valid = finite.astype(jnp.float32)
+        p0 = jnp.where(finite, p32, 0.0)
+        p_low = _resize2d(p0, lh, lw)
+        v_low = _resize2d(valid, lh, lw)
+        # Feed the pooled sums through the masked stats by treating the
+        # pooled validity as fractional counts: scale the zeroed volume
+        # by nothing (it already carries the weight) and guard near-zero
+        # pooled validity the way the exact path guards empty windows.
+        box = functools.partial(_box_sum_sym, radius=low_r)
+        g_low = i_low[:, :, None]
+        count = jnp.maximum(box(v_low), jnp.float32(1e-6))
+        mean_p = box(p_low) / count
+        mean_i = box(g_low * v_low) / count
+        corr_ip = box(g_low * p_low) / count
+        corr_ii = box(g_low * g_low * v_low) / count
+        var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
+        a = (corr_ip - mean_i * mean_p) / (var_i + jnp.float32(eps))
+        b = mean_p - a * mean_i
+        count2 = jnp.maximum(box(v_low), jnp.float32(1e-6))
+        a_bar = box(a * v_low) / count2
+        b_bar = box(b * v_low) / count2
+
+    a_full = _resize2d(a_bar, height, width)
+    b_full = _resize2d(b_bar, height, width)
+    q = a_full * i32[:, :, None] + b_full
+    if finite is not None:
+        q = jnp.where(finite, q, jnp.float32(jnp.inf))
+    return q.astype(volume.dtype)
+
+
+def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1):
     # Trace-time checks shared by both entry points (the CLIs take bare
     # int/float flags; fail with a clear message, not a reduce_window
     # shape error or an inf/NaN division at runtime).
@@ -106,6 +180,11 @@ def _filter_body(volume, guide, radius, eps, assume_finite):
     if not eps > 0:
         raise ValueError(f"eps must be > 0, got {eps} (zero divides by "
                          "the variance of constant-guide windows)")
+    if subsample < 1:
+        raise ValueError(f"subsample must be >= 1, got {subsample}")
+    if subsample > 1:
+        return _filter_body_fast(volume, guide, radius, eps,
+                                 assume_finite, subsample)
     p32 = volume.astype(jnp.float32)
     i32 = guide.astype(jnp.float32)
     a, b, finite, box = _filter_stats(p32, i32, radius, eps, assume_finite)
@@ -127,10 +206,12 @@ def _filter_body(volume, guide, radius, eps, assume_finite):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("radius", "eps", "assume_finite"))
+                   static_argnames=("radius", "eps", "assume_finite",
+                                    "subsample"))
 def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
                             *, radius: int = 8, eps: float = 1e-4,
-                            assume_finite: bool = False) -> jnp.ndarray:
+                            assume_finite: bool = False,
+                            subsample: int = 1) -> jnp.ndarray:
     """Edge-aware local aggregation: guided-filter each disparity slice.
 
     Args:
@@ -145,6 +226,10 @@ def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
           1e-4 suits [0, 1]-normalized images).
         assume_finite: skip the validity-mask plumbing (exact only when
           the volume has no non-finite entries, e.g. census/Birchfield).
+        subsample: > 1 enables the Fast Guided Filter — window
+          statistics on an s x-downsampled grid (box arithmetic shrinks
+          by s^2; the model still applies against the full-res guide).
+          Approximate; 1 (default) is the exact filter.
     """
     if cost_volume.ndim != 3:
         raise ValueError(f"cost_volume must be [H, W, D], got "
@@ -153,7 +238,7 @@ def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
         raise ValueError(f"guide {guide.shape} does not match volume "
                          f"spatial dims {cost_volume.shape[:2]}")
     return _filter_body(cost_volume, guide, int(radius), float(eps),
-                        bool(assume_finite))
+                        bool(assume_finite), int(subsample))
 
 
 def guided_filter_from_padded(volume_padded: jnp.ndarray,
