@@ -652,6 +652,8 @@ def main(argv=None) -> int:
     if args.device:
         import jax
         jax.config.update("jax_platforms", args.device)
+    from ..utils.backend import warn_if_backend_init_stalls
+    warn_if_backend_init_stalls()
     server = make_server(args)
     print(f"stm-serve listening on http://{args.host}:{server.server_port} "
           f"(D={args.max_disparity})", file=sys.stderr)

@@ -338,6 +338,8 @@ def main(argv=None) -> int:
         # var at import time; the config update always wins.
         import jax
         jax.config.update("jax_platforms", args.device)
+    from ..utils.backend import warn_if_backend_init_stalls
+    warn_if_backend_init_stalls()
 
     import numpy as np
 

@@ -14,6 +14,34 @@ import jax
 _VALID = ("pallas", "xla")
 
 
+def warn_if_backend_init_stalls(seconds: float = 30.0):
+    """Print a hint if no JAX backend has initialized after ``seconds``.
+
+    Remote-relay PJRT plugins block indefinitely inside device discovery
+    when the relay is unreachable, which turns every CLI's first device
+    op into a silent hang.  The CLIs arm this one-shot daemon timer after
+    argument parsing: if the backend table is still empty when it fires,
+    the user learns what is stuck and that ``--device cpu`` runs on the
+    host.  A no-op when initialization completed (the common case) —
+    the timer sees a populated table and prints nothing.
+    """
+    import sys
+    import threading
+
+    def check():
+        import jax._src.xla_bridge as xb
+        if not xb._backends:
+            print(f"still initializing the accelerator runtime after "
+                  f"{seconds:.0f}s — the device relay may be unreachable; "
+                  f"pass --device cpu to run on the host backend",
+                  file=sys.stderr, flush=True)
+
+    timer = threading.Timer(seconds, check)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def resolve_backend(backend: str) -> str:
     """Resolve "auto" to "pallas" (TPU) or "xla" (anything else).
 

@@ -37,3 +37,26 @@ def test_package_import_initializes_no_backend():
         f"importing stereomatch_tpu initialized backends {initialized}; "
         "some module-scope code constructs device values (see module "
         "docstring)")
+
+
+def test_backend_stall_watchdog_fires_and_stays_quiet():
+    """The CLI watchdog prints its hint only while no backend has
+    initialized (the remote-relay discovery hang); after a successful
+    init it stays silent."""
+    code = (
+        "import time, jax\n"
+        "from stereomatch_tpu.utils.backend import "
+        "warn_if_backend_init_stalls\n"
+        "warn_if_backend_init_stalls(0.2)   # no backend yet -> fires\n"
+        "time.sleep(0.6)\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()                      # init completes\n"
+        "warn_if_backend_init_stalls(0.2)   # table populated -> silent\n"
+        "time.sleep(0.6)\n"
+        "print('END')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stderr.count("still initializing") == 1, out.stderr
+    assert "END" in out.stdout
