@@ -75,8 +75,12 @@ def _wait_for_device(max_wait_s: float) -> None:
 
     A failed axon init can be cached within a process, so the probe runs
     in fresh subprocesses; only when one succeeds does this process
-    initialize its own backend.  Gives up (and lets the normal error
-    surface) after ``max_wait_s``.
+    initialize its own backend.  After ``max_wait_s`` it EXITS non-zero:
+    relay outages hang inside device discovery rather than raising (the
+    plugin retries forever holding nothing but time), so falling through
+    would turn this process's first device op into an indefinite hang —
+    a fast, explicit failure is the only honest outcome (a CPU number
+    would masquerade as a chip measurement).
     """
     import subprocess
 
@@ -93,8 +97,9 @@ def _wait_for_device(max_wait_s: float) -> None:
             err = "device discovery timed out"
         if time.monotonic() > deadline:
             print(f"bench: device still unavailable after {max_wait_s:g}s "
-                  f"({err})", file=sys.stderr)
-            return
+                  f"({err}); aborting instead of hanging in backend init",
+                  file=sys.stderr)
+            sys.exit(1)
         print(f"bench: device unavailable ({err}); retrying in 60s",
               file=sys.stderr)
         time.sleep(60)
