@@ -313,3 +313,18 @@ def test_subsample_assume_finite_runs():
                                              subsample=2,
                                              assume_finite=True))
     assert np.isfinite(out).all()
+
+
+def test_estimate_refined_and_confidence_with_cvf():
+    """The full post-processing surface (LR check, median, sub-pixel,
+    PKRN confidence) composes with the cvf aggregation — the refine
+    stages read whatever aggregated volume the pipeline produced."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=4)
+    pipe = create_pipeline("census", "wta", "cvf", max_disparity=D,
+                           cvf_radius=3)
+    disp = np.asarray(pipe.estimate_refined(left, right, subpixel=True,
+                                            median=True, lr_check=True))
+    assert disp.dtype == np.float32 and np.isfinite(disp).all()
+    conf = np.asarray(pipe.last_confidence())
+    assert conf.shape == left.shape and np.isfinite(conf).all()
