@@ -72,12 +72,28 @@ def _box_sum_sym(x: jnp.ndarray, radius: int, axes=(0, 1)) -> jnp.ndarray:
     return x
 
 
+def _linear_model(mean_p, mean_i, corr_ip, corr_ii, eps):
+    """Per-window linear model from windowed means: q ~= a*I + b."""
+    var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
+    cov_ip = corr_ip - mean_i * mean_p
+    a = cov_ip / (var_i + jnp.float32(eps))
+    b = mean_p - a * mean_i
+    return a, b
+
+
 def _filter_stats(p32, i32, radius, eps, assume_finite):
     """First guided-filter stage: per-window linear model (a, b).
 
-    Returns (a, b, finite, box) where ``finite`` is the validity mask
-    (None when assume_finite) and ``box`` the normalizing box closure
-    reused by the second stage.
+    All volume-shaped statistics ride ONE reduce_window pair on a
+    D-axis-stacked array (the ZNCC idiom, ops/cost.py::_zncc_stack):
+    windows span only (H, W), so lanes stay independent and the stacked
+    sums are bit-identical to separate box calls, but XLA materializes
+    one intermediate instead of five and fuses one producer.
+
+    Returns (a, b, finite, box, count): ``finite`` is the validity mask
+    (None when assume_finite); ``count`` is the normalizer the second
+    stage reuses (stage 2's window-count statistic is the same
+    ``box(valid)`` — no recompute).
     """
     box = functools.partial(_box_sum_sym, radius=radius)
     guide = i32[:, :, None]
@@ -86,27 +102,31 @@ def _filter_stats(p32, i32, radius, eps, assume_finite):
         finite = None
         ones = jnp.ones(p32.shape[:2], jnp.float32)
         count = box(ones)[:, :, None]                      # [H, W, 1]
-        mean_p = box(p32) / count
+        sums = box(jnp.concatenate([p32, guide * p32], axis=2))
+        mean_p, corr_ip = jnp.split(sums, 2, axis=2)
+        mean_p = mean_p / count
+        corr_ip = corr_ip / count
+        # Guide-only stats are [H, W] — negligible beside the volume.
         mean_i = (box(i32) / count[:, :, 0])[:, :, None]
-        corr_ip = box(guide * p32) / count
         corr_ii = (box(i32 * i32) / count[:, :, 0])[:, :, None]
     else:
         finite = jnp.isfinite(p32)
         valid = finite.astype(jnp.float32)                 # [H, W, D]
         p0 = jnp.where(finite, p32, 0.0)
-        count = jnp.maximum(box(valid), 1.0)               # guard 0/0 —
+        sums = box(jnp.concatenate(
+            [valid, p0, guide * valid, guide * p0, guide * guide * valid],
+            axis=2))
+        n, sp, si, sip, sii = jnp.split(sums, 5, axis=2)
+        count = jnp.maximum(n, 1.0)                        # guard 0/0 —
         # zero-valid windows exist only deep inside the invalid wedge,
-        # whose cells are restored to +inf below anyway.
-        mean_p = box(p0) / count
-        mean_i = box(guide * valid) / count
-        corr_ip = box(guide * p0) / count
-        corr_ii = box(guide * guide * valid) / count
+        # whose cells are restored to +inf by the caller anyway.
+        mean_p = sp / count
+        mean_i = si / count
+        corr_ip = sip / count
+        corr_ii = sii / count
 
-    var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
-    cov_ip = corr_ip - mean_i * mean_p
-    a = cov_ip / (var_i + jnp.float32(eps))
-    b = mean_p - a * mean_i
-    return a, b, finite, box
+    a, b = _linear_model(mean_p, mean_i, corr_ip, corr_ii, eps)
+    return a, b, finite, box, count
 
 
 def _resize2d(x, height, width):
@@ -135,33 +155,36 @@ def _filter_body_fast(volume, guide, radius, eps, assume_finite,
     if assume_finite:
         p_low = _resize2d(p32, lh, lw)
         finite = None
-        a, b, _, box = _filter_stats(p_low, i_low, low_r, eps, True)
-        count2 = box(jnp.ones((lh, lw), jnp.float32))[:, :, None]
-        a_bar = box(a) / count2
-        b_bar = box(b) / count2
+        a, b, _, box, count = _filter_stats(p_low, i_low, low_r, eps, True)
+        sums = box(jnp.concatenate([a, b], axis=2))
+        a_bar, b_bar = jnp.split(sums, 2, axis=2)
+        a_bar = a_bar / count
+        b_bar = b_bar / count
     else:
         finite = jnp.isfinite(p32)
         valid = finite.astype(jnp.float32)
         p0 = jnp.where(finite, p32, 0.0)
-        p_low = _resize2d(p0, lh, lw)
-        v_low = _resize2d(valid, lh, lw)
-        # Feed the pooled sums through the masked stats by treating the
-        # pooled validity as fractional counts: scale the zeroed volume
-        # by nothing (it already carries the weight) and guard near-zero
-        # pooled validity the way the exact path guards empty windows.
+        # One resize for both pooled quantities (lanes independent), then
+        # the masked stats treat the pooled validity as fractional
+        # counts: the zeroed volume already carries the weight, and
+        # near-zero pooled validity is guarded like empty windows in the
+        # exact path (1e-6 floor: pooled counts are fractional).
+        ndisp = p32.shape[2]
+        low = _resize2d(jnp.concatenate([p0, valid], axis=2), lh, lw)
+        p_low, v_low = low[:, :, :ndisp], low[:, :, ndisp:]
         box = functools.partial(_box_sum_sym, radius=low_r)
         g_low = i_low[:, :, None]
-        count = jnp.maximum(box(v_low), jnp.float32(1e-6))
-        mean_p = box(p_low) / count
-        mean_i = box(g_low * v_low) / count
-        corr_ip = box(g_low * p_low) / count
-        corr_ii = box(g_low * g_low * v_low) / count
-        var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
-        a = (corr_ip - mean_i * mean_p) / (var_i + jnp.float32(eps))
-        b = mean_p - a * mean_i
-        count2 = jnp.maximum(box(v_low), jnp.float32(1e-6))
-        a_bar = box(a * v_low) / count2
-        b_bar = box(b * v_low) / count2
+        sums = box(jnp.concatenate(
+            [v_low, p_low, g_low * v_low, g_low * p_low,
+             g_low * g_low * v_low], axis=2))
+        n, sp, si, sip, sii = jnp.split(sums, 5, axis=2)
+        count = jnp.maximum(n, jnp.float32(1e-6))
+        a, b = _linear_model(sp / count, si / count, sip / count,
+                             sii / count, eps)
+        sums2 = box(jnp.concatenate([a * v_low, b * v_low], axis=2))
+        a_bar, b_bar = jnp.split(sums2, 2, axis=2)
+        a_bar = a_bar / count
+        b_bar = b_bar / count
 
     a_full = _resize2d(a_bar, height, width)
     b_full = _resize2d(b_bar, height, width)
@@ -187,20 +210,23 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1):
                                  assume_finite, subsample)
     p32 = volume.astype(jnp.float32)
     i32 = guide.astype(jnp.float32)
-    a, b, finite, box = _filter_stats(p32, i32, radius, eps, assume_finite)
+    a, b, finite, box, count = _filter_stats(p32, i32, radius, eps,
+                                             assume_finite)
 
     # Second stage: each output pixel averages the linear models of every
     # window that contains it.  Under masking only windows centered at a
     # valid cell contribute (their (a, b) describe real data); on finite
     # volumes this is the plain box mean of the standard algorithm.
+    # ``count`` from stage 1 IS stage 2's normalizer (same box(valid)).
     if finite is None:
-        count2 = box(jnp.ones(p32.shape[:2], jnp.float32))[:, :, None]
-        q = (box(a) / count2) * i32[:, :, None] + box(b) / count2
+        sums = box(jnp.concatenate([a, b], axis=2))
+        a_bar, b_bar = jnp.split(sums, 2, axis=2)
+        q = (a_bar / count) * i32[:, :, None] + b_bar / count
     else:
         valid = finite.astype(jnp.float32)
-        count2 = jnp.maximum(box(valid), 1.0)
-        q = ((box(a * valid) / count2) * i32[:, :, None]
-             + box(b * valid) / count2)
+        sums = box(jnp.concatenate([a * valid, b * valid], axis=2))
+        a_bar, b_bar = jnp.split(sums, 2, axis=2)
+        q = (a_bar / count) * i32[:, :, None] + b_bar / count
         q = jnp.where(finite, q, jnp.float32(jnp.inf))
     return q.astype(volume.dtype)
 
