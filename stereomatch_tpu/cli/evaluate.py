@@ -34,6 +34,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic-size", default="96x128x32",
                         metavar="HxWxD",
                         help="Geometry of --synthetic scenes.")
+    parser.add_argument("--format", choices=("middlebury", "kitti"),
+                        default="middlebury",
+                        help="Dataset layout: folder-per-scene Middlebury "
+                             "(im0/im1.png, disp0.pfm, calib.txt) or "
+                             "KITTI 2015 (image_2/, image_3/, disp_occ_0/ "
+                             "uint16 PNGs).")
+    parser.add_argument("--max-disparity", type=int, default=None,
+                        help="Override every scene's disparity range "
+                             "(Middlebury reads per-scene ndisp; KITTI "
+                             "has no per-scene value and defaults to "
+                             "the benchmark's 192).")
     parser.add_argument("--max-size", type=int, default=None,
                         help="Evaluate at most this many scenes.")
     parser.add_argument("--configs", default=None,
@@ -173,9 +184,18 @@ def main(argv=None) -> int:
         if not args.dataset_dir:
             print("dataset_dir or --synthetic required.", file=sys.stderr)
             return 2
-        dataset = MiddleburyDataset(args.dataset_dir,
-                                    max_size=args.max_size)
+        if args.format == "kitti":
+            from ..io.data import KittiDataset
+            dataset = KittiDataset(args.dataset_dir, max_size=args.max_size,
+                                   **({"max_disparity": args.max_disparity}
+                                      if args.max_disparity else {}))
+        else:
+            dataset = MiddleburyDataset(args.dataset_dir,
+                                        max_size=args.max_size)
         items = [dataset[i] for i in range(len(dataset))]
+        if args.max_disparity:
+            for item in items:
+                item["max_disparity"] = args.max_disparity
     if not items:
         print("No scenes found.", file=sys.stderr)
         return 1

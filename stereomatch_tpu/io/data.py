@@ -187,3 +187,71 @@ class MiddleburyDataset:
 
     def __len__(self) -> int:
         return len(self.images)
+
+
+class KittiDataset:
+    """KITTI 2015 stereo-layout parser (flat-directory counterpart of
+    :class:`MiddleburyDataset` — beyond the reference's dataset surface,
+    which is Middlebury-only, stereomatch/data.py:26-93).
+
+    Layout: ``image_2/<frame>.png`` (left), ``image_3/<frame>.png``
+    (right), and optionally ``disp_occ_0/<frame>.png`` ground truth —
+    uint16 PNGs storing ``disparity * 256``, with 0 marking pixels
+    without ground truth (the same "0 = unknown" convention the metrics
+    layer masks, metrics.py::_valid_mask).
+
+    KITTI publishes no per-scene disparity range; ``max_disparity``
+    defaults to the benchmark's conventional 192.
+    """
+
+    def __init__(self, dataset_dir, max_size: Optional[int] = None,
+                 max_disparity: int = 192, disp_dir: str = "disp_occ_0"):
+        dataset_dir = Path(dataset_dir)
+        left_dir = dataset_dir / "image_2"
+        right_dir = dataset_dir / "image_3"
+        if not left_dir.is_dir() or not right_dir.is_dir():
+            raise RuntimeError(
+                f"KittiDataset: {dataset_dir} must contain image_2/ and "
+                f"image_3/ (the KITTI stereo layout)")
+        self.max_disparity = max_disparity
+        self._disp_dir = dataset_dir / disp_dir
+
+        frames = sorted(p.name for p in left_dir.glob("*.png"))
+        if max_size is not None:
+            frames = frames[:max_size]
+        self.images: List[Tuple[Path, Path]] = []
+        for name in frames:
+            right = right_dir / name
+            if not right.exists():
+                raise RuntimeError(f"KittiDataset: image_3/{name} missing "
+                                   f"for image_2/{name}")
+            self.images.append((left_dir / name, right))
+
+    def get_stereo_pair(self, idx: int) -> Dict:
+        left_path, right_path = self.images[idx]
+        return dict(
+            stereo_name=left_path.stem,
+            left=load_image(left_path),
+            right=load_image(right_path),
+            max_disparity=self.max_disparity)
+
+    def get_ground_truth(self, idx: int) -> Dict:
+        left_path, _ = self.images[idx]
+        disp_path = self._disp_dir / left_path.name
+        raw = np.asarray(load_image(disp_path))
+        if raw.dtype != np.uint16:
+            raise RuntimeError(
+                f"KittiDataset: {disp_path} should be a uint16 PNG "
+                f"(disparity * 256), got dtype {raw.dtype}")
+        return dict(
+            stereo_name=left_path.stem,
+            gt_disparity=raw.astype(np.float32) / 256.0,
+            max_disparity=self.max_disparity)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = self.get_stereo_pair(idx)
+        item.update(self.get_ground_truth(idx))
+        return item
+
+    def __len__(self) -> int:
+        return len(self.images)

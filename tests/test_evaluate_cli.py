@@ -176,3 +176,51 @@ def test_eval_refined_config_runs(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "census-wta-sgm-refine" in out
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    """KITTI 2015 layout built from the same synthetic scenes: image_2/
+    image_3 left/right PNGs, disp_occ_0 uint16 disparity*256 with a
+    zeroed (no-ground-truth) band."""
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path_factory.mktemp("kitti")
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        (root / sub).mkdir()
+    for i, seed in enumerate([3, 11]):
+        left, right, gt = synthetic_stereo_pair(32, 48, D, seed=seed)
+        name = f"{i:06d}_10.png"
+        PIL.fromarray((left * 255).astype(np.uint8)).save(
+            root / "image_2" / name)
+        PIL.fromarray((right * 255).astype(np.uint8)).save(
+            root / "image_3" / name)
+        d16 = (gt.astype(np.float32) * 256.0).astype(np.uint16)
+        d16[:, :4] = 0                      # unknown pixels stay masked
+        PIL.fromarray(d16).save(root / "disp_occ_0" / name)
+    return root
+
+
+def test_kitti_dataset_loads(kitti_dir):
+    from stereomatch_tpu.io.data import KittiDataset
+    ds = KittiDataset(kitti_dir, max_disparity=D)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["left"].shape == (32, 48)
+    assert item["max_disparity"] == D
+    assert item["gt_disparity"].dtype == np.float32
+    assert (item["gt_disparity"][:, :4] == 0).all()      # unknown band
+    _, _, gt = synthetic_stereo_pair(32, 48, D, seed=3)
+    np.testing.assert_allclose(item["gt_disparity"][:, 4:],
+                               gt.astype(np.float32)[:, 4:], atol=1 / 256)
+
+
+def test_evaluate_cli_kitti_format(kitti_dir, tmp_path, capsys):
+    json_out = tmp_path / "kitti.json"
+    rc = evaluate_main([str(kitti_dir), "--format", "kitti",
+                        "--configs", "census:wta:sgm",
+                        "--json", str(json_out)])
+    assert rc == 0
+    rows = json.loads(json_out.read_text())
+    assert rows[0]["name"] == "census-wta-sgm"
+    assert rows[0]["bad_pixel_ratio"] < 0.25
+    assert len(rows[0]["scenes"]) == 2
