@@ -26,3 +26,13 @@ fetch-teddy:
 
 dryrun-multichip:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import jax; jax.config.update('jax_platforms', 'cpu'); import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# Every pending real-TPU measurement in dependency order (hardware test
+# tier, stage suite, serving, video, headline); ~40 min with relay
+# compile warm-ups.
+chip-bench:
+	bash benchmarks/chip_tasks.sh
+
+serve:
+	python -m stereomatch_tpu.cli.serve 128 -cm census --dtype bfloat16 \
+	  --batch 8 --warmup 375x450
