@@ -97,7 +97,21 @@ def run_trial(rng, trial):
     if dtype == "bfloat16":
         assert np.mean(wx != wp) < 0.05, "bf16 WTA divergence"
     else:
-        np.testing.assert_array_equal(wx, wp)
+        # The documented contract (CLAUDE.md invariants) is last-ulp
+        # aggregation agreement and identical WTA on DISTINCT-VALUE
+        # volumes.  Random census costs are integer-valued Hamming sums
+        # and produce exact ties, where a 1-ulp summation-order
+        # difference legitimately flips the argmin — so flips are
+        # allowed only at near-ties, and only a few of them.
+        flips = wx != wp
+        assert np.mean(flips) < 0.005, f"f32 WTA flips {np.mean(flips)}"
+        if flips.any():
+            ys, xs = np.nonzero(flips)
+            gap = np.abs(agg_x[ys, xs, wx[ys, xs]]
+                         - agg_x[ys, xs, wp[ys, xs]])
+            scale = np.abs(agg_x[ys, xs, wx[ys, xs]]) + 1.0
+            assert (gap <= 4e-6 * scale).all(), \
+                f"f32 WTA flip away from a tie (gap {gap.max()})"
 
     # DP parity on the f32 aggregation.
     np.testing.assert_array_equal(
@@ -111,7 +125,8 @@ def run_trial(rng, trial):
         sgm_mode = rng.choice(["exact", "overlap"])
         mesh = make_mesh(jax.devices()[:8], n_batch=2)
         pipe = ShardedPipeline(
-            mesh, max_disp, cost=cost_kind, kernel_size=3,
+            mesh, max_disp, cost=cost_kind,
+            kernel_size=3 if cost_kind == "ssd" else None,
             cost_dtype=cd, aggregation="sgm", reducer="wta",
             sgm_mode=sgm_mode, overlap=height, backend="xla",
             penalty1=p1, penalty2=p2)
@@ -130,8 +145,50 @@ def run_trial(rng, trial):
         assert mismatch < (0.05 if dtype == "bfloat16" else 1e-9), \
             f"sharded {sgm_mode} mismatch {mismatch}"
 
+    # Guided cost-volume filtering leg: oracle parity at toy scale on
+    # the f32 volume (masked path exercised by SSD's +inf wedge), plus a
+    # row-sharded bit-exactness spot check composed with the same trial
+    # geometry.
+    from stereomatch_tpu.ops.cvf import guided_filter_aggregate
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests"))
+    from oracles import guided_filter_oracle
+
+    # Independent trial-derived stream: the main rng must keep the
+    # historical draw order (the validated config space).
+    crng = np.random.default_rng(10_000 + trial)
+    radius = int(crng.integers(1, 5))
+    eps = float(crng.uniform(1e-5, 1e-2))
+    vol32 = jnp.asarray(vol, jnp.float32)
+    cvf = np.asarray(guided_filter_aggregate(vol32, left, radius=radius,
+                                             eps=eps))
+    cvf_ref = guided_filter_oracle(np.asarray(vol32), left, radius, eps)
+    cmask = np.isfinite(cvf_ref)
+    assert np.array_equal(cmask, np.isfinite(cvf)), "cvf inf structure"
+    np.testing.assert_allclose(cvf[cmask], cvf_ref[cmask],
+                               rtol=5e-4, atol=5e-5)
+    if trial % 4 == 1 and height % 4 == 0 and 2 * radius <= height // 4:
+        from stereomatch_tpu.parallel import ShardedPipeline, make_mesh
+        mesh = make_mesh(jax.devices()[:8], n_batch=2)
+        pipe = ShardedPipeline(mesh, max_disp, cost=cost_kind,
+                               kernel_size=(3 if cost_kind == "ssd"
+                                            else None),
+                               aggregation="cvf",
+                               cvf_radius=radius, cvf_eps=eps,
+                               reducer="wta", backend="xla")
+        out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                       np.stack([right] * 2)))
+        if cost_kind == "ssd":
+            vref = ssd_cost_volume(left, right, max_disparity=max_disp,
+                                   kernel_size=3)
+        else:
+            vref = census_hamming_cost_volume(left, right,
+                                              max_disparity=max_disp)
+        dref = np.asarray(winner_takes_all(guided_filter_aggregate(
+            jnp.asarray(vref, jnp.float32), left, radius=radius, eps=eps)))
+        np.testing.assert_array_equal(out[0], dref)
+
     return dict(h=height, w=width, d=max_disp, cost=cost_kind,
-                dtype=dtype, mode=str(mode))
+                dtype=dtype, mode=str(mode), cvf_r=radius)
 
 
 def main():
