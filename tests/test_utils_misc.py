@@ -1,0 +1,57 @@
+"""Direct unit coverage for small shared contracts that the integration
+tests only exercise indirectly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_resolve_backend_contract():
+    """auto -> pallas ONLY on real TPU backends (round-1 advisor finding:
+    any non-CPU accelerator used to select the TPU-only kernels)."""
+    from stereomatch_tpu.utils.backend import resolve_backend
+    assert resolve_backend("xla") == "xla"
+    assert resolve_backend("pallas") == "pallas"
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert resolve_backend("auto") == expected    # CPU in CI
+    with pytest.raises(ValueError, match="unknown backend"):
+        resolve_backend("cuda")
+
+
+def test_out_of_image_mask_ranks():
+    """The shared halo-bounds helper: exact per-rank truth table for a
+    4-shard axis with asymmetric (before=2, after=1) halos."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from stereomatch_tpu.parallel import halo
+
+    n, local_len, before, after = 4, 3, 2, 1
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("tile",))
+
+    def body(x):
+        del x
+        return halo.out_of_image_mask("tile", n, local_len,
+                                      before, after)[None]
+
+    out = np.asarray(jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P("tile"), out_specs=P("tile")))(
+            jnp.zeros((n,), jnp.float32)))
+    # Rank 0: the 2 leading halo rows precede the image.
+    np.testing.assert_array_equal(out[0], [1, 1, 0, 0, 0, 0])
+    # Interior ranks: everything maps to real rows.
+    np.testing.assert_array_equal(out[1], [0] * 6)
+    np.testing.assert_array_equal(out[2], [0] * 6)
+    # Last rank: the trailing halo row is past the image.
+    np.testing.assert_array_equal(out[3], [0, 0, 0, 0, 0, 1])
+    # Default after=before.
+    def body2(x):
+        del x
+        return halo.out_of_image_mask("tile", n, local_len, 1)[None]
+    out2 = np.asarray(jax.jit(shard_map(
+        body2, mesh=mesh, in_specs=P("tile"), out_specs=P("tile")))(
+            jnp.zeros((n,), jnp.float32)))
+    np.testing.assert_array_equal(out2[0], [1, 0, 0, 0, 0])
+    np.testing.assert_array_equal(out2[3], [0, 0, 0, 0, 1])
