@@ -74,7 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "sub-pixel interpolation.")
     parser.add_argument("--lr-check", action="store_true",
                         help="Left-right consistency check with background "
-                             "occlusion fill (runs the pipeline twice).")
+                             "occlusion fill.")
+    parser.add_argument("--lr-mode", choices=("mirror", "volume"),
+                        default="mirror",
+                        help="Right disparity for --lr-check: 'mirror' "
+                             "re-runs the pipeline on mirrored images "
+                             "(exact, 2x cost); 'volume' re-indexes the "
+                             "left aggregated volume (the SGBM trick, "
+                             "~free, approximate under aggregation).")
     parser.add_argument("--speckle", action="store_true",
                         help="Suppress speckles (small isolated disparity "
                              "blobs) by windowed-support filtering of the "
@@ -164,7 +171,7 @@ def main(argv=None) -> int:
     if args.refine or args.lr_check or args.min_confidence is not None:
         kwargs = dict(subpixel=args.refine, median=args.refine)
         if args.pyramid == 0:       # volume-based post-processing only
-            kwargs.update(lr_check=args.lr_check,
+            kwargs.update(lr_check=args.lr_check, lr_mode=args.lr_mode,
                           min_confidence=args.min_confidence)
         disparity = np.asarray(pipeline.estimate_refined(
             left, right, **kwargs))

@@ -14,7 +14,8 @@ from .disparity import (dynamic_programming, dynamic_programming_with_paths,
 from .dp_pallas import dynamic_programming_pallas
 from .refine import (confidence_pkrn, fill_inconsistent,
                      left_right_consistency, median_filter_3x3,
-                     right_disparity, subpixel_refine)
+                     right_disparity, right_disparity_from_volume,
+                     right_volume_from_left, subpixel_refine)
 from .sgm_pallas import semiglobal_aggregate_pallas
 
 __all__ = [
@@ -29,6 +30,8 @@ __all__ = [
     "left_right_consistency",
     "median_filter_3x3",
     "right_disparity",
+    "right_disparity_from_volume",
+    "right_volume_from_left",
     "semiglobal_aggregate",
     "semiglobal_aggregate_pallas",
     "ssd_cost_volume",

@@ -11,6 +11,7 @@ flow.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -235,6 +236,50 @@ def right_disparity(pipeline_fn, left: jnp.ndarray,
     """
     return pipeline_fn(jnp.asarray(right)[:, ::-1],
                        jnp.asarray(left)[:, ::-1])[:, ::-1]
+
+
+@jax.jit
+def right_volume_from_left(cost_volume: jnp.ndarray) -> jnp.ndarray:
+    """Re-index a left-view cost volume into the right view.
+
+    Matching right pixel x against left pixel x + d scores the same pair
+    of windows as matching left pixel x + d against right pixel x, so
+
+        C_R[y, x, d] = C_L[y, x + d, d]        (x + d >= W -> +inf)
+
+    — the trick OpenCV's SGBM uses to get a right disparity (and thus a
+    left-right occlusion check) from the volume it already has, instead
+    of paying for a second full cost + aggregation run.  Applied to an
+    *aggregated* volume the result is an approximation of true
+    right-image aggregation (the smoothing paths followed left-image
+    geometry), which is exactly the approximation production SGBM makes.
+
+    TPU formulation: the diagonal re-index is a per-pixel gather in
+    general, but per disparity plane it is a static W-shift — so stream
+    the D planes with ``dynamic_slice`` starts at (0, d, d) on a +inf
+    right-padded copy, the same full-range plane-scan pattern as
+    :func:`left_right_consistency`.  No gathers, 2x-volume traffic.
+    """
+    height, width, max_disp = cost_volume.shape
+    inf = jnp.asarray(jnp.inf, cost_volume.dtype)
+    padded = jnp.pad(cost_volume, ((0, 0), (0, max_disp), (0, 0)),
+                     constant_values=inf)
+
+    def plane(d, out):
+        sl = lax.dynamic_slice(padded, (0, d, d), (height, width, 1))
+        return lax.dynamic_update_slice(out, sl, (0, 0, d))
+
+    return lax.fori_loop(0, max_disp, plane,
+                         jnp.full_like(cost_volume, inf))
+
+
+@jax.jit
+def right_disparity_from_volume(cost_volume: jnp.ndarray) -> jnp.ndarray:
+    """WTA right disparity from the left volume via
+    :func:`right_volume_from_left` — the cheap LR-check companion
+    (lowest-d tie semantics, matching ops.disparity.winner_takes_all)."""
+    return jnp.argmin(right_volume_from_left(cost_volume),
+                      axis=2).astype(jnp.int32)
 
 
 def fill_inconsistent(disparity: jnp.ndarray,

@@ -613,6 +613,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           median: bool = False,
                           subpixel: bool = False,
                           lr_check: bool = False,
+                          lr_mode: str = "mirror",
                           lr_max_diff: int = 1,
                           min_confidence: Optional[float] = None,
                           speckle: bool = False,
@@ -633,7 +634,15 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
     disparity-row halo per neighbor, edge-replicated at ring ends); the
     LR check's mirrored run flips W, which row sharding never splits.
     With ``subpixel`` the output becomes float32.
+
+    ``lr_mode`` follows ``Pipeline.estimate_refined``: ``"mirror"`` runs
+    the pipeline a second time on W-flipped inputs; ``"volume"``
+    re-indexes the aggregated volume (C_R[y,x,d] = C_L[y,x+d,d] — pure
+    row-local W shifts, so it needs no halo under row sharding and costs
+    one extra volume pass instead of a second pipeline).
     """
+    if lr_mode not in ("mirror", "volume"):
+        raise ValueError(f"unknown lr_mode: {lr_mode!r}")
     if cost not in ("ssd", "ssd-texture", "birchfield", "census", "sad",
                     "ncc"):
         raise ValueError(f"unknown cost: {cost!r}")
@@ -717,7 +726,7 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
 
         left = left.astype(jnp.float32)
         right = right.astype(jnp.float32)
-        if lr_check:
+        if lr_check and lr_mode == "mirror":
             # Right-to-left matching is left-to-right matching on
             # mirrored images (ops/refine.py::right_disparity); the W
             # flip is tile-local under row sharding.
@@ -725,6 +734,11 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           left[:, :, ::-1])[1][:, :, ::-1]
         agg, disp = core(left, right)
         if lr_check:
+            if lr_mode == "volume":
+                # The d-plane re-index never leaves the row, so it is
+                # exactly the single-chip op per tile.
+                disp_r = jax.vmap(
+                    refine.right_disparity_from_volume.__wrapped__)(agg)
             mask = jax.vmap(functools.partial(
                 refine.left_right_consistency.__wrapped__,
                 max_diff=lr_max_diff,
@@ -775,7 +789,8 @@ class ShardedPipeline:
                  sgm_mode: str = "exact", overlap: int = 64,
                  backend: str = "auto",
                  median: bool = False, subpixel: bool = False,
-                 lr_check: bool = False, lr_max_diff: int = 1,
+                 lr_check: bool = False, lr_mode: str = "mirror",
+                 lr_max_diff: int = 1,
                  min_confidence: Optional[float] = None,
                  speckle: bool = False, speckle_fill: str = "zero",
                  interpret: bool = False):
@@ -789,7 +804,8 @@ class ShardedPipeline:
             penalty1=penalty1, penalty2=penalty2,
             cvf_radius=cvf_radius, cvf_eps=cvf_eps, sgm_mode=sgm_mode,
             overlap=overlap, backend=backend, median=median,
-            subpixel=subpixel, lr_check=lr_check, lr_max_diff=lr_max_diff,
+            subpixel=subpixel, lr_check=lr_check, lr_mode=lr_mode,
+            lr_max_diff=lr_max_diff,
             min_confidence=min_confidence, speckle=speckle,
             speckle_fill=speckle_fill, interpret=interpret)
         self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))

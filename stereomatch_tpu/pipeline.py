@@ -108,30 +108,43 @@ class Pipeline:
     def estimate_refined(self, left_image, right_image, *,
                          subpixel: bool = True, median: bool = True,
                          lr_check: bool = False,
+                         lr_mode: str = "mirror",
                          max_diff: int = 1,
                          min_confidence: Optional[float] = None
                          ) -> jnp.ndarray:
         """Estimate + post-processing (beyond the reference's surface).
 
         Optional stages, in order: left-right consistency check with
-        background occlusion fill (``lr_check``; runs the pipeline twice),
-        3x3 median (``median``), parabolic sub-pixel interpolation on
-        the aggregated volume (``subpixel`` — output becomes float32),
+        background occlusion fill (``lr_check``), 3x3 median
+        (``median``), parabolic sub-pixel interpolation on the
+        aggregated volume (``subpixel`` — output becomes float32),
         and confidence gating (``min_confidence`` — pixels whose PKRN
         confidence falls below the threshold are marked unknown with the
         Middlebury 0 convention, which downstream consumers — metrics'
         valid mask, reconstruction's validity rule — already honor).
         See ops/refine.py.
+
+        ``lr_mode`` selects how the right disparity for the check is
+        obtained: ``"mirror"`` runs the full pipeline a second time on
+        mirrored images (true right-image matching); ``"volume"``
+        re-indexes the left aggregated volume (C_R[y,x,d] = C_L[y,x+d,d]
+        — the SGBM trick, ~free but approximate where aggregation is
+        asymmetric).  See ops.refine.right_volume_from_left.
         """
         from .ops import refine
 
+        if lr_mode not in ("mirror", "volume"):
+            raise ValueError(f"unknown lr_mode: {lr_mode!r}")
         disp_r = None
-        if lr_check:
+        if lr_check and lr_mode == "mirror":
             disp_r = refine.right_disparity(
                 lambda l, r: self._run(l, r)[2],
                 jnp.asarray(left_image), jnp.asarray(right_image))
         disp = self.estimate(left_image, right_image)
         if lr_check:
+            if disp_r is None:
+                disp_r = refine.right_disparity_from_volume(
+                    self._aggregation_volume)
             mask = refine.left_right_consistency(
                 disp, disp_r, max_diff,
                 max_disparity=self._aggregation_volume.shape[2])

@@ -436,12 +436,13 @@ def test_disp_sharded_sad_ncc(pair, cost_name):
 
 @pytest.mark.parametrize("kwargs", [
     dict(lr_check=True, median=True),
+    dict(lr_check=True, lr_mode="volume"),
     dict(min_confidence=0.05),
 ])
 def test_sharded_postprocessing_matches_single_chip(pair, mesh, kwargs):
     """Mesh post-processing (LR fill, median, confidence gate) bit-matches
     Pipeline.estimate_refined: every stage is row-local except the median's
-    one-row halos."""
+    one-row halos (the volume-mode LR check is row-local outright)."""
     from stereomatch_tpu.pipeline import Pipeline
     left, right = pair
     single = Pipeline(SSD(D, kernel_size=3), WinnerTakesAll(), Semiglobal())
@@ -449,6 +450,7 @@ def test_sharded_postprocessing_matches_single_chip(pair, mesh, kwargs):
         left, right, subpixel=False,
         median=kwargs.get("median", False),
         lr_check=kwargs.get("lr_check", False),
+        lr_mode=kwargs.get("lr_mode", "mirror"),
         min_confidence=kwargs.get("min_confidence")))
     pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
                            reducer="wta", sgm_mode="exact", backend="xla",

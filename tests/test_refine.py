@@ -288,3 +288,85 @@ def test_filter_speckles_rejects_unknown_fill():
     from stereomatch_tpu.ops.refine import filter_speckles
     with _pytest.raises(ValueError):
         filter_speckles(np.zeros((4, 4), np.float32), fill="nearest")
+
+
+def test_right_volume_from_left_oracle():
+    """C_R[y,x,d] = C_L[y,x+d,d], +inf off the right edge — exact vs a
+    numpy loop, including the left volume's own +inf validity wedge."""
+    from stereomatch_tpu.ops.refine import right_volume_from_left
+    rng = np.random.default_rng(3)
+    height, width, max_disp = 7, 19, 6
+    vol = rng.random((height, width, max_disp)).astype(np.float32)
+    for x in range(width):                     # d > x invalid, like real volumes
+        vol[:, x, min(x + 1, max_disp):] = np.inf
+    got = np.asarray(right_volume_from_left(vol))
+    want = np.full_like(vol, np.inf)
+    for d in range(max_disp):
+        for x in range(width - d):
+            want[:, x, d] = vol[:, x + d, d]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_right_volume_from_left_keeps_storage_dtype():
+    import jax.numpy as jnp
+    from stereomatch_tpu.ops.refine import right_volume_from_left
+    vol = jnp.zeros((4, 8, 4), jnp.bfloat16)
+    assert right_volume_from_left(vol).dtype == jnp.bfloat16
+
+
+def test_right_disparity_volume_equals_mirror_for_symmetric_cost():
+    """With a mirror-symmetric matching cost (per-pixel census Hamming:
+    centered window, no box sum) the re-indexed right disparity IS the
+    mirrored-pipeline right disparity, everywhere: matching R(x) to L(x+d)
+    scores the identical pixel pairs either way and WTA tie order (lowest
+    d) is preserved by the re-index."""
+    from stereomatch_tpu.ops.cost import census_hamming_cost_volume
+    from stereomatch_tpu.ops.refine import right_disparity_from_volume
+    D = 12
+    left, right, _ = synthetic_stereo_pair(26, 64, D, seed=5)
+
+    def cost(l, r):
+        return census_hamming_cost_volume(l, r, max_disparity=D,
+                                          kernel_size=1)
+
+    via_mirror = np.asarray(right_disparity(
+        lambda l, r: winner_takes_all(cost(l, r)), left, right))
+    via_volume = np.asarray(right_disparity_from_volume(cost(left, right)))
+    np.testing.assert_array_equal(via_volume, via_mirror)
+
+
+def test_right_disparity_volume_close_to_mirror_on_ssd():
+    """SSD's half-open [x-k, x+k) window is NOT mirror-symmetric, so the
+    two right-disparity estimates legitimately differ near window edges —
+    but they must agree almost everywhere on a matchable scene."""
+    from stereomatch_tpu.ops.refine import right_disparity_from_volume
+    D, k = 12, 3
+    left, right, _ = synthetic_stereo_pair(26, 64, D, seed=5)
+
+    def pipeline(l, r):
+        return winner_takes_all(
+            ssd_cost_volume(l, r, max_disparity=D, kernel_size=k))
+
+    via_mirror = np.asarray(right_disparity(pipeline, left, right))
+    via_volume = np.asarray(right_disparity_from_volume(
+        ssd_cost_volume(left, right, max_disparity=D, kernel_size=k)))
+    assert (via_volume == via_mirror).mean() > 0.9
+    assert (np.abs(via_volume - via_mirror) <= 1).mean() > 0.95
+
+
+def test_estimate_refined_lr_mode_volume():
+    """lr_mode='volume' composes in the pipeline and stays close to the
+    mirror-mode result (the synthetic scene has no occlusions, so the two
+    right-disparity estimates agree almost everywhere)."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    D = 16
+    left, right, _ = synthetic_stereo_pair(32, 48, D, seed=17)
+    pipe = create_pipeline("ssd", "wta", "sgm", max_disparity=D)
+    with pytest.raises(ValueError):
+        pipe.estimate_refined(left, right, lr_check=True, lr_mode="nope")
+    via_volume = np.asarray(pipe.estimate_refined(
+        left, right, lr_check=True, lr_mode="volume"))
+    via_mirror = np.asarray(pipe.estimate_refined(
+        left, right, lr_check=True, lr_mode="mirror"))
+    assert via_volume.shape == via_mirror.shape
+    assert np.mean(np.abs(via_volume - via_mirror) <= 1.0) > 0.9
