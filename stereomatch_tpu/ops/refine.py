@@ -102,16 +102,32 @@ def left_right_consistency(disp_left: jnp.ndarray,
     search range; without it the scan conservatively covers every
     possible shift (the image width).
     """
-    height, width = disp_left.shape
+    width = disp_left.shape[-1]
     d_l = disp_left.astype(jnp.int32)
     d_r = disp_right.astype(jnp.int32)
     n_planes = width if max_disparity is None else min(max_disparity, width)
-    big = jnp.int32(1 << 20)
-    padded_r = jnp.pad(d_r, ((0, 0), (width, 0)), constant_values=-big)
+    pad = [(0, 0)] * d_r.ndim
+    pad[-1] = (width, 0)
+    padded_r = jnp.pad(d_r, pad, constant_values=-jnp.int32(1 << 20))
+    return consistency_from_padded(d_l, padded_r, pad=width,
+                                   n_planes=n_planes, max_diff=max_diff)
+
+
+def consistency_from_padded(d_l: jnp.ndarray, padded_r: jnp.ndarray, *,
+                            pad: int, n_planes: int,
+                            max_diff: int) -> jnp.ndarray:
+    """Core of :func:`left_right_consistency` given a right-disparity map
+    already padded with ``pad`` extra columns on the LEFT (so shifts never
+    leave the array).  Out-of-image pad positions must hold a value that
+    can never agree within ``max_diff`` (e.g. -2^20).  Shared with the
+    2-D-tiled mesh pipeline, which fills the pad from W-neighbor halos.
+    Leading (batch) dimensions broadcast through.
+    """
+    d_l = d_l.astype(jnp.int32)
 
     def plane(d, consistent):
-        shifted = lax.dynamic_slice(padded_r, (0, width - d),
-                                    (height, width))
+        start = (0,) * (padded_r.ndim - 1) + (pad - d,)
+        shifted = lax.dynamic_slice(padded_r, start, d_l.shape)
         hit = (d_l == d) & (jnp.abs(d_l - shifted) <= max_diff)
         return consistent | hit
 
@@ -260,17 +276,36 @@ def right_volume_from_left(cost_volume: jnp.ndarray) -> jnp.ndarray:
     right-padded copy, the same full-range plane-scan pattern as
     :func:`left_right_consistency`.  No gathers, 2x-volume traffic.
     """
-    height, width, max_disp = cost_volume.shape
+    max_disp = cost_volume.shape[-1]
     inf = jnp.asarray(jnp.inf, cost_volume.dtype)
-    padded = jnp.pad(cost_volume, ((0, 0), (0, max_disp), (0, 0)),
-                     constant_values=inf)
+    pad = [(0, 0)] * cost_volume.ndim
+    pad[-2] = (0, max_disp)
+    padded = jnp.pad(cost_volume, pad, constant_values=inf)
+    return right_volume_from_padded(padded, width=cost_volume.shape[-2])
+
+
+def right_volume_from_padded(padded: jnp.ndarray,
+                             width: int) -> jnp.ndarray:
+    """Core of :func:`right_volume_from_left` given a volume already
+    extended on the RIGHT of the W axis by (at least) D - 1 columns —
+    +inf where beyond the true image, real neighbor data under the
+    2-D-tiled mesh (which shares this).  Returns the [..., width, D]
+    right-view volume; leading (batch) dimensions broadcast through.
+    """
+    max_disp = padded.shape[-1]
+    lead = padded.shape[:-2]
+    # full_like of a slice (not a fresh constant): keeps the loop carry's
+    # shard_map varying type consistent with the body (the vma rule —
+    # see fill_inconsistent).
+    out = jnp.full_like(padded[..., :width, :], jnp.inf)
 
     def plane(d, out):
-        sl = lax.dynamic_slice(padded, (0, d, d), (height, width, 1))
-        return lax.dynamic_update_slice(out, sl, (0, 0, d))
+        start = (0,) * len(lead) + (d, d)
+        sl = lax.dynamic_slice(padded, start, lead + (width, 1))
+        return lax.dynamic_update_slice(out, sl,
+                                        (0,) * len(lead) + (0, d))
 
-    return lax.fori_loop(0, max_disp, plane,
-                         jnp.full_like(cost_volume, inf))
+    return lax.fori_loop(0, max_disp, plane, out)
 
 
 @jax.jit
@@ -294,20 +329,27 @@ def fill_inconsistent(disparity: jnp.ndarray,
     d = disparity.astype(jnp.float32)
     valid = mask.astype(bool)
 
-    def propagate(vals, ok):
-        def step(carry, inp):
-            v, o = inp
-            carry = jnp.where(o, v, carry)
-            return carry, carry
-        # full_like (not a fresh constant) keeps the carry's shard_map
-        # varying type stable when this runs inside a mesh program.
-        init = jnp.full_like(vals[:, 0], jnp.nan)
-        _, out = lax.scan(step, init, (vals.T, ok.T))
-        return out.T                       # [H, W] last-valid-to-the-left
-
-    left_fill = propagate(d, valid)
-    right_fill = propagate(d[:, ::-1], valid[:, ::-1])[:, ::-1]
+    left_fill = propagate_last_valid(d, valid)
+    right_fill = propagate_last_valid(d[..., ::-1], valid[..., ::-1])[..., ::-1]
 
     fill = jnp.fmin(left_fill, right_fill)  # fmin ignores NaN sides
     filled = jnp.where(valid, d, fill)
     return jnp.where(jnp.isnan(filled), d, filled)
+
+
+def propagate_last_valid(vals: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """Per row, the last valid value at or left of each position along the
+    final axis (NaN where none yet) — the occlusion fill's prefix scan,
+    shared with the 2-D-tiled mesh variant (which stitches the NaN prefix
+    with a cross-tile carry).  Leading dimensions broadcast through.
+    """
+    def step(carry, inp):
+        v, o = inp
+        carry = jnp.where(o, v, carry)
+        return carry, carry
+    # full_like (not a fresh constant) keeps the carry's shard_map
+    # varying type stable when this runs inside a mesh program.
+    init = jnp.full_like(vals[..., 0], jnp.nan)
+    _, out = lax.scan(step, init, (jnp.moveaxis(vals, -1, 0),
+                                   jnp.moveaxis(ok, -1, 0)))
+    return jnp.moveaxis(out, 0, -1)

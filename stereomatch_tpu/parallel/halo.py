@@ -47,6 +47,50 @@ def pull_from_next(x: jnp.ndarray, count: int, axis: int,
                         perm=[(i + 1, i) for i in range(n - 1)])
 
 
+def pull_from_prev_multi(x: jnp.ndarray, count: int, axis: int,
+                         axis_name: str) -> jnp.ndarray:
+    """The ``count`` slices immediately BEFORE this shard's block, pulled
+    from as many predecessors as needed (``count`` may exceed the local
+    block, unlike :func:`pull_from_prev`).  Hop j contributes the tail of
+    the block j ranks back; positions before shard 0 are zeros.  Result
+    has size ``count`` along ``axis``, ordered as the global axis.
+    """
+    n = lax.axis_size(axis_name)
+    local = x.shape[axis]
+    hops = -(-count // local)
+    parts = []
+    for j in range(hops, 0, -1):                 # farthest rank first
+        width = min(local, count - (j - 1) * local)
+        edge = lax.slice_in_dim(x, local - width, local, axis=axis)
+        if j >= n:
+            parts.append(jnp.zeros_like(edge))
+        else:
+            parts.append(lax.ppermute(
+                edge, axis_name, perm=[(i, i + j) for i in range(n - j)]))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+
+def pull_from_next_multi(x: jnp.ndarray, count: int, axis: int,
+                         axis_name: str) -> jnp.ndarray:
+    """The ``count`` slices immediately AFTER this shard's block, pulled
+    from as many successors as needed (multi-hop counterpart of
+    :func:`pull_from_next`).  Positions beyond the last shard are zeros.
+    """
+    n = lax.axis_size(axis_name)
+    local = x.shape[axis]
+    hops = -(-count // local)
+    parts = []
+    for j in range(1, hops + 1):                 # nearest rank first
+        width = min(local, count - (j - 1) * local)
+        edge = lax.slice_in_dim(x, 0, width, axis=axis)
+        if j >= n:
+            parts.append(jnp.zeros_like(edge))
+        else:
+            parts.append(lax.ppermute(
+                edge, axis_name, perm=[(i + j, i) for i in range(n - j)]))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+
 def out_of_image_mask(axis_name: str, n_shards: int, local_len: int,
                       before: int, after: int = None) -> jnp.ndarray:
     """Which positions of a halo-extended block lie beyond the true image.

@@ -153,6 +153,88 @@ def _dp_tiled_w(vol, n_tile_w: int):
     return out
 
 
+def _lr_check_tiled_w(agg, disp, n_tile_w: int, *, max_diff: int):
+    """Left-right occlusion handling with the W axis split over tile_w.
+
+    The mirror-image LR mode is W-global (the flip crosses every tile),
+    but the volume mode (ops/refine.py::right_volume_from_left) is not:
+
+    * right disparity — C_R[y,x,d] = C_L[y,x+d,d] reaches D-1 columns
+      past the tile, one (D-1)-wide volume halo from the right neighbors
+      (multi-hop when D-1 exceeds the tile width), +inf-poisoned beyond
+      the true image;
+    * the consistency test reads dR[y, x - dL] — a (D-1)-wide halo of
+      the right disparity map from the left neighbors, poisoned with a
+      never-agreeing value beyond the image;
+    * the background fill's prefix scans run locally, then a [B, Hl]
+      last-valid carry chains across ranks (n_tile_w - 1 ppermute
+      rounds, NaN re-seeded at ring ends) — selections only, so the
+      stitched result is bit-identical to the single-chip scan.
+    """
+    from ..ops import refine
+
+    batch, h_loc, w_loc, max_disp = agg.shape
+    rank = lax.axis_index(TILE_W_AXIS)
+    d_halo = max_disp - 1
+
+    # Right disparity from the re-indexed volume.
+    if d_halo:
+        ext = jnp.concatenate(
+            [agg, halo.pull_from_next_multi(agg, d_halo, 2, TILE_W_AXIS)],
+            axis=2)
+        oob = halo.out_of_image_mask(TILE_W_AXIS, n_tile_w, w_loc,
+                                     0, d_halo)
+        ext = jnp.where(oob[None, None, :, None],
+                        jnp.asarray(jnp.inf, ext.dtype), ext)
+    else:
+        ext = agg
+    disp_r = jnp.argmin(refine.right_volume_from_padded(ext, width=w_loc),
+                        axis=-1).astype(jnp.int32)
+
+    # Consistency: dR[y, x - dL] needs dR columns left of the tile.
+    if d_halo:
+        padded_r = jnp.concatenate(
+            [halo.pull_from_prev_multi(disp_r, d_halo, 2, TILE_W_AXIS),
+             disp_r], axis=2)
+        oob_l = halo.out_of_image_mask(TILE_W_AXIS, n_tile_w, w_loc,
+                                       d_halo, 0)
+        padded_r = jnp.where(oob_l[None, None, :],
+                             -jnp.int32(1 << 20), padded_r)
+    else:
+        padded_r = disp_r
+    valid = refine.consistency_from_padded(disp, padded_r, pad=d_halo,
+                                           n_planes=max_disp,
+                                           max_diff=max_diff)
+
+    # Background (min-side) fill, scans stitched across ranks.
+    d_f = disp.astype(jnp.float32)
+
+    def chained_fill(vals, ok, perm, seed_rank):
+        out = refine.propagate_last_valid(vals, ok)     # NaN until 1st valid
+        own_last = out[..., -1]
+        any_valid = jnp.any(ok, axis=-1)
+        carry = jnp.full_like(own_last, jnp.nan)
+        for _ in range(n_tile_w - 1):
+            outgoing = jnp.where(any_valid, own_last, carry)
+            carry = lax.ppermute(outgoing, TILE_W_AXIS, perm)
+            # ppermute zero-fills the ring end; 0.0 would read as a real
+            # fill value, so re-seed "nothing yet" there.
+            carry = jnp.where(rank == seed_rank,
+                              jnp.full_like(carry, jnp.nan), carry)
+        return jnp.where(jnp.isnan(out), carry[..., None], out)
+
+    left_fill = chained_fill(
+        d_f, valid, [(i, i + 1) for i in range(n_tile_w - 1)], 0)
+    right_fill = chained_fill(
+        d_f[..., ::-1], valid[..., ::-1],
+        [(i + 1, i) for i in range(n_tile_w - 1)],
+        n_tile_w - 1)[..., ::-1]
+
+    fill = jnp.fmin(left_fill, right_fill)
+    filled = jnp.where(valid, d_f, fill)
+    return jnp.where(jnp.isnan(filled), d_f, filled)
+
+
 def _median3x3_tiled(disp, n_tile: int, n_tile_w: int):
     """3x3 median under 2-D tiling: one halo row/column per neighbor in
     each axis (the W halos of the row-extended block carry the corners);
@@ -219,6 +301,9 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           backend: str = "auto",
                           median: bool = False,
                           subpixel: bool = False,
+                          lr_check: bool = False,
+                          lr_mode: str = "volume",
+                          lr_max_diff: int = 1,
                           min_confidence: Optional[float] = None,
                           speckle: bool = False,
                           interpret: bool = False) -> Callable:
@@ -234,9 +319,12 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
 
     ``median``/``subpixel``/``min_confidence``/``speckle`` mirror the
     row-sharded pipeline's post-processing (parallel/sharded.py) with
-    2-D halos where a window crosses tiles.  The LR check and the
-    speckle background fill are W-global (mirror run / scanline scans)
-    and only exist on the row-sharded pipeline.
+    2-D halos where a window crosses tiles.  ``lr_check`` supports
+    ``lr_mode="volume"`` only (the re-indexed right disparity needs just
+    a (D-1)-wide volume halo and the fill a tiny cross-rank carry chain
+    — see ``_lr_check_tiled_w``; the mirror run's W flip crosses every
+    tile and remains row-sharded-only).  The speckle *background* fill
+    is likewise W-global; ``speckle`` here uses the zero fill.
     """
     # "ssd-texture" = texture sampler (identity over integer pixel centres
     # under nearest/unnormalized) into float32 SSD — same compute here,
@@ -248,6 +336,11 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         raise ValueError(f"unknown reducer {reducer!r}")
     if aggregation not in (None, "sgm", "cvf"):
         raise ValueError(f"unknown aggregation {aggregation!r}")
+    if lr_check and lr_mode != "volume":
+        raise ValueError(
+            f"2-D tiling supports lr_mode='volume' only (got {lr_mode!r}): "
+            "the mirror run's W flip crosses every tile_w shard; use the "
+            "row-sharded pipeline for lr_mode='mirror'")
     if kernel_size is None:
         kernel_size = 4 if cost == "birchfield" else 7
     if cost == "census":
@@ -370,6 +463,9 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
             disp = _dp_tiled_w(agg, n_tile_w)
         else:
             disp = jax.vmap(winner_takes_all.__wrapped__)(agg)
+        if lr_check:
+            disp = _lr_check_tiled_w(agg, disp, n_tile_w,
+                                     max_diff=lr_max_diff)
         if median:
             disp = _median3x3_tiled(disp, n_tile, n_tile_w)
         if subpixel:

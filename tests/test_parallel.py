@@ -542,3 +542,37 @@ def test_tiled2d_confidence_gate_matches_single_chip(pair):
                                min_confidence=0.05)
     out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+@pytest.mark.parametrize("n_batch,n_tile_w", [(2, 2), (1, 4)])
+def test_tiled2d_lr_check_matches_single_chip(pair, n_batch, n_tile_w):
+    """Volume-mode LR check under 2-D tiling is bit-exact vs the
+    single-chip stages on an exactly-tiled volume (aggregation=None):
+    the re-indexed right disparity pulls a (D-1)-wide volume halo
+    (multi-hop: D-1=31 > W/n_tile_w), the consistency test a disparity
+    halo, and the fill chains a last-valid carry across ranks."""
+    from stereomatch_tpu.ops import refine
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    disp = WinnerTakesAll()(vol)
+    disp_r = refine.right_disparity_from_volume(vol)
+    mask = refine.left_right_consistency(disp, disp_r, 1, max_disparity=D)
+    ref = np.asarray(refine.fill_inconsistent(disp, mask))
+
+    mesh2 = make_mesh_2d(n_batch=n_batch, n_tile=2, n_tile_w=n_tile_w)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               aggregation=None, backend="xla",
+                               lr_check=True)
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out[0], ref)
+    np.testing.assert_array_equal(out[1], ref)
+
+
+def test_tiled2d_lr_check_rejects_mirror(pair):
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    with pytest.raises(ValueError, match="volume"):
+        make_tiled2d_estimate(mesh2, max_disparity=D, lr_check=True,
+                              lr_mode="mirror")
