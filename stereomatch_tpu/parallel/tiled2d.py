@@ -206,7 +206,20 @@ def _lr_check_tiled_w(agg, disp, n_tile_w: int, *, max_diff: int):
                                            n_planes=max_disp,
                                            max_diff=max_diff)
 
-    # Background (min-side) fill, scans stitched across ranks.
+    return _fill_inconsistent_tiled_w(disp, valid, n_tile_w)
+
+
+def _fill_inconsistent_tiled_w(disp, valid, n_tile_w: int):
+    """Background (min-side) occlusion fill with the scanline prefix scans
+    stitched across ``tile_w`` ranks: each tile scans locally (NaN until
+    its first valid pixel), then a [B, Hl] last-valid carry chains
+    through n_tile_w - 1 ppermute rounds and replaces the NaN prefixes.
+    Selections only — bit-identical to ops.refine.fill_inconsistent on
+    the assembled image.  Shared by the LR check and the background
+    speckle fill."""
+    from ..ops import refine
+
+    rank = lax.axis_index(TILE_W_AXIS)
     d_f = disp.astype(jnp.float32)
 
     def chained_fill(vals, ok, perm, seed_rank):
@@ -261,12 +274,14 @@ def _median3x3_tiled(disp, n_tile: int, n_tile_w: int):
 
 
 def _speckle_tiled(disp, n_tile: int, n_tile_w: int, *, window: int = 9,
-                   max_diff: float = 1.0, min_frac: float = 0.25):
+                   max_diff: float = 1.0, min_frac: float = 0.25,
+                   fill: str = "zero"):
     """Windowed-support speckle suppression under 2-D tiling: window//2
     disparity halos per axis with NaN ring ends (the single-chip
-    out-of-image convention), zero fill for masked pixels (the
-    background fill's scanline scans would cross ``tile_w`` — use the
-    row-sharded pipeline for that variant)."""
+    out-of-image convention).  ``fill="zero"`` writes 0 for masked
+    pixels; ``fill="background"`` extends the nearest supported
+    disparity along the scanline via the cross-rank stitched scans
+    (:func:`_fill_inconsistent_tiled_w`)."""
     from ..ops import refine
 
     r = window // 2
@@ -287,6 +302,8 @@ def _speckle_tiled(disp, n_tile: int, n_tile_w: int, *, window: int = 9,
     mask = jax.vmap(functools.partial(
         refine._windowed_support, max_diff=max_diff, window=window,
         min_frac=min_frac))(padded, d)
+    if fill == "background":
+        return _fill_inconsistent_tiled_w(disp, mask, n_tile_w)
     return jnp.where(mask, disp, jnp.zeros((), disp.dtype))
 
 
@@ -306,6 +323,7 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           lr_max_diff: int = 1,
                           min_confidence: Optional[float] = None,
                           speckle: bool = False,
+                          speckle_fill: str = "zero",
                           interpret: bool = False) -> Callable:
     """Compile cost + aggregation + reduce over a 2-D tile mesh.
 
@@ -323,8 +341,9 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
     ``lr_mode="volume"`` only (the re-indexed right disparity needs just
     a (D-1)-wide volume halo and the fill a tiny cross-rank carry chain
     — see ``_lr_check_tiled_w``; the mirror run's W flip crosses every
-    tile and remains row-sharded-only).  The speckle *background* fill
-    is likewise W-global; ``speckle`` here uses the zero fill.
+    tile and remains row-sharded-only).  ``speckle_fill`` supports both
+    "zero" and "background" (the latter reuses the LR fill's cross-rank
+    scan stitching).
     """
     # "ssd-texture" = texture sampler (identity over integer pixel centres
     # under nearest/unnormalized) into float32 SSD — same compute here,
@@ -479,7 +498,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
             disp = jnp.where(conf >= min_confidence,
                              disp, jnp.zeros((), disp.dtype))
         if speckle:
-            disp = _speckle_tiled(disp, n_tile, n_tile_w)
+            disp = _speckle_tiled(disp, n_tile, n_tile_w,
+                                  fill=speckle_fill)
         return disp
 
     spec = P(BATCH_AXIS, TILE_AXIS, TILE_W_AXIS)

@@ -576,3 +576,22 @@ def test_tiled2d_lr_check_rejects_mirror(pair):
     with pytest.raises(ValueError, match="volume"):
         make_tiled2d_estimate(mesh2, max_disparity=D, lr_check=True,
                               lr_mode="mirror")
+
+
+def test_tiled2d_speckle_background_fill_matches_single_chip(pair):
+    """Background speckle fill under 2-D tiling: the windowed-support mask
+    takes 2-D NaN halos and the scanline fill reuses the LR check's
+    cross-rank scan stitching — bit-exact vs filter_speckles."""
+    from stereomatch_tpu.ops import refine
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    disp = WinnerTakesAll()(vol)
+    ref = np.asarray(refine.filter_speckles(disp, fill="background"))
+
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               aggregation=None, backend="xla",
+                               speckle=True, speckle_fill="background")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
