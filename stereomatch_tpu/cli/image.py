@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "(exact, 2x cost); 'volume' re-indexes the "
                              "left aggregated volume (the SGBM trick, "
                              "~free, approximate under aggregation).")
+    parser.add_argument("--wmf", action="store_true",
+                        help="Guide-weighted median filter (edge-"
+                             "preserving smoothing weighted by left-image "
+                             "affinity; runs before --refine's median/"
+                             "sub-pixel).")
+    parser.add_argument("--wmf-sigma", type=float, default=10.0,
+                        help="Affinity bandwidth in guide gray levels "
+                             "(8-bit scale).")
     parser.add_argument("--speckle", action="store_true",
                         help="Suppress speckles (small isolated disparity "
                              "blobs) by windowed-support filtering of the "
@@ -137,6 +145,7 @@ def main(argv=None) -> int:
         # winner's neighbour costs for in-scan parabolic sub-pixel.
         incompatible = [flag for flag, on in [
             ("--lr-check", args.lr_check),
+            ("--wmf", args.wmf),
             ("--min-confidence", args.min_confidence is not None),
             ("--confidence", args.confidence is not None)] if on]
         if incompatible:
@@ -168,10 +177,13 @@ def main(argv=None) -> int:
     left = np.array(left_rgb.convert("L"), np.float32)
     right = np.array(right_rgb.convert("L"), np.float32)
 
-    if args.refine or args.lr_check or args.min_confidence is not None:
+    if (args.refine or args.lr_check or args.wmf
+            or args.min_confidence is not None):
         kwargs = dict(subpixel=args.refine, median=args.refine)
         if args.pyramid == 0:       # volume-based post-processing only
             kwargs.update(lr_check=args.lr_check, lr_mode=args.lr_mode,
+                          weighted_median=args.wmf,
+                          wmf_sigma=args.wmf_sigma,
                           min_confidence=args.min_confidence)
         disparity = np.asarray(pipeline.estimate_refined(
             left, right, **kwargs))

@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="3x3 median + parabolic sub-pixel refinement "
                              "on each depthmap (composes with --batch and "
                              "--mesh).")
+    parser.add_argument("--wmf", action="store_true",
+                        help="Guide-weighted median filter on each frame "
+                             "(edge-preserving; weighted by left-image "
+                             "affinity).")
+    parser.add_argument("--wmf-sigma", type=float, default=10.0,
+                        help="WMF affinity bandwidth in guide gray levels "
+                             "(8-bit scale).")
     parser.add_argument("--speckle", action="store_true",
                         help="Suppress speckles (small isolated disparity "
                              "blobs) on each depthmap by windowed-support "
@@ -264,6 +271,7 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   band_radius=(args.band_radius if args.band_radius is not None
                                else 4),
                   median=args.refine, subpixel=args.refine,
+                  weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
                   speckle=args.speckle, speckle_fill=args.speckle_fill)
     if args.mesh:
         height, capture, err = _peek_first_frame(capture, args.pyramid)
@@ -352,6 +360,15 @@ def main(argv=None) -> int:
     # tracker on a tile-only mesh instead of the batched estimator path.
     batched = (args.batch is not None or args.mesh) and not args.temporal
     pipeline = None
+    if args.wmf and args.pyramid > 0:
+        print("--wmf is incompatible with --pyramid (the band stage has no "
+              "integer disparity/bin range to median over).",
+              file=sys.stderr)
+        return 2
+    if args.wmf and args.temporal:
+        print("--wmf is incompatible with --temporal (stateful per-frame "
+              "path; post-filter offline instead).", file=sys.stderr)
+        return 2
     if args.temporal and (args.batch is not None or args.refine):
         print("--temporal is a stateful per-frame path; it is incompatible "
               "with --batch/--refine (row-shard each frame with --mesh).",
@@ -466,10 +483,15 @@ def main(argv=None) -> int:
             frame0, frame1 = (np.asarray(x) for x in
                               rectifier(frame0, frame1))
 
-        estimate = (pipeline.estimate_refined if args.refine
-                    else pipeline.estimate)
-        depthmap = estimate(np.asarray(frame0, np.float32),
-                            np.asarray(frame1, np.float32))
+        if args.refine or args.wmf:
+            depthmap = pipeline.estimate_refined(
+                np.asarray(frame0, np.float32),
+                np.asarray(frame1, np.float32),
+                median=args.refine, subpixel=args.refine,
+                weighted_median=args.wmf, wmf_sigma=args.wmf_sigma)
+        else:
+            depthmap = pipeline.estimate(np.asarray(frame0, np.float32),
+                                         np.asarray(frame1, np.float32))
         if args.speckle:
             from ..ops.refine import filter_speckles
             depthmap = filter_speckles(depthmap, fill=args.speckle_fill)

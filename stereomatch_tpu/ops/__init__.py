@@ -15,7 +15,8 @@ from .dp_pallas import dynamic_programming_pallas
 from .refine import (confidence_pkrn, fill_inconsistent,
                      left_right_consistency, median_filter_3x3,
                      right_disparity, right_disparity_from_volume,
-                     right_volume_from_left, subpixel_refine)
+                     right_volume_from_left, subpixel_refine,
+                     weighted_median_filter)
 from .sgm_pallas import semiglobal_aggregate_pallas
 
 __all__ = [
@@ -37,5 +38,6 @@ __all__ = [
     "ssd_cost_volume",
     "ssd_texture_cost_volume",
     "subpixel_refine",
+    "weighted_median_filter",
     "winner_takes_all",
 ]

@@ -568,6 +568,34 @@ def _median3x3_rows(disp, *, axis_name, n_tiles):
                     axis=-1)[..., 4].astype(disp.dtype)
 
 
+def _wmf_rows(disp, guide, *, window, sigma, n_bins, axis_name, n_tiles):
+    """Guide-weighted median under row sharding: ±window//2 halo rows of
+    the disparity bins AND the guide, ring-end guide halo rows overwritten
+    with +inf (zero affinity — the single-chip out-of-image convention),
+    W padded locally.  Bit-identical to ops.refine.weighted_median_filter
+    on the assembled image.  [B, Hl, W] -> same."""
+    from ..ops import refine
+
+    r = window // 2
+    bins = jnp.clip(jnp.round(disp.astype(jnp.float32)),
+                    0, n_bins - 1).astype(jnp.int32)
+    g = guide.astype(jnp.float32)
+    b_pad = halo.pad_with_halos(bins, r, r, axis=1, axis_name=axis_name)
+    g_pad = halo.pad_with_halos(g, r, r, axis=1, axis_name=axis_name)
+    rank = lax.axis_index(axis_name)
+    inf = jnp.float32(jnp.inf)
+    top = jnp.where(rank == 0, inf, g_pad[:, :r])
+    bottom = jnp.where(rank == n_tiles - 1, inf, g_pad[:, -r:])
+    g_pad = jnp.concatenate([top, g_pad[:, r:-r], bottom], axis=1)
+    b_pad = jnp.pad(b_pad, ((0, 0), (0, 0), (r, r)))
+    g_pad = jnp.pad(g_pad, ((0, 0), (0, 0), (r, r)),
+                    constant_values=jnp.inf)
+    out = jax.vmap(functools.partial(refine._wmf_from_padded,
+                                     window=window, sigma=sigma,
+                                     n_bins=n_bins))(b_pad, g_pad, g)
+    return out.astype(disp.dtype)
+
+
 def _speckle_rows(disp, *, max_diff, window, min_frac, fill,
                   axis_name, n_tiles):
     """Windowed-support speckle suppression under row sharding: pull
@@ -615,6 +643,9 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                           lr_check: bool = False,
                           lr_mode: str = "mirror",
                           lr_max_diff: int = 1,
+                          weighted_median: bool = False,
+                          wmf_sigma: float = 10.0,
+                          wmf_window: int = 5,
                           min_confidence: Optional[float] = None,
                           speckle: bool = False,
                           speckle_fill: str = "zero",
@@ -744,6 +775,10 @@ def make_sharded_estimate(mesh, *, max_disparity: int,
                 max_diff=lr_max_diff,
                 max_disparity=max_disparity))(disp, disp_r)
             disp = jax.vmap(refine.fill_inconsistent)(disp, mask)
+        if weighted_median:
+            disp = _wmf_rows(disp, left, window=wmf_window,
+                             sigma=wmf_sigma, n_bins=max_disparity,
+                             axis_name=TILE_AXIS, n_tiles=n_tiles)
         if median:
             disp = _median3x3_rows(disp, axis_name=TILE_AXIS,
                                    n_tiles=n_tiles)
@@ -791,6 +826,8 @@ class ShardedPipeline:
                  median: bool = False, subpixel: bool = False,
                  lr_check: bool = False, lr_mode: str = "mirror",
                  lr_max_diff: int = 1,
+                 weighted_median: bool = False, wmf_sigma: float = 10.0,
+                 wmf_window: int = 5,
                  min_confidence: Optional[float] = None,
                  speckle: bool = False, speckle_fill: str = "zero",
                  interpret: bool = False):
@@ -805,7 +842,8 @@ class ShardedPipeline:
             cvf_radius=cvf_radius, cvf_eps=cvf_eps, sgm_mode=sgm_mode,
             overlap=overlap, backend=backend, median=median,
             subpixel=subpixel, lr_check=lr_check, lr_mode=lr_mode,
-            lr_max_diff=lr_max_diff,
+            lr_max_diff=lr_max_diff, weighted_median=weighted_median,
+            wmf_sigma=wmf_sigma, wmf_window=wmf_window,
             min_confidence=min_confidence, speckle=speckle,
             speckle_fill=speckle_fill, interpret=interpret)
         self._sharding = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))

@@ -273,6 +273,44 @@ def _median3x3_tiled(disp, n_tile: int, n_tile_w: int):
                     axis=-1)[..., 4].astype(disp.dtype)
 
 
+def _wmf_tiled(disp, guide, n_tile: int, n_tile_w: int, *, window: int,
+               sigma: float, n_bins: int):
+    """Guide-weighted median under 2-D tiling: window//2 halos of the
+    disparity bins and the guide per axis, ring-end guide halos +inf
+    (zero affinity = the single-chip out-of-image convention).
+    Bit-identical to ops.refine.weighted_median_filter."""
+    from ..ops import refine
+
+    r = window // 2
+    bins = jnp.clip(jnp.round(disp.astype(jnp.float32)),
+                    0, n_bins - 1).astype(jnp.int32)
+    g = guide.astype(jnp.float32)
+    inf = jnp.float32(jnp.inf)
+
+    def pad2d(x, ring_fill):
+        rh = lax.axis_index(TILE_AXIS)
+        top = halo.pull_from_prev(x, r, 1, TILE_AXIS)
+        bottom = halo.pull_from_next(x, r, 1, TILE_AXIS)
+        if ring_fill is not None:
+            top = jnp.where(rh == 0, ring_fill, top)
+            bottom = jnp.where(rh == n_tile - 1, ring_fill, bottom)
+        x = jnp.concatenate([top, x, bottom], axis=1)
+        rw = lax.axis_index(TILE_W_AXIS)
+        left_c = halo.pull_from_prev(x, r, 2, TILE_W_AXIS)
+        right_c = halo.pull_from_next(x, r, 2, TILE_W_AXIS)
+        if ring_fill is not None:
+            left_c = jnp.where(rw == 0, ring_fill, left_c)
+            right_c = jnp.where(rw == n_tile_w - 1, ring_fill, right_c)
+        return jnp.concatenate([left_c, x, right_c], axis=2)
+
+    b_pad = pad2d(bins, None)                 # bins beyond image: weight 0
+    g_pad = pad2d(g, inf)
+    out = jax.vmap(functools.partial(refine._wmf_from_padded,
+                                     window=window, sigma=sigma,
+                                     n_bins=n_bins))(b_pad, g_pad, g)
+    return out.astype(disp.dtype)
+
+
 def _speckle_tiled(disp, n_tile: int, n_tile_w: int, *, window: int = 9,
                    max_diff: float = 1.0, min_frac: float = 0.25,
                    fill: str = "zero"):
@@ -321,6 +359,9 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           lr_check: bool = False,
                           lr_mode: str = "volume",
                           lr_max_diff: int = 1,
+                          weighted_median: bool = False,
+                          wmf_sigma: float = 10.0,
+                          wmf_window: int = 5,
                           min_confidence: Optional[float] = None,
                           speckle: bool = False,
                           speckle_fill: str = "zero",
@@ -485,6 +526,10 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         if lr_check:
             disp = _lr_check_tiled_w(agg, disp, n_tile_w,
                                      max_diff=lr_max_diff)
+        if weighted_median:
+            disp = _wmf_tiled(disp, left, n_tile, n_tile_w,
+                              window=wmf_window, sigma=wmf_sigma,
+                              n_bins=max_disparity)
         if median:
             disp = _median3x3_tiled(disp, n_tile, n_tile_w)
         if subpixel:

@@ -110,15 +110,20 @@ class Pipeline:
                          lr_check: bool = False,
                          lr_mode: str = "mirror",
                          max_diff: int = 1,
+                         weighted_median: bool = False,
+                         wmf_sigma: float = 10.0,
+                         wmf_window: int = 5,
                          min_confidence: Optional[float] = None
                          ) -> jnp.ndarray:
         """Estimate + post-processing (beyond the reference's surface).
 
         Optional stages, in order: left-right consistency check with
-        background occlusion fill (``lr_check``), 3x3 median
-        (``median``), parabolic sub-pixel interpolation on the
-        aggregated volume (``subpixel`` — output becomes float32),
-        and confidence gating (``min_confidence`` — pixels whose PKRN
+        background occlusion fill (``lr_check``), guide-weighted median
+        (``weighted_median`` — edge-preserving, weighted by left-image
+        affinity with ``wmf_sigma`` in guide intensity units, e.g. ~10
+        for 8-bit-range images), 3x3 median (``median``), parabolic
+        sub-pixel interpolation on the aggregated volume (``subpixel``
+        — output becomes float32), and confidence gating (``min_confidence`` — pixels whose PKRN
         confidence falls below the threshold are marked unknown with the
         Middlebury 0 convention, which downstream consumers — metrics'
         valid mask, reconstruction's validity rule — already honor).
@@ -149,6 +154,11 @@ class Pipeline:
                 disp, disp_r, max_diff,
                 max_disparity=self._aggregation_volume.shape[2])
             disp = refine.fill_inconsistent(disp, mask)
+        if weighted_median:
+            disp = refine.weighted_median_filter(
+                disp, jnp.asarray(left_image), window=wmf_window,
+                sigma=wmf_sigma,
+                n_bins=self._aggregation_volume.shape[2])
         if median:
             disp = refine.median_filter_3x3(disp)
         if subpixel:

@@ -53,6 +53,8 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     backend: str = "auto", cost_dtype=jnp.float32,
                     cvf_radius: int = 8, cvf_eps: float = 1e-4,
                     median: bool = False, subpixel: bool = False,
+                    weighted_median: bool = False, wmf_sigma: float = 10.0,
+                    wmf_window: int = 5,
                     speckle: bool = False, speckle_fill: str = "zero"):
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
@@ -60,8 +62,12 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         cost_dtype = jnp.float32        # the sampler contract is float32
     use_pallas = resolve_backend(backend) == "pallas"
 
-    def postprocess(vol, disp):
+    def postprocess(vol, disp, left):
         from .ops import refine
+        if weighted_median:
+            disp = refine.weighted_median_filter.__wrapped__(
+                disp, left, window=wmf_window, sigma=wmf_sigma,
+                n_bins=max_disparity)
         if median:
             disp = refine.median_filter_3x3.__wrapped__(disp)
         if subpixel:
@@ -107,10 +113,11 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         elif aggregation is not None:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if reducer == "wta":
-            return postprocess(vol, winner_takes_all(vol))
+            return postprocess(vol, winner_takes_all(vol), left)
         if reducer == "dynamic_programming":
             return postprocess(vol, dynamic_programming_pallas(vol)
-                               if use_pallas else dynamic_programming(vol))
+                               if use_pallas else dynamic_programming(vol),
+                               left)
         raise ValueError(f"unknown reducer {reducer!r}")
 
     return frame_fn
@@ -144,6 +151,8 @@ class StreamingEstimator:
                  pyramid_levels: int = 0, band_radius: int = 4,
                  pyramid_median: bool = True,
                  median: bool = False, subpixel: bool = False,
+                 weighted_median: bool = False, wmf_sigma: float = 10.0,
+                 wmf_window: int = 5,
                  speckle: bool = False, speckle_fill: str = "zero"):
         if mesh is not None:
             from .parallel.mesh import BATCH_AXIS
@@ -173,6 +182,8 @@ class StreamingEstimator:
                     cvf_radius=cvf_radius, cvf_eps=cvf_eps,
                     sgm_mode=sgm_mode, overlap=overlap, backend=backend,
                     median=median, subpixel=subpixel,
+                    weighted_median=weighted_median, wmf_sigma=wmf_sigma,
+                    wmf_window=wmf_window,
                     speckle=speckle, speckle_fill=speckle_fill)
         else:
             self.batch = batch
@@ -197,6 +208,9 @@ class StreamingEstimator:
                                            cvf_radius=cvf_radius,
                                            cvf_eps=cvf_eps,
                                            median=median, subpixel=subpixel,
+                                           weighted_median=weighted_median,
+                                           wmf_sigma=wmf_sigma,
+                                           wmf_window=wmf_window,
                                            speckle=speckle,
                                            speckle_fill=speckle_fill)
             # lax.map (sequential per-frame programs in one jit) beats vmap

@@ -595,3 +595,42 @@ def test_tiled2d_speckle_background_fill_matches_single_chip(pair):
                                speckle=True, speckle_fill="background")
     out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_weighted_median_matches_single_chip(pair, mesh):
+    """Row-sharded guide-weighted median: halo rows of bins + guide with
+    +inf ring-end guide (zero affinity) — bit-exact vs the single-chip
+    filter applied to the exact mesh disparity."""
+    from stereomatch_tpu.ops import refine
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    agg = Semiglobal(backend="xla")(vol, left)
+    disp = WinnerTakesAll()(agg)
+    ref = np.asarray(refine.weighted_median_filter(
+        disp, left, window=5, sigma=0.1, n_bins=D))
+
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="exact", backend="xla",
+                           weighted_median=True, wmf_sigma=0.1,
+                           wmf_window=5)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_tiled2d_weighted_median_matches_single_chip(pair):
+    from stereomatch_tpu.ops import refine
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    disp = WinnerTakesAll()(vol)
+    ref = np.asarray(refine.weighted_median_filter(
+        disp, left, window=5, sigma=0.1, n_bins=D))
+
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, kernel_size=3,
+                               aggregation=None, backend="xla",
+                               weighted_median=True, wmf_sigma=0.1,
+                               wmf_window=5)
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)

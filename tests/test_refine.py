@@ -370,3 +370,99 @@ def test_estimate_refined_lr_mode_volume():
         left, right, lr_check=True, lr_mode="mirror"))
     assert via_volume.shape == via_mirror.shape
     assert np.mean(np.abs(via_volume - via_mirror) <= 1.0) > 0.9
+
+
+def _wmf_oracle(disp, guide, window, sigma, n_bins):
+    r = window // 2
+    height, width = disp.shape
+    bins = np.clip(np.round(disp.astype(np.float32)),
+                   0, n_bins - 1).astype(int)
+    out = np.zeros_like(disp)
+    for y in range(height):
+        for x in range(width):
+            hist = np.zeros(n_bins, np.float32)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < height and 0 <= xx < width:
+                        w = np.float32(np.exp(
+                            -(guide[yy, xx] - guide[y, x]) ** 2
+                            / (2 * np.float32(sigma) ** 2)))
+                        hist[bins[yy, xx]] += w
+            cum = np.cumsum(hist)
+            out[y, x] = np.argmax(cum >= cum[-1] / 2)
+    return out
+
+
+def test_weighted_median_matches_oracle():
+    from stereomatch_tpu.ops.refine import weighted_median_filter
+    rng = np.random.default_rng(11)
+    disp = rng.integers(0, 12, (14, 17)).astype(np.int32)
+    guide = rng.random((14, 17)).astype(np.float32)
+    got = np.asarray(weighted_median_filter(disp, guide, window=5,
+                                            sigma=0.2, n_bins=16))
+    want = _wmf_oracle(disp, guide, 5, 0.2, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_weighted_median_preserves_edges_where_plain_median_blurs():
+    """A one-pixel-wide disparity structure aligned with a strong guide
+    edge survives the weighted median (affinity ~0 across the edge) but
+    is erased by the plain 3x3 median."""
+    from stereomatch_tpu.ops.refine import (median_filter_3x3,
+                                            weighted_median_filter)
+    disp = np.full((9, 9), 5, np.int32)
+    disp[:, 4] = 20                       # thin structure
+    guide = np.zeros((9, 9), np.float32)
+    guide[:, 4] = 1.0                     # ... on a strong intensity edge
+    plain = np.asarray(median_filter_3x3(disp))
+    wmf = np.asarray(weighted_median_filter(disp, guide, window=3,
+                                            sigma=0.05, n_bins=32))
+    assert (plain[:, 4] == 5).all()       # plain median erases it
+    np.testing.assert_array_equal(wmf, disp)   # WMF keeps it
+
+
+def test_weighted_median_kills_speckle_on_flat_guide():
+    from stereomatch_tpu.ops.refine import weighted_median_filter
+    disp = np.full((9, 9), 5, np.int32)
+    disp[4, 4] = 50                       # lone speckle
+    guide = np.zeros((9, 9), np.float32)  # uniform guide = plain median
+    out = np.asarray(weighted_median_filter(disp, guide, window=3,
+                                            n_bins=64))
+    assert out.dtype == np.int32
+    assert (out == 5).all()
+
+
+def test_estimate_refined_weighted_median_composes():
+    """WMF in the pipeline chain: composes with the other stages and does
+    not hurt accuracy on the synthetic scene (guide affinity keeps the
+    smoothing inside surfaces)."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    D = 16
+    left, right, gt = synthetic_stereo_pair(40, 64, D, seed=13)
+    pipe = create_pipeline("census", "wta", "sgm", max_disparity=D)
+
+    def bad(d):
+        return np.mean((np.abs(np.round(d) - gt) > 1)[:, D:])
+
+    base = np.asarray(pipe.estimate_refined(left, right, subpixel=False,
+                                            median=False))
+    wmf = np.asarray(pipe.estimate_refined(
+        left, right, subpixel=False, median=False, weighted_median=True,
+        wmf_sigma=0.1))          # synthetic scenes are [0, 1] intensity
+    assert wmf.shape == base.shape
+    assert bad(wmf) <= bad(base) + 1e-9
+
+
+def test_image_cli_wmf(tmp_path):
+    from PIL import Image
+    from stereomatch_tpu.cli import image as cli_image
+    left, right, _ = synthetic_stereo_pair(24, 40, 8, seed=19)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    Image.fromarray((left * 255).astype(np.uint8)).save(lp)
+    Image.fromarray((right * 255).astype(np.uint8)).save(rp)
+    out = tmp_path / "d.png"
+    rc = cli_image.main([str(lp), str(rp), "8", str(out),
+                         "-am", "sgm", "--wmf"])
+    assert rc == 0
+    assert np.array(Image.open(out)).shape == (24, 40, 3)

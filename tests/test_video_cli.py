@@ -256,3 +256,25 @@ def test_video_cli_speckle_modes(tmp_path):
                          *extra, "--headless", "--output-dir", str(out_dir)])
         assert rc == 0
         assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_wmf_batched_y4m(tmp_path):
+    """--wmf routes the guide-weighted median through the batched
+    estimator (and composes with --refine)."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "wmf_depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--batch", "2", "-am", "sgm",
+                     "--wmf", "--refine", "--headless",
+                     "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_wmf_rejects_pyramid(tmp_path):
+    rc = video_main(["y4m", "missing.y4m", str(D), "--pyramid", "1",
+                     "--wmf", "--headless",
+                     "--output-dir", str(tmp_path)])
+    assert rc == 2
