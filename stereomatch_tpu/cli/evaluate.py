@@ -99,11 +99,14 @@ def parse_configs(spec):
     avg-err, which the integer-step bad-pixel metric barely sees.
     ``+speckle`` applies windowed-support speckle suppression
     (background fill, so no pixels leave the metrics' valid mask).
+    ``+wmf`` applies the guide-weighted median (edge-preserving; sigma
+    10 gray levels on the 8-bit-range eval images) before the refine
+    stages.
     """
     configs = []
     for item in spec.split(","):
         head, *mods = item.strip().split("+")
-        bad = set(mods) - {"refine", "speckle"}
+        bad = set(mods) - {"refine", "speckle", "wmf"}
         if bad:
             raise ValueError(f"Unknown config modifiers: {sorted(bad)}")
         mods = frozenset(mods)
@@ -250,6 +253,8 @@ def main(argv=None) -> int:
         dtyped_costs = ("ssd", "census", "sad", "ncc")
         if args.dtype != "float32" and cost_m in dtyped_costs:
             name += f"-{args.dtype}"
+        if "wmf" in mods:
+            name += "-wmf"
         if refined:
             name += "-refine"
         if "speckle" in mods:
@@ -291,9 +296,18 @@ def main(argv=None) -> int:
                 predicted = np.load(cache_file)
                 conf = np.load(conf_file) if args.confidence else None
             else:
-                estimate = (pipeline.estimate_refined if refined
-                            else pipeline.estimate)
-                predicted = estimate(left, right)
+                use_wmf = "wmf" in mods and not is_pyramid
+                if use_wmf:
+                    # (PyramidPipeline's refined surface has no WMF —
+                    # the band stage carries no bin range; the modifier
+                    # is a no-op there.)
+                    predicted = pipeline.estimate_refined(
+                        left, right, subpixel=refined, median=refined,
+                        weighted_median=True)
+                elif refined:
+                    predicted = pipeline.estimate_refined(left, right)
+                else:
+                    predicted = pipeline.estimate(left, right)
                 if "speckle" in mods:
                     from ..ops.refine import filter_speckles
                     predicted = filter_speckles(

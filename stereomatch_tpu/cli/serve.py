@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=DISPARITY_METHODS.keys(), default="wta")
     parser.add_argument("--p1", type=float, default=0.1)
     parser.add_argument("--p2", type=float, default=0.2)
+    parser.add_argument("--wmf", action="store_true",
+                        help="Apply the guide-weighted median to every "
+                             "response (server-level: one program config; "
+                             "per-request toggles stay refine/speckle).")
+    parser.add_argument("--wmf-sigma", type=float, default=10.0,
+                        help="WMF affinity bandwidth in guide gray levels "
+                             "(8-bit scale).")
     parser.add_argument("--cvf-radius", type=int, default=8,
                         help="-am cvf: box window half-size.")
     parser.add_argument("--cvf-eps", type=float, default=1e-4,
@@ -307,6 +314,7 @@ class _Batcher:
                     backend=a.backend,
                     mesh=mesh, pyramid_levels=a.pyramid,
                     median=refine, subpixel=refine,
+                    weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
                     speckle=speckle, speckle_fill="background")
                 self._fns[key] = (est.estimate_batch,
                                   mesh.shape[BATCH_AXIS])
@@ -332,6 +340,7 @@ class _Batcher:
                     a.p1, a.p2, a.backend, dtype,
                     cvf_radius=a.cvf_radius, cvf_eps=a.cvf_eps,
                     median=refine, subpixel=refine,
+                    weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
                     speckle=speckle, speckle_fill="background")
             # Transport narrowing happens once, in _dispatch, for both
             # the single-chip and mesh paths.
@@ -486,8 +495,14 @@ class _State:
         left = jax.device_put(left).astype(jnp.float32)
         right = jax.device_put(right).astype(jnp.float32)
         with self.lock:
-            if refine:
-                out = self.pipeline.estimate_refined(left, right)
+            wmf = getattr(self.args, "wmf", False) and self.args.pyramid == 0
+            if refine or wmf:
+                kwargs = {}
+                if self.args.pyramid == 0:
+                    kwargs = dict(weighted_median=wmf,
+                                  wmf_sigma=self.args.wmf_sigma)
+                out = self.pipeline.estimate_refined(
+                    left, right, subpixel=refine, median=refine, **kwargs)
             else:
                 out = self.pipeline.estimate(left, right)
             if speckle:
@@ -649,6 +664,11 @@ def make_server(args) -> ThreadingHTTPServer:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.wmf and args.pyramid > 0:
+        print("--wmf is incompatible with --pyramid (the band stage has "
+              "no integer disparity/bin range to median over).",
+              file=sys.stderr)
+        return 2
     if args.device:
         import jax
         jax.config.update("jax_platforms", args.device)

@@ -156,10 +156,12 @@ def test_parse_configs_modifier_suffixes():
     import pytest as _pytest
     from stereomatch_tpu.cli.evaluate import parse_configs
     assert parse_configs(
-        "ssd:wta,census:wta:sgm+refine+speckle,pyramid2+refine") == [
+        "ssd:wta,census:wta:sgm+refine+speckle,pyramid2+refine,"
+        "census:wta:sgm+wmf") == [
         ("ssd", "wta", None, frozenset()),
         ("census", "wta", "sgm", frozenset({"refine", "speckle"})),
         ("pyramid2", None, None, frozenset({"refine"})),
+        ("census", "wta", "sgm", frozenset({"wmf"})),
     ]
     with _pytest.raises(ValueError):
         parse_configs("ssd:wta+bogus")
@@ -224,3 +226,11 @@ def test_evaluate_cli_kitti_format(kitti_dir, tmp_path, capsys):
     assert rows[0]["name"] == "census-wta-sgm"
     assert rows[0]["bad_pixel_ratio"] < 0.25
     assert len(rows[0]["scenes"]) == 2
+
+
+def test_eval_wmf_config_runs(capsys):
+    from stereomatch_tpu.cli.evaluate import main
+    rc = main(["--synthetic", "1", "--synthetic-size", "32x48x8",
+               "--configs", "census:wta:sgm+wmf"])
+    assert rc == 0
+    assert "census-wta-sgm-wmf" in capsys.readouterr().out

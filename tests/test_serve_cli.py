@@ -534,3 +534,39 @@ def test_serve_cvf_batched_matches_local_pipeline():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_wmf_matches_local_filter():
+    """A --wmf server's response equals the local pipeline + WMF chain
+    (server-level flag: every request gets the edge-preserving median)."""
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla", "--wmf",
+         "--wmf-sigma", "25"])
+    srv = make_server(args)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        body, left, right, _ = _sbs_png()
+        req = urllib.request.Request(f"{base}/estimate?format=npy",
+                                     data=body)
+        with urllib.request.urlopen(req) as resp:
+            got = np.load(io.BytesIO(resp.read()))
+
+        from stereomatch_tpu.cli_common import create_pipeline
+        from stereomatch_tpu.ops.refine import weighted_median_filter
+        pipe = create_pipeline("census", "wta", "sgm", max_disparity=D)
+        l8 = np.asarray((left * 255).astype(np.uint8), np.float32)
+        r8 = np.asarray((right * 255).astype(np.uint8), np.float32)
+        want = np.asarray(weighted_median_filter(
+            pipe.estimate(l8, r8), l8, sigma=25.0, n_bins=D))
+        np.testing.assert_array_equal(got.astype(np.int32), want)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_wmf_rejects_pyramid():
+    from stereomatch_tpu.cli.serve import main
+    assert main([str(D), "--wmf", "--pyramid", "1"]) == 2
