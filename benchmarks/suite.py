@@ -113,6 +113,10 @@ def _traffic_models():
         # speckle: disparity in, mask+fill out — everything else is
         # VPU-resident shifted compares.
         "speckle_filter_teddy_450x375": 2 * _vol_bytes(375, 450, 1),
+        # wmf: disparity + guide in, median out; the window^2 one-hot
+        # histogram accumulation over the bin lane axis is pure VPU work
+        # (window^2 * D ops/pixel), so %SoL vs HBM is not the bound.
+        "wmf_teddy_450x375_d128": 3 * _vol_bytes(375, 450, 1),
     }
 
 
@@ -360,6 +364,16 @@ def build_benchmarks():
         return (disp + (out < -1).astype(jnp.int32),)
 
     benches["speckle_filter_teddy_450x375"] = (speckle_body, (disp0,))
+
+    guide0 = jax.device_put(rng.random((h2, w2), np.float32))
+
+    def wmf_body(carry):
+        disp, guide = carry
+        out = refine.weighted_median_filter.__wrapped__(
+            disp, guide, window=5, sigma=0.1, n_bins=d2)
+        return disp + (out < -1).astype(jnp.int32), guide
+
+    benches["wmf_teddy_450x375_d128"] = (wmf_body, (disp0, guide0))
 
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map
