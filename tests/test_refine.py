@@ -394,14 +394,33 @@ def _wmf_oracle(disp, guide, window, sigma, n_bins):
     return out
 
 
-def test_weighted_median_matches_oracle():
+@pytest.mark.parametrize("shape,window,seed", [
+    ((14, 17), 5, 11),
+    ((9, 23), 3, 2),
+    ((16, 16), 7, 5),
+])
+def test_weighted_median_matches_oracle(shape, window, seed):
     from stereomatch_tpu.ops.refine import weighted_median_filter
-    rng = np.random.default_rng(11)
-    disp = rng.integers(0, 12, (14, 17)).astype(np.int32)
-    guide = rng.random((14, 17)).astype(np.float32)
-    got = np.asarray(weighted_median_filter(disp, guide, window=5,
+    rng = np.random.default_rng(seed)
+    disp = rng.integers(0, 12, shape).astype(np.int32)
+    guide = rng.random(shape).astype(np.float32)
+    got = np.asarray(weighted_median_filter(disp, guide, window=window,
                                             sigma=0.2, n_bins=16))
-    want = _wmf_oracle(disp, guide, 5, 0.2, 16)
+    want = _wmf_oracle(disp, guide, window, 0.2, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_weighted_median_float_input_rounds_to_bins():
+    """Float (sub-pixel) input quantizes to bins; output is the float bin
+    value in the input dtype."""
+    from stereomatch_tpu.ops.refine import weighted_median_filter
+    rng = np.random.default_rng(7)
+    disp = (rng.random((10, 12)) * 11).astype(np.float32)
+    guide = rng.random((10, 12)).astype(np.float32)
+    got = np.asarray(weighted_median_filter(disp, guide, window=3,
+                                            sigma=0.2, n_bins=16))
+    want = _wmf_oracle(disp, guide, 3, 0.2, 16).astype(np.float32)
+    assert got.dtype == np.float32
     np.testing.assert_array_equal(got, want)
 
 
