@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=DISPARITY_METHODS.keys(), default="wta")
     parser.add_argument("--p1", type=float, default=0.1)
     parser.add_argument("--p2", type=float, default=0.2)
+    parser.add_argument("--lr-check", action="store_true",
+                        help="Left-right consistency check + background "
+                             "occlusion fill on every response "
+                             "(server-level flag).")
+    parser.add_argument("--lr-mode", choices=("mirror", "volume"),
+                        default="volume",
+                        help="Right disparity for --lr-check: 'volume' "
+                             "re-indexes the aggregated volume (~free); "
+                             "'mirror' doubles the device work.")
     parser.add_argument("--wmf", action="store_true",
                         help="Apply the guide-weighted median to every "
                              "response (server-level: one program config; "
@@ -314,6 +323,7 @@ class _Batcher:
                     backend=a.backend,
                     mesh=mesh, pyramid_levels=a.pyramid,
                     median=refine, subpixel=refine,
+                    lr_check=a.lr_check, lr_mode=a.lr_mode,
                     weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
                     speckle=speckle, speckle_fill="background")
                 self._fns[key] = (est.estimate_batch,
@@ -340,6 +350,7 @@ class _Batcher:
                     a.p1, a.p2, a.backend, dtype,
                     cvf_radius=a.cvf_radius, cvf_eps=a.cvf_eps,
                     median=refine, subpixel=refine,
+                    lr_check=a.lr_check, lr_mode=a.lr_mode,
                     weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
                     speckle=speckle, speckle_fill="background")
             # Transport narrowing happens once, in _dispatch, for both
@@ -495,12 +506,16 @@ class _State:
         left = jax.device_put(left).astype(jnp.float32)
         right = jax.device_put(right).astype(jnp.float32)
         with self.lock:
-            wmf = getattr(self.args, "wmf", False) and self.args.pyramid == 0
-            if refine or wmf:
+            a = self.args
+            flat = a.pyramid == 0
+            wmf = getattr(a, "wmf", False) and flat
+            lr = getattr(a, "lr_check", False) and flat
+            if refine or wmf or lr:
                 kwargs = {}
-                if self.args.pyramid == 0:
+                if flat:
                     kwargs = dict(weighted_median=wmf,
-                                  wmf_sigma=self.args.wmf_sigma)
+                                  wmf_sigma=a.wmf_sigma,
+                                  lr_check=lr, lr_mode=a.lr_mode)
                 out = self.pipeline.estimate_refined(
                     left, right, subpixel=refine, median=refine, **kwargs)
             else:
@@ -668,6 +683,10 @@ def main(argv=None) -> int:
         print("--wmf is incompatible with --pyramid (the band stage has "
               "no integer disparity/bin range to median over).",
               file=sys.stderr)
+        return 2
+    if args.lr_check and args.pyramid > 0:
+        print("--lr-check is incompatible with --pyramid (no full cost "
+              "volume to re-index).", file=sys.stderr)
         return 2
     if args.device:
         import jax

@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="3x3 median + parabolic sub-pixel refinement "
                              "on each depthmap (composes with --batch and "
                              "--mesh).")
+    parser.add_argument("--lr-check", action="store_true",
+                        help="Left-right consistency check with background "
+                             "occlusion fill on each frame.")
+    parser.add_argument("--lr-mode", choices=("mirror", "volume"),
+                        default="volume",
+                        help="Right disparity for --lr-check: 'volume' "
+                             "re-indexes the aggregated volume (the SGBM "
+                             "trick, ~free); 'mirror' runs the pipeline "
+                             "twice per frame (exact right matching).")
     parser.add_argument("--wmf", action="store_true",
                         help="Guide-weighted median filter on each frame "
                              "(edge-preserving; weighted by left-image "
@@ -271,6 +280,7 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   band_radius=(args.band_radius if args.band_radius is not None
                                else 4),
                   median=args.refine, subpixel=args.refine,
+                  lr_check=args.lr_check, lr_mode=args.lr_mode,
                   weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
                   speckle=args.speckle, speckle_fill=args.speckle_fill)
     if args.mesh:
@@ -363,6 +373,11 @@ def main(argv=None) -> int:
     if args.wmf and args.pyramid > 0:
         print("--wmf is incompatible with --pyramid (the band stage has no "
               "integer disparity/bin range to median over).",
+              file=sys.stderr)
+        return 2
+    if args.lr_check and (args.pyramid > 0 or args.temporal):
+        print("--lr-check is incompatible with --pyramid/--temporal (no "
+              "full cost volume to re-index; post-filter offline instead).",
               file=sys.stderr)
         return 2
     if args.wmf and args.temporal:
@@ -483,11 +498,12 @@ def main(argv=None) -> int:
             frame0, frame1 = (np.asarray(x) for x in
                               rectifier(frame0, frame1))
 
-        if args.refine or args.wmf:
+        if args.refine or args.wmf or args.lr_check:
             depthmap = pipeline.estimate_refined(
                 np.asarray(frame0, np.float32),
                 np.asarray(frame1, np.float32),
                 median=args.refine, subpixel=args.refine,
+                lr_check=args.lr_check, lr_mode=args.lr_mode,
                 weighted_median=args.wmf, wmf_sigma=args.wmf_sigma)
         else:
             depthmap = pipeline.estimate(np.asarray(frame0, np.float32),

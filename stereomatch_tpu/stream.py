@@ -53,17 +53,32 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     backend: str = "auto", cost_dtype=jnp.float32,
                     cvf_radius: int = 8, cvf_eps: float = 1e-4,
                     median: bool = False, subpixel: bool = False,
+                    lr_check: bool = False, lr_mode: str = "volume",
+                    lr_max_diff: int = 1,
                     weighted_median: bool = False, wmf_sigma: float = 10.0,
                     wmf_window: int = 5,
                     speckle: bool = False, speckle_fill: str = "zero"):
+    if lr_mode not in ("mirror", "volume"):
+        raise ValueError(f"unknown lr_mode: {lr_mode!r}")
     if kernel_size is None:
         kernel_size = {"birchfield": 4, "census": 1}.get(cost, 7)
     if cost == "ssd-texture":
         cost_dtype = jnp.float32        # the sampler contract is float32
     use_pallas = resolve_backend(backend) == "pallas"
 
-    def postprocess(vol, disp, left):
+    def postprocess(vol, disp, left, disp_r):
         from .ops import refine
+        if lr_check:
+            if disp_r is None:      # lr_mode == "volume"
+                disp_r = refine.right_disparity_from_volume.__wrapped__(vol)
+            mask = refine.consistency_from_padded(
+                disp, jnp.pad(disp_r.astype(jnp.int32),
+                              ((0, 0), (disp.shape[1], 0)),
+                              constant_values=-jnp.int32(1 << 20)),
+                pad=disp.shape[1],
+                n_planes=min(max_disparity, disp.shape[1]),
+                max_diff=lr_max_diff)
+            disp = refine.fill_inconsistent(disp, mask)
         if weighted_median:
             disp = refine.weighted_median_filter.__wrapped__(
                 disp, left, window=wmf_window, sigma=wmf_sigma,
@@ -79,7 +94,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                 disp.astype(jnp.float32), fill=speckle_fill)
         return disp
 
-    def frame_fn(left, right):
+    def core(left, right):
         if cost in ("ssd", "ssd-texture"):
             vol = ssd_cost_volume(left, right, max_disparity=max_disparity,
                                   kernel_size=kernel_size,
@@ -113,12 +128,18 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         elif aggregation is not None:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if reducer == "wta":
-            return postprocess(vol, winner_takes_all(vol), left)
+            return vol, winner_takes_all(vol)
         if reducer == "dynamic_programming":
-            return postprocess(vol, dynamic_programming_pallas(vol)
-                               if use_pallas else dynamic_programming(vol),
-                               left)
+            return vol, (dynamic_programming_pallas(vol) if use_pallas
+                         else dynamic_programming(vol))
         raise ValueError(f"unknown reducer {reducer!r}")
+
+    def frame_fn(left, right):
+        disp_r = None
+        if lr_check and lr_mode == "mirror":
+            disp_r = core(right[:, ::-1], left[:, ::-1])[1][:, ::-1]
+        vol, disp = core(left, right)
+        return postprocess(vol, disp, left, disp_r)
 
     return frame_fn
 
@@ -151,6 +172,8 @@ class StreamingEstimator:
                  pyramid_levels: int = 0, band_radius: int = 4,
                  pyramid_median: bool = True,
                  median: bool = False, subpixel: bool = False,
+                 lr_check: bool = False, lr_mode: str = "volume",
+                 lr_max_diff: int = 1,
                  weighted_median: bool = False, wmf_sigma: float = 10.0,
                  wmf_window: int = 5,
                  speckle: bool = False, speckle_fill: str = "zero"):
@@ -182,6 +205,8 @@ class StreamingEstimator:
                     cvf_radius=cvf_radius, cvf_eps=cvf_eps,
                     sgm_mode=sgm_mode, overlap=overlap, backend=backend,
                     median=median, subpixel=subpixel,
+                    lr_check=lr_check, lr_mode=lr_mode,
+                    lr_max_diff=lr_max_diff,
                     weighted_median=weighted_median, wmf_sigma=wmf_sigma,
                     wmf_window=wmf_window,
                     speckle=speckle, speckle_fill=speckle_fill)
@@ -208,6 +233,9 @@ class StreamingEstimator:
                                            cvf_radius=cvf_radius,
                                            cvf_eps=cvf_eps,
                                            median=median, subpixel=subpixel,
+                                           lr_check=lr_check,
+                                           lr_mode=lr_mode,
+                                           lr_max_diff=lr_max_diff,
                                            weighted_median=weighted_median,
                                            wmf_sigma=wmf_sigma,
                                            wmf_window=wmf_window,

@@ -570,3 +570,31 @@ def test_serve_wmf_matches_local_filter():
 def test_serve_wmf_rejects_pyramid():
     from stereomatch_tpu.cli.serve import main
     assert main([str(D), "--wmf", "--pyramid", "1"]) == 2
+
+
+def test_serve_lr_check_matches_local_pipeline():
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla", "--lr-check"])
+    srv = make_server(args)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        body, left, right, _ = _sbs_png()
+        req = urllib.request.Request(f"{base}/estimate?format=npy",
+                                     data=body)
+        with urllib.request.urlopen(req) as resp:
+            got = np.load(io.BytesIO(resp.read()))
+
+        from stereomatch_tpu.cli_common import create_pipeline
+        pipe = create_pipeline("census", "wta", "sgm", max_disparity=D)
+        l8 = np.asarray((left * 255).astype(np.uint8), np.float32)
+        r8 = np.asarray((right * 255).astype(np.uint8), np.float32)
+        want = np.asarray(pipe.estimate_refined(
+            l8, r8, subpixel=False, median=False, lr_check=True,
+            lr_mode="volume"))
+        np.testing.assert_array_equal(got.astype(np.float32), want)
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -92,3 +92,26 @@ def test_stream_dp_reducer(y4m_stream):
     _, outs = _run(path, batch=2, aggregation=None,
                    reducer="dynamic_programming", max_frames=2)
     assert len(outs) == 2
+
+
+@pytest.mark.parametrize("lr_mode", ["volume", "mirror"])
+def test_stream_lr_check_matches_pipeline(lr_mode):
+    """Streaming LR occlusion handling equals Pipeline.estimate_refined
+    with the same lr_mode, bit-for-bit."""
+    from stereomatch_tpu.aggregation import Semiglobal
+    from stereomatch_tpu.cost import SSD
+    from stereomatch_tpu.disparity_reduce import WinnerTakesAll
+    from stereomatch_tpu.pipeline import Pipeline
+    est = StreamingEstimator(D, batch=2, kernel_size=3,
+                             aggregation="sgm", reducer="wta",
+                             backend="xla", lr_check=True, lr_mode=lr_mode)
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=9)
+    out = np.asarray(est.estimate_batch(np.stack([left] * 2),
+                                        np.stack([right] * 2)))
+    pipe = Pipeline(SSD(D, kernel_size=3), WinnerTakesAll(),
+                    Semiglobal(backend="xla"))
+    ref = np.asarray(pipe.estimate_refined(left, right, subpixel=False,
+                                           median=False, lr_check=True,
+                                           lr_mode=lr_mode))
+    np.testing.assert_array_equal(out[0], ref)
+    np.testing.assert_array_equal(out[1], ref)

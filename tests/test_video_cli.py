@@ -278,3 +278,36 @@ def test_video_cli_wmf_rejects_pyramid(tmp_path):
                      "--wmf", "--headless",
                      "--output-dir", str(tmp_path)])
     assert rc == 2
+
+
+def test_video_cli_lr_check_batched_y4m(tmp_path):
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "lr_depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--batch", "2", "-am", "sgm",
+                     "--lr-check", "--headless",
+                     "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_lr_check_per_frame_y4m(tmp_path):
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "lr_pf_depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "-am", "sgm", "--lr-check",
+                     "--lr-mode", "mirror", "--headless", "--max-frames",
+                     "2", "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 2
+
+
+def test_video_cli_lr_check_rejects_pyramid(tmp_path):
+    rc = video_main(["y4m", "missing.y4m", str(D), "--pyramid", "1",
+                     "--lr-check", "--headless",
+                     "--output-dir", str(tmp_path)])
+    assert rc == 2
