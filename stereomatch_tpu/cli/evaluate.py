@@ -121,6 +121,11 @@ def parse_configs(spec):
                     f"Bad config spec: {item!r} (pyramidN takes no "
                     f":cost/:disp parts)")
             int(parts[0][len("pyramid"):] or "1")   # validate early
+            if "wmf" in mods:
+                # Would silently no-op but still label the row "-wmf".
+                raise ValueError(
+                    "pyramidN does not support +wmf (the band stage has "
+                    "no full cost volume / bin range)")
             configs.append((parts[0], None, None, mods))
         elif len(parts) == 2:
             configs.append((parts[0], parts[1], None, mods))
@@ -296,11 +301,8 @@ def main(argv=None) -> int:
                 predicted = np.load(cache_file)
                 conf = np.load(conf_file) if args.confidence else None
             else:
-                use_wmf = "wmf" in mods and not is_pyramid
+                use_wmf = "wmf" in mods      # pyramid+wmf rejected at parse
                 if use_wmf:
-                    # (PyramidPipeline's refined surface has no WMF —
-                    # the band stage carries no bin range; the modifier
-                    # is a no-op there.)
                     predicted = pipeline.estimate_refined(
                         left, right, subpixel=refined, median=refined,
                         weighted_median=True)

@@ -234,3 +234,10 @@ def test_eval_wmf_config_runs(capsys):
                "--configs", "census:wta:sgm+wmf"])
     assert rc == 0
     assert "census-wta-sgm-wmf" in capsys.readouterr().out
+
+
+def test_parse_configs_rejects_pyramid_wmf():
+    import pytest as _pytest
+    from stereomatch_tpu.cli.evaluate import parse_configs
+    with _pytest.raises(ValueError, match="wmf"):
+        parse_configs("pyramid1+wmf")

@@ -209,3 +209,32 @@ def test_cvf_on_hardware(fixtures):
         ref = np.asarray(winner_takes_all(guided_filter_aggregate(
             vol_c, left_c, radius=4)))
     assert (out != ref).mean() < 0.005   # last-ulp argmin flips only
+
+
+def test_wmf_and_volume_lr_on_hardware(fixtures):
+    """Weighted median + volume-mode LR on the chip: the lane-axis
+    weighted histogram and the dynamic_slice plane loops compile on the
+    accelerator and match the CPU backend exactly (selections and
+    integer argmins over identical f32 inputs)."""
+    import jax
+    from stereomatch_tpu.ops.refine import (right_disparity_from_volume,
+                                            weighted_median_filter)
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    D, left, _, _, agg, _ = fixtures
+    disp = winner_takes_all(agg)
+    out_wmf = np.asarray(weighted_median_filter(disp, left, sigma=0.1,
+                                                n_bins=D))
+    out_r = np.asarray(right_disparity_from_volume(agg))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        agg_c = jax.device_put(np.asarray(agg), cpu)
+        left_c = jax.device_put(np.asarray(left), cpu)
+        disp_c = winner_takes_all(agg_c)
+        ref_wmf = np.asarray(weighted_median_filter(disp_c, left_c,
+                                                    sigma=0.1, n_bins=D))
+        ref_r = np.asarray(right_disparity_from_volume(agg_c))
+    # exp() affinities may differ in the last ulp across backends, which
+    # can flip the median bin exactly at a cumulative-weight tie; same
+    # rationale for the re-indexed argmin at aggregation ties.
+    assert (out_wmf != ref_wmf).mean() < 0.005
+    assert (out_r != ref_r).mean() < 0.005
