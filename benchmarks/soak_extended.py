@@ -15,11 +15,20 @@ Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 """
 
 import argparse
+import os
 import pathlib
 import sys
 import traceback
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# The mesh legs need >= 8 virtual devices; arm the flag before jax
+# imports so a bare `python benchmarks/soak_extended.py` works (a run
+# without it fails every sharded trial with n_batch-divisibility errors).
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 
 import jax
 
