@@ -117,6 +117,10 @@ def _traffic_models():
         # histogram accumulation over the bin lane axis is pure VPU work
         # (window^2 * D ops/pixel), so %SoL vs HBM is not the bound.
         "wmf_teddy_450x375_d128": 3 * _vol_bytes(375, 450, 1),
+        # fgs: 3 iterations x (row + column) tridiagonal solves — six
+        # sequential scan pairs over [H, W] planes; traffic is a few
+        # plane passes, the bound is scan latency (like DP).
+        "fgs_teddy_450x375": 8 * _vol_bytes(375, 450, 1),
     }
 
 
@@ -374,6 +378,14 @@ def build_benchmarks():
         return disp + (out < -1).astype(jnp.int32), guide
 
     benches["wmf_teddy_450x375_d128"] = (wmf_body, (disp0, guide0))
+
+    def fgs_body(carry):
+        disp, guide = carry
+        out = refine.fgs_smooth.__wrapped__(
+            disp.astype(jnp.float32), guide, lam=128.0, sigma_color=0.03)
+        return disp + (out < -1).astype(jnp.int32), guide
+
+    benches["fgs_teddy_450x375"] = (fgs_body, (disp0, guide0))
 
     # Batched video steady state: 4 frames per step, sequentially mapped
     # inside one jit (stream.StreamingEstimator's compute path; lax.map

@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wmf-sigma", type=float, default=10.0,
                         help="Affinity bandwidth in guide gray levels "
                              "(8-bit scale).")
+    parser.add_argument("--fgs", type=float, default=None, metavar="LAM",
+                        help="Fast-global-smoother (WLS) post-filter with "
+                             "total smoothness weight LAM (e.g. 128; the "
+                             "OpenCV DisparityWLSFilter solver). With "
+                             "--lr-check the consistency mask weights the "
+                             "data term, inpainting occlusions.")
+    parser.add_argument("--fgs-sigma", type=float, default=8.0,
+                        help="FGS edge-stop bandwidth in guide gray "
+                             "levels (8-bit scale).")
     parser.add_argument("--speckle", action="store_true",
                         help="Suppress speckles (small isolated disparity "
                              "blobs) by windowed-support filtering of the "
@@ -146,6 +155,7 @@ def main(argv=None) -> int:
         incompatible = [flag for flag, on in [
             ("--lr-check", args.lr_check),
             ("--wmf", args.wmf),
+            ("--fgs", args.fgs is not None),
             ("--min-confidence", args.min_confidence is not None),
             ("--confidence", args.confidence is not None)] if on]
         if incompatible:
@@ -177,13 +187,14 @@ def main(argv=None) -> int:
     left = np.array(left_rgb.convert("L"), np.float32)
     right = np.array(right_rgb.convert("L"), np.float32)
 
-    if (args.refine or args.lr_check or args.wmf
+    if (args.refine or args.lr_check or args.wmf or args.fgs is not None
             or args.min_confidence is not None):
         kwargs = dict(subpixel=args.refine, median=args.refine)
         if args.pyramid == 0:       # volume-based post-processing only
             kwargs.update(lr_check=args.lr_check, lr_mode=args.lr_mode,
                           weighted_median=args.wmf,
                           wmf_sigma=args.wmf_sigma,
+                          fgs_lambda=args.fgs, fgs_sigma=args.fgs_sigma,
                           min_confidence=args.min_confidence)
         disparity = np.asarray(pipeline.estimate_refined(
             left, right, **kwargs))

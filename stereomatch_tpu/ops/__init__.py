@@ -12,7 +12,7 @@ from .cost import (birchfield_cost_volume, census_hamming_cost_volume,
 from .disparity import (dynamic_programming, dynamic_programming_with_paths,
                         winner_takes_all)
 from .dp_pallas import dynamic_programming_pallas
-from .refine import (confidence_pkrn, fill_inconsistent,
+from .refine import (confidence_pkrn, fgs_smooth, fill_inconsistent,
                      left_right_consistency, median_filter_3x3,
                      right_disparity, right_disparity_from_volume,
                      right_volume_from_left, subpixel_refine,
@@ -27,6 +27,7 @@ __all__ = [
     "dynamic_programming",
     "dynamic_programming_pallas",
     "dynamic_programming_with_paths",
+    "fgs_smooth",
     "fill_inconsistent",
     "left_right_consistency",
     "median_filter_3x3",

@@ -228,6 +228,106 @@ def _wmf_from_padded(b_pad, g_pad, g, *, window, sigma, n_bins):
     return jnp.argmax(cum >= half, axis=-1).astype(jnp.int32)
 
 
+def _fgs_pass(u: jnp.ndarray, c: jnp.ndarray, a: jnp.ndarray,
+              lam) -> jnp.ndarray:
+    """One 1-D fast-global-smoother pass along the LAST axis.
+
+    Exactly minimizes, independently per row,
+
+        sum_x c_x (v_x - u_x)^2  +  lam * sum_x a_x (v_x - v_{x+1})^2
+
+    whose normal equations are tridiagonal — solved by the Thomas
+    algorithm as a forward-elimination ``lax.scan`` and a reversed
+    back-substitution scan, both vectorized over the leading axes
+    (rows ride the vector lanes; the scan axis is sequential exactly
+    like the DP/SGM scans).  ``a`` has one fewer element along the last
+    axis (the weight between x and x+1).
+    """
+    zero = jnp.zeros_like(u[..., :1])
+    a_right = jnp.concatenate([a, zero], -1)       # a_x   (last = border 0)
+    a_left = jnp.concatenate([zero, a], -1)        # a_{x-1}
+    diag = c + lam * (a_left + a_right)
+    off = -lam * a_right                           # couples x and x+1
+    b = c * u
+    off_prev = jnp.concatenate([zero, off[..., :-1]], -1)
+
+    def to_scan(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    def fwd(carry, inp):
+        cp_prev, dp_prev = carry
+        diag_x, off_x, b_x, offp_x = inp
+        denom = diag_x - offp_x * cp_prev
+        cp = off_x / denom
+        dp = (b_x - offp_x * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    init = (jnp.zeros_like(u[..., 0]), jnp.zeros_like(u[..., 0]))
+    _, (cps, dps) = lax.scan(fwd, init, (to_scan(diag), to_scan(off),
+                                         to_scan(b), to_scan(off_prev)))
+
+    def bwd(u_next, inp):
+        cp, dp = inp
+        u_x = dp - cp * u_next
+        return u_x, u_x
+
+    _, vs = lax.scan(bwd, jnp.zeros_like(u[..., 0]), (cps, dps),
+                     reverse=True)
+    return jnp.moveaxis(vs, 0, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def fgs_smooth(disparity: jnp.ndarray, guide: jnp.ndarray, *,
+               lam: float = 128.0, sigma_color: float = 8.0,
+               iterations: int = 3,
+               confidence: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Fast Global Smoother (Min et al., "Fast Global Image Smoothing
+    Based on Weighted Least Squares", TIP 2014) — the solver behind
+    OpenCV ximgproc's ``DisparityWLSFilter``, the standard
+    confidence-driven disparity post-filter.  Minimizes the WLS energy
+
+        sum_p c_p (v_p - d_p)^2
+          + lam * sum_{p~q} exp(-|G_p - G_q| / sigma_color) (v_p - v_q)^2
+
+    approximately, by alternating exact 1-D solves along rows and
+    columns for ``iterations`` rounds with the paper's attenuated
+    per-round lambda  (lam_t = 1.5 * lam * 4^{T-t} / (4^T - 1)),
+    which telescopes to an effective total of ``lam``.
+
+    ``confidence`` (e.g. the LR consistency mask, or PKRN) weights the
+    data term: c_p = 0 pixels carry no data and are inpainted from
+    their neighbors along the smoothing paths — exactly how the WLS
+    filter fills occlusions.  ``sigma_color`` is in guide intensity
+    units (~8 for 8-bit-range guides).  Returns float32.
+
+    TPU formulation: each 1-D subproblem is a tridiagonal solve — two
+    ``lax.scan`` sweeps with [rows]-vectorized carries, the same
+    sequential-scan-times-vector-lanes shape as the DP reducer; no
+    gathers, no iteration to a fixpoint, no sparse solver.
+    """
+    u = disparity.astype(jnp.float32)
+    g = guide.astype(jnp.float32)
+    # The epsilon floor keeps an all-zero-confidence line from producing
+    # a singular (pure-Laplacian) system; it biases such a line toward
+    # its own values by a negligible 1e-8 weight.
+    c = (jnp.ones_like(u) if confidence is None
+         else jnp.maximum(confidence.astype(jnp.float32), 1e-8))
+    inv_sigma = np.float32(-1.0) / jnp.asarray(sigma_color, jnp.float32)
+    a_h = jnp.exp(jnp.abs(g[..., :, 1:] - g[..., :, :-1]) * inv_sigma)
+    a_v = jnp.exp(jnp.abs(g[..., 1:, :] - g[..., :-1, :]) * inv_sigma)
+
+    lam = jnp.asarray(lam, jnp.float32)
+    total = iterations
+    for t in range(1, total + 1):
+        lam_t = 1.5 * lam * 4.0 ** (total - t) / (4.0 ** total - 1.0)
+        u = _fgs_pass(u, c, a_h, lam_t)
+        u = jnp.swapaxes(_fgs_pass(jnp.swapaxes(u, -1, -2),
+                                   jnp.swapaxes(c, -1, -2),
+                                   jnp.swapaxes(a_v, -1, -2), lam_t),
+                         -1, -2)
+    return u
+
+
 @functools.partial(jax.jit, static_argnames=("max_diff", "window",
                                              "min_frac"))
 def speckle_mask(disparity: jnp.ndarray, *, max_diff: float = 1.0,

@@ -113,6 +113,8 @@ class Pipeline:
                          weighted_median: bool = False,
                          wmf_sigma: float = 10.0,
                          wmf_window: int = 5,
+                         fgs_lambda: Optional[float] = None,
+                         fgs_sigma: float = 8.0,
                          min_confidence: Optional[float] = None
                          ) -> jnp.ndarray:
         """Estimate + post-processing (beyond the reference's surface).
@@ -123,7 +125,11 @@ class Pipeline:
         affinity with ``wmf_sigma`` in guide intensity units, e.g. ~10
         for 8-bit-range images), 3x3 median (``median``), parabolic
         sub-pixel interpolation on the aggregated volume (``subpixel``
-        — output becomes float32), and confidence gating (``min_confidence`` — pixels whose PKRN
+        — output becomes float32), fast-global-smoother filtering
+        (``fgs_lambda`` — the WLS disparity post-filter, confidence-
+        weighted by the LR mask when ``lr_check`` is on, output
+        float32; ``fgs_sigma`` in guide intensity units), and
+        confidence gating (``min_confidence`` — pixels whose PKRN
         confidence falls below the threshold are marked unknown with the
         Middlebury 0 convention, which downstream consumers — metrics'
         valid mask, reconstruction's validity rule — already honor).
@@ -166,6 +172,11 @@ class Pipeline:
                            self._aggregation_volume.shape[2] - 1)
             disp = refine.subpixel_refine(self._aggregation_volume,
                                           idx.astype(jnp.int32))
+        if fgs_lambda is not None:
+            conf = mask.astype(jnp.float32) if lr_check else None
+            disp = refine.fgs_smooth(
+                disp.astype(jnp.float32), jnp.asarray(left_image),
+                lam=fgs_lambda, sigma_color=fgs_sigma, confidence=conf)
         if min_confidence is not None:
             keep = self.last_confidence() >= min_confidence
             disp = jnp.where(keep, disp, jnp.zeros((), disp.dtype))

@@ -485,3 +485,108 @@ def test_image_cli_wmf(tmp_path):
                          "-am", "sgm", "--wmf"])
     assert rc == 0
     assert np.array(Image.open(out)).shape == (24, 40, 3)
+
+
+def test_fgs_pass_matches_tridiagonal_solve():
+    """One 1-D FGS pass must equal the exact numpy solve of its
+    tridiagonal normal equations, row by row."""
+    from stereomatch_tpu.ops.refine import _fgs_pass
+    rng = np.random.default_rng(3)
+    height, width = 5, 12
+    u = rng.random((height, width)).astype(np.float32)
+    c = rng.random((height, width)).astype(np.float32) + 0.1
+    a = rng.random((height, width - 1)).astype(np.float32)
+    lam = 2.5
+    got = np.asarray(_fgs_pass(u, c, a, np.float32(lam)))
+    for y in range(height):
+        A = np.zeros((width, width), np.float64)
+        for x in range(width):
+            A[x, x] = c[y, x]
+            if x + 1 < width:
+                A[x, x] += lam * a[y, x]
+                A[x, x + 1] = -lam * a[y, x]
+                A[x + 1, x] = -lam * a[y, x]
+            if x > 0:
+                A[x, x] += lam * a[y, x - 1]
+        want = np.linalg.solve(A, (c[y] * u[y]).astype(np.float64))
+        np.testing.assert_allclose(got[y], want, rtol=2e-4, atol=2e-4)
+
+
+def test_fgs_smooths_noise_but_keeps_edges():
+    from stereomatch_tpu.ops.refine import fgs_smooth
+    rng = np.random.default_rng(5)
+    disp = np.full((24, 32), 10.0, np.float32)
+    disp[:, 16:] = 30.0
+    noisy = disp + rng.normal(0, 1.0, disp.shape).astype(np.float32)
+    guide = np.zeros((24, 32), np.float32)
+    guide[:, 16:] = 200.0                 # strong edge at the step
+    out = np.asarray(fgs_smooth(noisy, guide, lam=64.0, sigma_color=8.0))
+    # noise shrinks on both flats...
+    assert out[:, :14].std() < 0.3 * noisy[:, :14].std()
+    assert out[:, 18:].std() < 0.3 * noisy[:, 18:].std()
+    # ...and the step survives (no cross-edge bleeding)
+    assert abs(out[:, :15].mean() - 10.0) < 0.5
+    assert abs(out[:, 17:].mean() - 30.0) < 0.5
+
+
+def test_fgs_inpaints_zero_confidence_holes():
+    """c = 0 pixels carry no data: a hole inside a flat region must be
+    filled from its neighbors (the WLS occlusion-fill behavior)."""
+    from stereomatch_tpu.ops.refine import fgs_smooth
+    disp = np.full((16, 20), 7.0, np.float32)
+    disp[6:10, 8:12] = 99.0               # garbage in the hole
+    conf = np.ones((16, 20), np.float32)
+    conf[6:10, 8:12] = 0.0
+    guide = np.zeros((16, 20), np.float32)
+    out = np.asarray(fgs_smooth(disp, guide, lam=64.0, sigma_color=8.0,
+                                confidence=conf))
+    np.testing.assert_allclose(out[6:10, 8:12], 7.0, atol=0.2)
+
+
+def test_fgs_confidence_inpainting_on_occluded_scene():
+    """The DisparityWLSFilter use: LR-consistency mask as the confidence,
+    occluded pixels inpainted by the smoother.  Occluded-region error
+    must drop substantially while non-occluded error stays close to raw.
+    (On the noise-textured synthetic scenes UNCONDITIONAL fgs smoothing
+    hurts bad-pixel — the guide's only true edges are depth-layer
+    boundaries — measured 2.0% -> 2.3-18% over (lam, sigma); the filter
+    is for real imagery and for confidence-driven filling.)"""
+    from .conftest import synthetic_stereo_pair_occluded
+    from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
+    from stereomatch_tpu.ops.cost import census_hamming_cost_volume
+    from stereomatch_tpu.ops import refine
+    D = 16
+    left, right, gt, occ = synthetic_stereo_pair_occluded(48, 64, D, seed=7)
+    agg = semiglobal_aggregate(
+        census_hamming_cost_volume(left, right, max_disparity=D), left)
+    disp = np.asarray(winner_takes_all(agg))
+    disp_r = np.asarray(refine.right_disparity_from_volume(agg))
+    mask = np.asarray(refine.left_right_consistency(disp, disp_r, 1,
+                                                    max_disparity=D))
+    out = np.asarray(refine.fgs_smooth(
+        disp.astype(np.float32), left, lam=16.0, sigma_color=0.05,
+        confidence=mask.astype(np.float32)))
+
+    region = np.s_[:, D:]
+
+    def mae(d, sel):
+        return np.abs(d[region] - gt[region])[sel].mean()
+
+    occ_r = occ[region]
+    assert mae(out, occ_r) < 0.75 * mae(disp.astype(np.float32), occ_r)
+    assert mae(out, ~occ_r) < mae(disp.astype(np.float32), ~occ_r) + 0.5
+
+
+def test_image_cli_fgs(tmp_path):
+    from PIL import Image
+    from stereomatch_tpu.cli import image as cli_image
+    left, right, _ = synthetic_stereo_pair(24, 40, 8, seed=19)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    Image.fromarray((left * 255).astype(np.uint8)).save(lp)
+    Image.fromarray((right * 255).astype(np.uint8)).save(rp)
+    out = tmp_path / "d.png"
+    rc = cli_image.main([str(lp), str(rp), "8", str(out),
+                         "-am", "sgm", "--lr-check", "--lr-mode", "volume",
+                         "--fgs", "64"])
+    assert rc == 0
+    assert np.array(Image.open(out)).shape == (24, 40, 3)
