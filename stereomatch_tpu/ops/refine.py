@@ -228,6 +228,56 @@ def _wmf_from_padded(b_pad, g_pad, g, *, window, sigma, n_bins):
     return jnp.argmax(cum >= half, axis=-1).astype(jnp.int32)
 
 
+def _thomas_forward(diag, off, b, off_prev, cp0, dp0):
+    """Thomas forward elimination over the LAST axis (vectorized over the
+    leading axes): cp_x = off_x / (diag_x - off_prev_x cp_{x-1}),
+    dp_x = (b_x - off_prev_x dp_{x-1}) / (same).  ``cp0``/``dp0`` seed
+    the recurrence (zeros at a true border; the previous shard's last
+    values when a mesh splits the solve axis).  Returns (cps, dps)."""
+    def to_scan(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    def fwd(carry, inp):
+        cp_prev, dp_prev = carry
+        diag_x, off_x, b_x, offp_x = inp
+        denom = diag_x - offp_x * cp_prev
+        cp = off_x / denom
+        dp = (b_x - offp_x * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    _, (cps, dps) = lax.scan(fwd, (cp0, dp0),
+                             (to_scan(diag), to_scan(off),
+                              to_scan(b), to_scan(off_prev)))
+    return jnp.moveaxis(cps, 0, -1), jnp.moveaxis(dps, 0, -1)
+
+
+def _thomas_backward(cps, dps, u_next0):
+    """Back substitution: v_x = dp_x - cp_x v_{x+1}, scanned in reverse
+    over the last axis.  ``u_next0`` seeds from beyond the last element
+    (zero at a true border — the last cp is 0 there, so the seed value
+    is then irrelevant; the next shard's first solution on a mesh)."""
+    def bwd(u_next, inp):
+        cp, dp = inp
+        u_x = dp - cp * u_next
+        return u_x, u_x
+
+    _, vs = lax.scan(bwd, u_next0,
+                     (jnp.moveaxis(cps, -1, 0), jnp.moveaxis(dps, -1, 0)),
+                     reverse=True)
+    return jnp.moveaxis(vs, 0, -1)
+
+
+def _fgs_system(u, c, a_left, a_right, lam):
+    """The tridiagonal normal equations of one 1-D WLS subproblem:
+    returns (diag, off, b, off_prev) with ``a_left``/``a_right`` the
+    smoothness weights toward x-1 / x+1 (zero beyond true borders —
+    mesh callers fill the boundary entries from guide halos)."""
+    diag = c + lam * (a_left + a_right)
+    off = -lam * a_right                           # couples x and x+1
+    off_prev = -lam * a_left                       # couples x and x-1
+    return diag, off, c * u, off_prev
+
+
 def _fgs_pass(u: jnp.ndarray, c: jnp.ndarray, a: jnp.ndarray,
               lam) -> jnp.ndarray:
     """One 1-D fast-global-smoother pass along the LAST axis.
@@ -246,34 +296,10 @@ def _fgs_pass(u: jnp.ndarray, c: jnp.ndarray, a: jnp.ndarray,
     zero = jnp.zeros_like(u[..., :1])
     a_right = jnp.concatenate([a, zero], -1)       # a_x   (last = border 0)
     a_left = jnp.concatenate([zero, a], -1)        # a_{x-1}
-    diag = c + lam * (a_left + a_right)
-    off = -lam * a_right                           # couples x and x+1
-    b = c * u
-    off_prev = jnp.concatenate([zero, off[..., :-1]], -1)
-
-    def to_scan(x):
-        return jnp.moveaxis(x, -1, 0)
-
-    def fwd(carry, inp):
-        cp_prev, dp_prev = carry
-        diag_x, off_x, b_x, offp_x = inp
-        denom = diag_x - offp_x * cp_prev
-        cp = off_x / denom
-        dp = (b_x - offp_x * dp_prev) / denom
-        return (cp, dp), (cp, dp)
-
-    init = (jnp.zeros_like(u[..., 0]), jnp.zeros_like(u[..., 0]))
-    _, (cps, dps) = lax.scan(fwd, init, (to_scan(diag), to_scan(off),
-                                         to_scan(b), to_scan(off_prev)))
-
-    def bwd(u_next, inp):
-        cp, dp = inp
-        u_x = dp - cp * u_next
-        return u_x, u_x
-
-    _, vs = lax.scan(bwd, jnp.zeros_like(u[..., 0]), (cps, dps),
-                     reverse=True)
-    return jnp.moveaxis(vs, 0, -1)
+    diag, off, b, off_prev = _fgs_system(u, c, a_left, a_right, lam)
+    z = jnp.zeros_like(u[..., 0])
+    cps, dps = _thomas_forward(diag, off, b, off_prev, z, z)
+    return _thomas_backward(cps, dps, z)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
@@ -308,10 +334,13 @@ def fgs_smooth(disparity: jnp.ndarray, guide: jnp.ndarray, *,
     u = disparity.astype(jnp.float32)
     g = guide.astype(jnp.float32)
     # The epsilon floor keeps an all-zero-confidence line from producing
-    # a singular (pure-Laplacian) system; it biases such a line toward
-    # its own values by a negligible 1e-8 weight.
+    # a singular (pure-Laplacian) system.  1e-3 (not denormal-tiny): the
+    # zero-confidence solve's condition number is ~lam/eps, and f32 loses
+    # the solution entirely around 2^24 — at 1e-3 the system stays
+    # well-posed while smoothing still outweighs the data term by ~4-5
+    # orders, so inpainting behavior is unchanged.
     c = (jnp.ones_like(u) if confidence is None
-         else jnp.maximum(confidence.astype(jnp.float32), 1e-8))
+         else jnp.maximum(confidence.astype(jnp.float32), 1e-3))
     inv_sigma = np.float32(-1.0) / jnp.asarray(sigma_color, jnp.float32)
     a_h = jnp.exp(jnp.abs(g[..., :, 1:] - g[..., :, :-1]) * inv_sigma)
     a_v = jnp.exp(jnp.abs(g[..., 1:, :] - g[..., :-1, :]) * inv_sigma)

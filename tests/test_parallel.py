@@ -634,3 +634,31 @@ def test_tiled2d_weighted_median_matches_single_chip(pair):
                                wmf_window=5)
     out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_fgs_matches_single_chip(pair, mesh):
+    """Row-sharded fast global smoother: horizontal solves are row-local
+    and the vertical Thomas sweeps chain (cp, dp)/first-row carries
+    through the ranks.  The recurrences are the single-chip ones, but
+    XLA fuses the elementwise system-building differently inside the
+    shard_map program, so agreement is to float-associativity noise
+    (tight atol), not bit-exact."""
+    from stereomatch_tpu.ops import refine
+    left, right = pair
+    vol = SSD(D, kernel_size=3)(left, right)
+    disp = WinnerTakesAll()(vol)
+    disp_r = refine.right_disparity_from_volume(vol)
+    mask = refine.left_right_consistency(disp, disp_r, 1, max_disparity=D)
+    filled = refine.fill_inconsistent(disp, mask)
+    ref = np.asarray(refine.fgs_smooth(
+        np.asarray(filled, np.float32), left, lam=64.0, sigma_color=0.05,
+        confidence=np.asarray(mask, np.float32)))
+
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation=None,
+                           reducer="wta", backend="xla",
+                           lr_check=True, lr_mode="volume",
+                           fgs_lambda=64.0, fgs_sigma=0.05)
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_allclose(out[0], ref, atol=2e-3)
+    np.testing.assert_array_equal(out[0], out[1])
