@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Right disparity for --lr-check: 'volume' "
                              "re-indexes the aggregated volume (~free); "
                              "'mirror' doubles the device work.")
+    parser.add_argument("--fgs", type=float, default=None, metavar="LAM",
+                        help="Fast-global-smoother (WLS) post-filter on "
+                             "every response (server-level flag; with "
+                             "--lr-check the consistency mask weights "
+                             "the data term).")
+    parser.add_argument("--fgs-sigma", type=float, default=8.0,
+                        help="FGS edge-stop bandwidth in guide gray "
+                             "levels (8-bit scale).")
     parser.add_argument("--wmf", action="store_true",
                         help="Apply the guide-weighted median to every "
                              "response (server-level: one program config; "
@@ -325,6 +333,7 @@ class _Batcher:
                     median=refine, subpixel=refine,
                     lr_check=a.lr_check, lr_mode=a.lr_mode,
                     weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
+                    fgs_lambda=a.fgs, fgs_sigma=a.fgs_sigma,
                     speckle=speckle, speckle_fill="background")
                 self._fns[key] = (est.estimate_batch,
                                   mesh.shape[BATCH_AXIS])
@@ -352,6 +361,7 @@ class _Batcher:
                     median=refine, subpixel=refine,
                     lr_check=a.lr_check, lr_mode=a.lr_mode,
                     weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
+                    fgs_lambda=a.fgs, fgs_sigma=a.fgs_sigma,
                     speckle=speckle, speckle_fill="background")
             # Transport narrowing happens once, in _dispatch, for both
             # the single-chip and mesh paths.
@@ -510,12 +520,14 @@ class _State:
             flat = a.pyramid == 0
             wmf = getattr(a, "wmf", False) and flat
             lr = getattr(a, "lr_check", False) and flat
-            if refine or wmf or lr:
+            fgs = getattr(a, "fgs", None) if flat else None
+            if refine or wmf or lr or fgs is not None:
                 kwargs = {}
                 if flat:
                     kwargs = dict(weighted_median=wmf,
                                   wmf_sigma=a.wmf_sigma,
-                                  lr_check=lr, lr_mode=a.lr_mode)
+                                  lr_check=lr, lr_mode=a.lr_mode,
+                                  fgs_lambda=fgs, fgs_sigma=a.fgs_sigma)
                 out = self.pipeline.estimate_refined(
                     left, right, subpixel=refine, median=refine, **kwargs)
             else:
@@ -687,6 +699,10 @@ def main(argv=None) -> int:
     if args.lr_check and args.pyramid > 0:
         print("--lr-check is incompatible with --pyramid (no full cost "
               "volume to re-index).", file=sys.stderr)
+        return 2
+    if args.fgs is not None and args.pyramid > 0:
+        print("--fgs is incompatible with --pyramid (no flat "
+              "post-processing stage there).", file=sys.stderr)
         return 2
     if args.device:
         import jax

@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wmf-sigma", type=float, default=10.0,
                         help="WMF affinity bandwidth in guide gray levels "
                              "(8-bit scale).")
+    parser.add_argument("--fgs", type=float, default=None, metavar="LAM",
+                        help="Fast-global-smoother (WLS) post-filter on "
+                             "each frame; with --lr-check the consistency "
+                             "mask weights the data term (occlusion "
+                             "inpainting).")
+    parser.add_argument("--fgs-sigma", type=float, default=8.0,
+                        help="FGS edge-stop bandwidth in guide gray "
+                             "levels (8-bit scale).")
     parser.add_argument("--speckle", action="store_true",
                         help="Suppress speckles (small isolated disparity "
                              "blobs) on each depthmap by windowed-support "
@@ -282,6 +290,7 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   median=args.refine, subpixel=args.refine,
                   lr_check=args.lr_check, lr_mode=args.lr_mode,
                   weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
+                  fgs_lambda=args.fgs, fgs_sigma=args.fgs_sigma,
                   speckle=args.speckle, speckle_fill=args.speckle_fill)
     if args.mesh:
         height, capture, err = _peek_first_frame(capture, args.pyramid)
@@ -373,6 +382,11 @@ def main(argv=None) -> int:
     if args.wmf and args.pyramid > 0:
         print("--wmf is incompatible with --pyramid (the band stage has no "
               "integer disparity/bin range to median over).",
+              file=sys.stderr)
+        return 2
+    if args.fgs is not None and (args.pyramid > 0 or args.temporal):
+        print("--fgs is incompatible with --pyramid/--temporal (no flat "
+              "post-processing stage there; post-filter offline instead).",
               file=sys.stderr)
         return 2
     if args.lr_check and (args.pyramid > 0 or args.temporal):
@@ -498,13 +512,15 @@ def main(argv=None) -> int:
             frame0, frame1 = (np.asarray(x) for x in
                               rectifier(frame0, frame1))
 
-        if args.refine or args.wmf or args.lr_check:
+        if (args.refine or args.wmf or args.lr_check
+                or args.fgs is not None):
             depthmap = pipeline.estimate_refined(
                 np.asarray(frame0, np.float32),
                 np.asarray(frame1, np.float32),
                 median=args.refine, subpixel=args.refine,
                 lr_check=args.lr_check, lr_mode=args.lr_mode,
-                weighted_median=args.wmf, wmf_sigma=args.wmf_sigma)
+                weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
+                fgs_lambda=args.fgs, fgs_sigma=args.fgs_sigma)
         else:
             depthmap = pipeline.estimate(np.asarray(frame0, np.float32),
                                          np.asarray(frame1, np.float32))

@@ -57,6 +57,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     lr_max_diff: int = 1,
                     weighted_median: bool = False, wmf_sigma: float = 10.0,
                     wmf_window: int = 5,
+                    fgs_lambda=None, fgs_sigma: float = 8.0,
                     speckle: bool = False, speckle_fill: str = "zero"):
     if lr_mode not in ("mirror", "volume"):
         raise ValueError(f"unknown lr_mode: {lr_mode!r}")
@@ -68,6 +69,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
 
     def postprocess(vol, disp, left, disp_r):
         from .ops import refine
+        mask = None
         if lr_check:
             if disp_r is None:      # lr_mode == "volume"
                 disp_r = refine.right_disparity_from_volume.__wrapped__(vol)
@@ -89,6 +91,11 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
             idx = jnp.clip(jnp.round(disp), 0,
                            max_disparity - 1).astype(jnp.int32)
             disp = refine.subpixel_refine.__wrapped__(vol, idx)
+        if fgs_lambda is not None:
+            conf = mask.astype(jnp.float32) if lr_check else None
+            disp = refine.fgs_smooth.__wrapped__(
+                disp.astype(jnp.float32), left, lam=fgs_lambda,
+                sigma_color=fgs_sigma, confidence=conf)
         if speckle:
             disp = refine.filter_speckles.__wrapped__(
                 disp.astype(jnp.float32), fill=speckle_fill)
@@ -176,6 +183,7 @@ class StreamingEstimator:
                  lr_max_diff: int = 1,
                  weighted_median: bool = False, wmf_sigma: float = 10.0,
                  wmf_window: int = 5,
+                 fgs_lambda=None, fgs_sigma: float = 8.0,
                  speckle: bool = False, speckle_fill: str = "zero"):
         if mesh is not None:
             from .parallel.mesh import BATCH_AXIS
@@ -209,6 +217,7 @@ class StreamingEstimator:
                     lr_max_diff=lr_max_diff,
                     weighted_median=weighted_median, wmf_sigma=wmf_sigma,
                     wmf_window=wmf_window,
+                    fgs_lambda=fgs_lambda, fgs_sigma=fgs_sigma,
                     speckle=speckle, speckle_fill=speckle_fill)
         else:
             self.batch = batch
@@ -239,6 +248,8 @@ class StreamingEstimator:
                                            weighted_median=weighted_median,
                                            wmf_sigma=wmf_sigma,
                                            wmf_window=wmf_window,
+                                           fgs_lambda=fgs_lambda,
+                                           fgs_sigma=fgs_sigma,
                                            speckle=speckle,
                                            speckle_fill=speckle_fill)
             # lax.map (sequential per-frame programs in one jit) beats vmap

@@ -598,3 +598,32 @@ def test_serve_lr_check_matches_local_pipeline():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_fgs_matches_local_pipeline():
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+    args = build_parser().parse_args(
+        [str(D), "--port", "0", "--backend", "xla", "--lr-check",
+         "--fgs", "64", "--fgs-sigma", "25"])
+    srv = make_server(args)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        body, left, right, _ = _sbs_png()
+        req = urllib.request.Request(f"{base}/estimate?format=npy",
+                                     data=body)
+        with urllib.request.urlopen(req) as resp:
+            got = np.load(io.BytesIO(resp.read()))
+
+        from stereomatch_tpu.cli_common import create_pipeline
+        pipe = create_pipeline("census", "wta", "sgm", max_disparity=D)
+        l8 = np.asarray((left * 255).astype(np.uint8), np.float32)
+        r8 = np.asarray((right * 255).astype(np.uint8), np.float32)
+        want = np.asarray(pipe.estimate_refined(
+            l8, r8, subpixel=False, median=False, lr_check=True,
+            lr_mode="volume", fgs_lambda=64.0, fgs_sigma=25.0))
+        np.testing.assert_allclose(got.astype(np.float32), want, atol=1e-2)
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -115,3 +115,28 @@ def test_stream_lr_check_matches_pipeline(lr_mode):
                                            lr_mode=lr_mode))
     np.testing.assert_array_equal(out[0], ref)
     np.testing.assert_array_equal(out[1], ref)
+
+
+def test_stream_fgs_matches_pipeline():
+    """Streaming FGS (with volume-LR confidence) matches
+    Pipeline.estimate_refined's chain (tight tolerance: XLA fuses the
+    elementwise system-building differently inside the lax.map program,
+    float-associativity noise only)."""
+    from stereomatch_tpu.aggregation import Semiglobal
+    from stereomatch_tpu.cost import SSD
+    from stereomatch_tpu.disparity_reduce import WinnerTakesAll
+    from stereomatch_tpu.pipeline import Pipeline
+    est = StreamingEstimator(D, batch=2, kernel_size=3,
+                             aggregation="sgm", reducer="wta",
+                             backend="xla", lr_check=True, lr_mode="volume",
+                             fgs_lambda=64.0, fgs_sigma=0.05)
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=9)
+    out = np.asarray(est.estimate_batch(np.stack([left] * 2),
+                                        np.stack([right] * 2)))
+    pipe = Pipeline(SSD(D, kernel_size=3), WinnerTakesAll(),
+                    Semiglobal(backend="xla"))
+    ref = np.asarray(pipe.estimate_refined(
+        left, right, subpixel=False, median=False, lr_check=True,
+        lr_mode="volume", fgs_lambda=64.0, fgs_sigma=0.05))
+    np.testing.assert_allclose(out[0], ref, atol=1e-3)
+    np.testing.assert_array_equal(out[0], out[1])

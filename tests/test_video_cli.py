@@ -311,3 +311,16 @@ def test_video_cli_lr_check_rejects_pyramid(tmp_path):
                      "--lr-check", "--headless",
                      "--output-dir", str(tmp_path)])
     assert rc == 2
+
+
+def test_video_cli_fgs_batched_y4m(tmp_path):
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "fgs_depthmaps"
+    rc = video_main(["y4m", str(path), str(D), "--batch", "2", "-am", "sgm",
+                     "--lr-check", "--fgs", "64", "--headless",
+                     "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 5
