@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Soft-argmin temperature for --tune, in cost "
                              "units (census Hamming counts, SSD sums, "
                              "...).")
+    parser.add_argument("--census-window", type=int, default=5,
+                        help="census configs: code window (odd; >5 packs "
+                             "several int32 words).")
     parser.add_argument("--device", default=None)
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default="float32",
@@ -271,6 +274,7 @@ def main(argv=None) -> int:
                                                      else "float32"),
                                        cvf_radius=args.cvf_radius,
                                        cvf_eps=args.cvf_eps,
+                                       census_window=args.census_window,
                                        **penalty_kwargs)
         per_scene = []
         for item in items:

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="-am cvf: > 1 = Fast Guided Filter "
                              "(statistics on an s x-downsampled grid; "
                              "approximate, box-filter work / s^2).")
+    parser.add_argument("--census-window", type=int, default=5,
+                        help="-cm census: code window (odd; >5 packs "
+                             "several int32 words, e.g. 7 or 9 for the "
+                             "larger production census windows).")
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto",
                         help="Kernel backend for SGM/DP stages.")
@@ -179,6 +183,7 @@ def main(argv=None) -> int:
                                    cvf_radius=args.cvf_radius,
                                    cvf_eps=args.cvf_eps,
                                    cvf_subsample=args.cvf_subsample,
+                                   census_window=args.census_window,
                                    backend=args.backend,
                                    volume_dtype=args.dtype)
 

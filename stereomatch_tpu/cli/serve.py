@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wmf-sigma", type=float, default=10.0,
                         help="WMF affinity bandwidth in guide gray levels "
                              "(8-bit scale).")
+    parser.add_argument("--census-window", type=int, default=5,
+                        help="-cm census: code window (odd; >5 packs "
+                             "several int32 words, e.g. 7 or 9 for the "
+                             "larger production census windows).")
     parser.add_argument("--cvf-radius", type=int, default=8,
                         help="-am cvf: box window half-size.")
     parser.add_argument("--cvf-eps", type=float, default=1e-4,
@@ -150,6 +154,7 @@ def _build_pipeline(args):
                            max_disparity=args.max_disparity,
                            penalty1=args.p1, penalty2=args.p2,
                            cvf_radius=args.cvf_radius, cvf_eps=args.cvf_eps,
+                           census_window=args.census_window,
                            backend=args.backend, volume_dtype=args.dtype)
 
 
@@ -324,6 +329,7 @@ class _Batcher:
                 est = StreamingEstimator(
                     a.max_disparity, batch=self.max_batch,
                     cost=a.cost_method, cost_dtype=dtype,
+                    census_window=a.census_window,
                     aggregation=a.aggregation_method,
                     reducer=STREAM_REDUCERS[a.disparity_method],
                     penalty1=a.p1, penalty2=a.p2,
@@ -358,6 +364,7 @@ class _Batcher:
                     STREAM_REDUCERS[a.disparity_method],
                     a.p1, a.p2, a.backend, dtype,
                     cvf_radius=a.cvf_radius, cvf_eps=a.cvf_eps,
+                    census_window=a.census_window,
                     median=refine, subpixel=refine,
                     lr_check=a.lr_check, lr_mode=a.lr_mode,
                     weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,

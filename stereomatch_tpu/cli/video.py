@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="-am cvf: edge-stop regularizer.")
     parser.add_argument("--p2", type=float, default=0.2,
                         help="SGM base penalty for larger jumps.")
+    parser.add_argument("--census-window", type=int, default=5,
+                        help="-cm census: code window (odd; >5 packs "
+                             "several int32 words).")
     parser.add_argument("--backend", choices=("auto", "pallas", "xla"),
                         default="auto",
                         help="Kernel backend for SGM/DP stages.")
@@ -282,6 +285,7 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
     reducer = STREAM_REDUCERS[args.disparity_method]
     common = dict(cost=args.cost_method, aggregation=args.aggregation_method,
                   reducer=reducer, penalty1=args.p1, penalty2=args.p2,
+                  census_window=args.census_window,
                   cvf_radius=args.cvf_radius, cvf_eps=args.cvf_eps,
                   backend=args.backend, cost_dtype=jnp.dtype(args.dtype),
                   pyramid_levels=args.pyramid,
@@ -455,6 +459,7 @@ def main(argv=None) -> int:
                                    penalty1=args.p1, penalty2=args.p2,
                                    cvf_radius=args.cvf_radius,
                                    cvf_eps=args.cvf_eps,
+                                   census_window=args.census_window,
                                    backend=args.backend,
                                    volume_dtype=args.dtype)
     if args.temporal:

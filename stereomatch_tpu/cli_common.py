@@ -47,6 +47,7 @@ def create_pipeline(cost_method: str, disp_method: str,
                     penalty1: float = 0.1, penalty2: float = 0.2,
                     cvf_radius: int = 8, cvf_eps: float = 1e-4,
                     cvf_subsample: int = 1,
+                    census_window: int = 5,
                     backend: str = "auto",
                     volume_dtype: str = "float32") -> Pipeline:
     """Create a pipeline from method names.
@@ -55,8 +56,9 @@ def create_pipeline(cost_method: str, disp_method: str,
     ``list(DISPARITY_METHODS)``; aggregation methods:
     ``list(AGGREGATION_METHODS)`` (or None).
 
-    ``penalty1``/``penalty2`` configure SGM and ``cvf_radius``/``cvf_eps``
-    configure cvf (each ignored by the other methods);
+    ``penalty1``/``penalty2`` configure SGM, ``cvf_radius``/``cvf_eps``
+    configure cvf, and ``census_window`` the census code window (each
+    ignored by the other methods);
     ``backend`` selects pallas/xla kernels for the stages that have both
     (see utils.backend.resolve_backend); ``volume_dtype`` is the cost
     volume's storage dtype — "bfloat16" halves the HBM traffic of every
@@ -100,7 +102,10 @@ def create_pipeline(cost_method: str, disp_method: str,
     if cost_cls is NCC and volume_dtype == "int32":
         raise ValueError("ncc cost is a normalized float quantity; "
                          "volume_dtype int32 is not supported")
-    if cost_cls in (SSD, SAD, NCC, Census):
+    if cost_cls is Census:
+        cost = Census(max_disparity, window_size=census_window,
+                      cost_volume_dtype=jnp.dtype(volume_dtype))
+    elif cost_cls in (SSD, SAD, NCC):
         cost = cost_cls(max_disparity,
                         cost_volume_dtype=jnp.dtype(volume_dtype))
     else:

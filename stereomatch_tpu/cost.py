@@ -151,7 +151,7 @@ class Census:
 
     Attributes:
         max_disparity: number of disparity hypotheses.
-        window_size: census window (odd, <= 33 cells; 5x5 -> 24-bit codes).
+        window_size: census window (odd; 5x5 -> one 24-bit code word, larger windows pack several int32 words).
         kernel_size: optional clipped box-sum window over the Hamming
             costs (1 = pixelwise, the usual choice before SGM).
         cost_volume_dtype: output dtype (float32 / bfloat16 / int32).

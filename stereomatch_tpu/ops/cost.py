@@ -346,19 +346,24 @@ def census_transform(image: jnp.ndarray, window_size: int = 5) -> jnp.ndarray:
     set when neighbor < center (Zabih-Woodfill census; the robust binary
     cost family — see e.g. "Binary Stereo Matching", arXiv:1402.2020).
 
-    ``window_size`` must be odd with at most 33 cells (bits fit int32;
-    5x5 -> 24 bits).  Out-of-image neighbors read as 0, consistent between
-    the two images.  Returns int32 [H, W] codes.
+    ``window_size`` must be odd.  One bit per neighbor, packed into
+    int32 words: up to 5x5 (24 bits) the result is an [H, W] int32 code
+    plane (the common case and the historical contract); larger windows
+    return [H, W, n_words] stacked planes (7x7 -> 48 bits -> 2 words,
+    9x9 -> 80 -> 3, ... — the larger windows production census stacks
+    use, e.g. OpenCV's StereoBM-style 9x7).  Out-of-image neighbors read
+    as 0, consistent between the two images.
 
     Beyond the reference's capability surface (its costs are SSD and
     Birchfield-Tomasi); census + Hamming is invariant to any monotonic
     per-image intensity transform, which neither reference cost is.
     """
-    if window_size % 2 == 0 or window_size * window_size - 1 > 32:
-        raise ValueError("window_size must be odd with <= 33 cells "
-                         f"(got {window_size})")
+    if window_size % 2 == 0:
+        raise ValueError(f"window_size must be odd (got {window_size})")
     img = image.astype(jnp.float32)
     half = window_size // 2
+    n_bits = window_size * window_size - 1
+    words = []
     code = jnp.zeros(image.shape, jnp.int32)
     bit = 0
     for dy in range(-half, half + 1):
@@ -368,7 +373,15 @@ def census_transform(image: jnp.ndarray, window_size: int = 5) -> jnp.ndarray:
             neighbor = _shift2d_zero(img, dy, dx)
             code = code | ((neighbor < img).astype(jnp.int32) << bit)
             bit += 1
-    return code
+            if bit == 32:
+                words.append(code)
+                code = jnp.zeros(image.shape, jnp.int32)
+                bit = 0
+    if bit or not words:
+        words.append(code)
+    if n_bits <= 32:
+        return words[0]
+    return jnp.stack(words, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disparity", "window_size",
@@ -385,13 +398,22 @@ def census_hamming_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     optionally box-summed over the same clipped window the SSD kernel
     uses when ``kernel_size > 1``; d > x cells carry +inf / int-max,
     matching the other cost kernels' validity convention.
+
+    Windows above 5x5 pack into several int32 code words
+    (census_transform); the Hamming distance is then the sum of per-word
+    popcounts — one extra shifted stack + popcount per word.
     """
     cl = census_transform(left, window_size)
     cr = census_transform(right, window_size)
+    if cl.ndim == 2:
+        cl, cr = cl[..., None], cr[..., None]
 
-    shifted = shifted_right_stack(cr, max_disparity,
-                                  disparity_offset)        # [H, W, D] int32
-    ham = lax.population_count(cl[:, :, None] ^ shifted)
+    ham = None
+    for w in range(cl.shape[-1]):
+        shifted = shifted_right_stack(cr[..., w], max_disparity,
+                                      disparity_offset)    # [H, W, D] int32
+        pc = lax.population_count(cl[..., w][:, :, None] ^ shifted)
+        ham = pc if ham is None else ham + pc
 
     width = left.shape[1]
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)

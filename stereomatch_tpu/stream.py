@@ -52,6 +52,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                     penalty1: float, penalty2: float,
                     backend: str = "auto", cost_dtype=jnp.float32,
                     cvf_radius: int = 8, cvf_eps: float = 1e-4,
+                    census_window: int = 5,
                     median: bool = False, subpixel: bool = False,
                     lr_check: bool = False, lr_mode: str = "volume",
                     lr_max_diff: int = 1,
@@ -121,6 +122,7 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         elif cost == "census":
             vol = census_hamming_cost_volume(left, right,
                                              max_disparity=max_disparity,
+                                             window_size=census_window,
                                              kernel_size=kernel_size,
                                              cost_dtype=cost_dtype)
         else:
@@ -170,7 +172,7 @@ class StreamingEstimator:
 
     def __init__(self, max_disparity: int, *, batch: int = 4,
                  cost: str = "ssd", kernel_size: Optional[int] = None,
-                 cost_dtype=jnp.float32,
+                 cost_dtype=jnp.float32, census_window: int = 5,
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  cvf_radius: int = 8, cvf_eps: float = 1e-4,
@@ -208,7 +210,7 @@ class StreamingEstimator:
                 self._fn = make_sharded_estimate(
                     mesh, max_disparity=max_disparity, cost=cost,
                     kernel_size=kernel_size, cost_dtype=cost_dtype,
-                    aggregation=aggregation,
+                    census_window=census_window, aggregation=aggregation,
                     reducer=reducer, penalty1=penalty1, penalty2=penalty2,
                     cvf_radius=cvf_radius, cvf_eps=cvf_eps,
                     sgm_mode=sgm_mode, overlap=overlap, backend=backend,
@@ -241,6 +243,7 @@ class StreamingEstimator:
                                            penalty2, backend, cost_dtype,
                                            cvf_radius=cvf_radius,
                                            cvf_eps=cvf_eps,
+                                           census_window=census_window,
                                            median=median, subpixel=subpixel,
                                            lr_check=lr_check,
                                            lr_mode=lr_mode,

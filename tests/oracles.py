@@ -212,7 +212,9 @@ def census_oracle(left: np.ndarray, right: np.ndarray, max_disparity: int,
 
     def census(img):
         img = img.astype(np.float32)
-        codes = np.zeros((height, width), np.int64)
+        # object dtype: arbitrary-precision python ints, so any window
+        # size works (7x7 = 48 bits, 9x9 = 80 overflow int64)
+        codes = np.zeros((height, width), object)
         bit = 0
         for dy in range(-half, half + 1):
             for dx in range(-half, half + 1):

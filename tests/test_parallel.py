@@ -662,3 +662,17 @@ def test_sharded_fgs_matches_single_chip(pair, mesh):
                                    np.stack([right] * 2)))
     np.testing.assert_allclose(out[0], ref, atol=2e-3)
     np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_sharded_census_multiword_window(pair, mesh):
+    """census_window=7 (two int32 code words) under row sharding: the
+    3-row halos feed the wider window; bit-exact vs single chip."""
+    from stereomatch_tpu.cost import Census
+    left, right = pair
+    vol = Census(D, window_size=7)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    pipe = ShardedPipeline(mesh, D, cost="census", census_window=7,
+                           aggregation=None, reducer="wta")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
