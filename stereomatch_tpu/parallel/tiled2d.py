@@ -348,6 +348,7 @@ def _speckle_tiled(disp, n_tile: int, n_tile_w: int, *, window: int = 9,
 def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                           cost: str = "ssd",
                           kernel_size: Optional[int] = None,
+                          census_window: int = 5,
                           reducer: str = "wta",
                           aggregation: Optional[str] = "sgm",
                           penalty1: float = 0.1, penalty2: float = 0.2,
@@ -405,8 +406,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         kernel_size = 4 if cost == "birchfield" else 7
     if cost == "census":
         # kernel_size only sizes the image-row extension here; the census
-        # window needs at least window//2 = 2 halo rows.
-        kernel_size = max(kernel_size, 2)
+        # window needs at least window//2 halo rows.
+        kernel_size = max(kernel_size, census_window // 2)
     n_tile = mesh.shape[TILE_AXIS]
     n_tile_w = mesh.shape[TILE_W_AXIS]
     backend = resolve_backend(backend)
@@ -461,14 +462,15 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                     max_disparity=max_disparity, kernel_size=kernel_size,
                     row_valid=row_valid)
             elif cost == "census":
-                # Census needs window//2 = 2 halo rows; slice them out of
+                # Census needs window//2 halo rows; slice them out of
                 # the k-row extension (zero fill at true image edges is
                 # the transform's out-of-image convention) and crop after.
-                h2 = 2
+                h2 = census_window // 2
                 lc = le[k - h2:le.shape[0] - (k - h2)]
                 rc = re[k - h2:re.shape[0] - (k - h2)]
                 vol = census_hamming_cost_volume.__wrapped__(
-                    lc, rc, max_disparity=max_disparity)[h2:-h2]
+                    lc, rc, max_disparity=max_disparity,
+                    window_size=census_window)[h2:-h2]
             else:
                 vol = birchfield_cost_volume.__wrapped__(
                     le[k:le.shape[0] - k], re[k:re.shape[0] - k],

@@ -676,3 +676,19 @@ def test_sharded_census_multiword_window(pair, mesh):
     out = np.asarray(pipe.estimate(np.stack([left] * 2),
                                    np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_tiled2d_census_multiword_window(pair):
+    """census_window=7 under 2-D tiling (two code words, 3-row halos):
+    bit-exact vs the single-chip Census volume."""
+    from stereomatch_tpu.cost import Census
+    from stereomatch_tpu.parallel import make_mesh_2d, make_tiled2d_estimate
+    left, right = pair
+    vol = Census(D, window_size=7)(left, right)
+    ref = np.asarray(WinnerTakesAll()(vol))
+    mesh2 = make_mesh_2d(n_batch=2, n_tile=2, n_tile_w=2)
+    fn = make_tiled2d_estimate(mesh2, max_disparity=D, cost="census",
+                               census_window=7, aggregation=None,
+                               backend="xla")
+    out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
+    np.testing.assert_array_equal(out[0], ref)
