@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Soft-argmin temperature for --tune, in cost "
                              "units (census Hamming counts, SSD sums, "
                              "...).")
+    parser.add_argument("--wmf-sigma", type=float, default=None,
+                        help="+wmf affinity bandwidth in guide intensity "
+                             "units. Default: 10 (gray levels) for real "
+                             "8-bit datasets, 0.1 for --synthetic scenes "
+                             "([0, 1] intensity — sigma 10 there would "
+                             "degenerate the filter to a plain median).")
     parser.add_argument("--census-window", type=int, default=5,
                         help="census configs: code window (odd; >5 packs "
                              "several int32 words).")
@@ -102,9 +108,9 @@ def parse_configs(spec):
     avg-err, which the integer-step bad-pixel metric barely sees.
     ``+speckle`` applies windowed-support speckle suppression
     (background fill, so no pixels leave the metrics' valid mask).
-    ``+wmf`` applies the guide-weighted median (edge-preserving; sigma
-    10 gray levels on the 8-bit-range eval images) before the refine
-    stages.
+    ``+wmf`` applies the guide-weighted median (edge-preserving; the
+    affinity bandwidth follows --wmf-sigma, whose default adapts to the
+    dataset's intensity scale) before the refine stages.
     """
     configs = []
     for item in spec.split(","):
@@ -238,6 +244,10 @@ def main(argv=None) -> int:
         tuned_cache[cost_m] = (res.penalty1, res.penalty2)
         return tuned_cache[cost_m]
 
+    # [0, 1]-intensity synthetic scenes need a [0, 1]-scale affinity
+    # bandwidth; real datasets are 8-bit-range grayscale.
+    wmf_sigma = (args.wmf_sigma if args.wmf_sigma is not None
+                 else (0.1 if args.synthetic else 10.0))
     rows = []
     for cost_m, disp_m, aggr_m, mods in configs:
         refined = "refine" in mods
@@ -309,7 +319,7 @@ def main(argv=None) -> int:
                 if use_wmf:
                     predicted = pipeline.estimate_refined(
                         left, right, subpixel=refined, median=refined,
-                        weighted_median=True)
+                        weighted_median=True, wmf_sigma=wmf_sigma)
                 elif refined:
                     predicted = pipeline.estimate_refined(left, right)
                 else:

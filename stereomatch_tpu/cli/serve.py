@@ -525,9 +525,9 @@ class _State:
         with self.lock:
             a = self.args
             flat = a.pyramid == 0
-            wmf = getattr(a, "wmf", False) and flat
-            lr = getattr(a, "lr_check", False) and flat
-            fgs = getattr(a, "fgs", None) if flat else None
+            wmf = a.wmf and flat
+            lr = a.lr_check and flat
+            fgs = a.fgs if flat else None
             if refine or wmf or lr or fgs is not None:
                 kwargs = {}
                 if flat:

@@ -519,13 +519,18 @@ def main(argv=None) -> int:
 
         if (args.refine or args.wmf or args.lr_check
                 or args.fgs is not None):
+            kwargs = dict(median=args.refine, subpixel=args.refine)
+            if args.pyramid == 0:     # volume-based stages only
+                # (--lr-check/--wmf/--fgs with --pyramid were rejected
+                # at startup; PyramidPipeline.estimate_refined takes
+                # subpixel/median only.)
+                kwargs.update(
+                    lr_check=args.lr_check, lr_mode=args.lr_mode,
+                    weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
+                    fgs_lambda=args.fgs, fgs_sigma=args.fgs_sigma)
             depthmap = pipeline.estimate_refined(
                 np.asarray(frame0, np.float32),
-                np.asarray(frame1, np.float32),
-                median=args.refine, subpixel=args.refine,
-                lr_check=args.lr_check, lr_mode=args.lr_mode,
-                weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
-                fgs_lambda=args.fgs, fgs_sigma=args.fgs_sigma)
+                np.asarray(frame1, np.float32), **kwargs)
         else:
             depthmap = pipeline.estimate(np.asarray(frame0, np.float32),
                                          np.asarray(frame1, np.float32))

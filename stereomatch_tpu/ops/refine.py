@@ -267,6 +267,27 @@ def _thomas_backward(cps, dps, u_next0):
     return jnp.moveaxis(vs, 0, -1)
 
 
+def _fgs_confidence(u, confidence):
+    """Data-term weights for the WLS solves.  The epsilon floor keeps an
+    all-zero-confidence line from producing a singular (pure-Laplacian)
+    system.  1e-3 (not denormal-tiny): the zero-confidence solve's
+    condition number is ~lam/eps, and f32 loses the solution entirely
+    around 2^24 — at 1e-3 the system stays well-posed while smoothing
+    still outweighs the data term by ~4-5 orders, so inpainting behavior
+    is unchanged.  Shared with the mesh variant (parallel/sharded.py),
+    whose parity depends on the identical floor."""
+    if confidence is None:
+        return jnp.ones_like(u)
+    return jnp.maximum(confidence.astype(jnp.float32), 1e-3)
+
+
+def _fgs_lambda_schedule(lam, total, t):
+    """The paper's attenuated per-round lambda, telescoping to ``lam``
+    total: lam_t = 1.5 * lam * 4^(T-t) / (4^T - 1).  Shared with the
+    mesh variant, whose parity depends on the identical schedule."""
+    return 1.5 * lam * 4.0 ** (total - t) / (4.0 ** total - 1.0)
+
+
 def _fgs_system(u, c, a_left, a_right, lam):
     """The tridiagonal normal equations of one 1-D WLS subproblem:
     returns (diag, off, b, off_prev) with ``a_left``/``a_right`` the
@@ -333,14 +354,7 @@ def fgs_smooth(disparity: jnp.ndarray, guide: jnp.ndarray, *,
     """
     u = disparity.astype(jnp.float32)
     g = guide.astype(jnp.float32)
-    # The epsilon floor keeps an all-zero-confidence line from producing
-    # a singular (pure-Laplacian) system.  1e-3 (not denormal-tiny): the
-    # zero-confidence solve's condition number is ~lam/eps, and f32 loses
-    # the solution entirely around 2^24 — at 1e-3 the system stays
-    # well-posed while smoothing still outweighs the data term by ~4-5
-    # orders, so inpainting behavior is unchanged.
-    c = (jnp.ones_like(u) if confidence is None
-         else jnp.maximum(confidence.astype(jnp.float32), 1e-3))
+    c = _fgs_confidence(u, confidence)
     inv_sigma = np.float32(-1.0) / jnp.asarray(sigma_color, jnp.float32)
     a_h = jnp.exp(jnp.abs(g[..., :, 1:] - g[..., :, :-1]) * inv_sigma)
     a_v = jnp.exp(jnp.abs(g[..., 1:, :] - g[..., :-1, :]) * inv_sigma)
@@ -348,7 +362,7 @@ def fgs_smooth(disparity: jnp.ndarray, guide: jnp.ndarray, *,
     lam = jnp.asarray(lam, jnp.float32)
     total = iterations
     for t in range(1, total + 1):
-        lam_t = 1.5 * lam * 4.0 ** (total - t) / (4.0 ** total - 1.0)
+        lam_t = _fgs_lambda_schedule(lam, total, t)
         u = _fgs_pass(u, c, a_h, lam_t)
         u = jnp.swapaxes(_fgs_pass(jnp.swapaxes(u, -1, -2),
                                    jnp.swapaxes(c, -1, -2),

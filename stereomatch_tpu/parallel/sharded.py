@@ -617,8 +617,7 @@ def _fgs_rows(disp, guide, confidence, *, lam, sigma_color, iterations,
 
     u = disp.astype(jnp.float32)
     g = guide.astype(jnp.float32)
-    c = (jnp.ones_like(u) if confidence is None
-         else jnp.maximum(confidence.astype(jnp.float32), 1e-3))
+    c = refine._fgs_confidence(u, confidence)
     inv_sigma = np.float32(-1.0) / jnp.asarray(sigma_color, jnp.float32)
     a_h = jnp.exp(jnp.abs(g[..., :, 1:] - g[..., :, :-1]) * inv_sigma)
 
@@ -678,7 +677,7 @@ def _fgs_rows(disp, guide, confidence, *, lam, sigma_color, iterations,
     lam = jnp.asarray(lam, jnp.float32)
     total = iterations
     for t in range(1, total + 1):
-        lam_t = 1.5 * lam * 4.0 ** (total - t) / (4.0 ** total - 1.0)
+        lam_t = refine._fgs_lambda_schedule(lam, total, t)
         u = refine._fgs_pass(u, c, a_h, lam_t)          # row-local
         u = vertical(u, lam_t)
     return u

@@ -174,7 +174,6 @@ def _lr_check_tiled_w(agg, disp, n_tile_w: int, *, max_diff: int):
     from ..ops import refine
 
     batch, h_loc, w_loc, max_disp = agg.shape
-    rank = lax.axis_index(TILE_W_AXIS)
     d_halo = max_disp - 1
 
     # Right disparity from the re-indexed volume.
@@ -397,6 +396,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         raise ValueError(f"unknown reducer {reducer!r}")
     if aggregation not in (None, "sgm", "cvf"):
         raise ValueError(f"unknown aggregation {aggregation!r}")
+    if speckle_fill not in ("zero", "background"):
+        raise ValueError(f"unknown fill mode: {speckle_fill!r}")
     if lr_check and lr_mode != "volume":
         raise ValueError(
             f"2-D tiling supports lr_mode='volume' only (got {lr_mode!r}): "

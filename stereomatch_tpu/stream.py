@@ -74,13 +74,8 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
         if lr_check:
             if disp_r is None:      # lr_mode == "volume"
                 disp_r = refine.right_disparity_from_volume.__wrapped__(vol)
-            mask = refine.consistency_from_padded(
-                disp, jnp.pad(disp_r.astype(jnp.int32),
-                              ((0, 0), (disp.shape[1], 0)),
-                              constant_values=-jnp.int32(1 << 20)),
-                pad=disp.shape[1],
-                n_planes=min(max_disparity, disp.shape[1]),
-                max_diff=lr_max_diff)
+            mask = refine.left_right_consistency.__wrapped__(
+                disp, disp_r, lr_max_diff, max_disparity=max_disparity)
             disp = refine.fill_inconsistent(disp, mask)
         if weighted_median:
             disp = refine.weighted_median_filter.__wrapped__(
@@ -187,6 +182,16 @@ class StreamingEstimator:
                  wmf_window: int = 5,
                  fgs_lambda=None, fgs_sigma: float = 8.0,
                  speckle: bool = False, speckle_fill: str = "zero"):
+        if pyramid_levels > 0:
+            wanted = [name for name, on in [
+                ("lr_check", lr_check), ("weighted_median", weighted_median),
+                ("fgs_lambda", fgs_lambda is not None)] if on]
+            if wanted:
+                raise ValueError(
+                    f"pyramid_levels > 0 does not support {wanted}: the "
+                    "band stage has no full cost volume / flat "
+                    "post-processing stage (silently skipping them would "
+                    "misreport what ran)")
         if mesh is not None:
             from .parallel.mesh import BATCH_AXIS
             n_batch = mesh.shape[BATCH_AXIS]

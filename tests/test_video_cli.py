@@ -324,3 +324,19 @@ def test_video_cli_fgs_batched_y4m(tmp_path):
                      "--output-dir", str(out_dir)])
     assert rc == 0
     assert len(list(out_dir.glob("depth_*.png"))) == 5
+
+
+def test_video_cli_pyramid_refine_per_frame(tmp_path):
+    """Regression: the per-frame path with --pyramid --refine must route
+    only subpixel/median kwargs to PyramidPipeline.estimate_refined
+    (review finding: the LR/WMF/FGS kwargs crashed it)."""
+    from stereomatch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    path = _write_y4m_stream(tmp_path)
+    out_dir = tmp_path / "pyr_refine"
+    rc = video_main(["y4m", str(path), str(D), "--pyramid", "1", "--refine",
+                     "--headless", "--max-frames", "2",
+                     "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert len(list(out_dir.glob("depth_*.png"))) == 2
