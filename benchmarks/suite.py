@@ -27,6 +27,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 # directly comparable benchmark.
 REFERENCE_MS = {
     "ssd_cost_512x256_d32": 2.49,
+    "ssd_cost_pallas_512x256_d32": 2.49,
     "ssd_texture_512x256_d32": 7.29,
     "birchfield_cost_512x256_d32": 2.99,
     "sgm_450x375_d128": 6.99,
@@ -59,6 +60,8 @@ def _traffic_models():
         "birchfield_cost_512x256_d32": v1,
         "census_cost_512x256_d32": v1,
         "sad_cost_512x256_d32": v1,
+        "ssd_cost_pallas_512x256_d32": v1,
+        "sad_cost_pallas_512x256_d32": v1,
         # ZNCC streams six stacked statistic planes through the box
         # filter and writes the volume: ~7 volume-sized transfers.
         "zncc_cost_512x256_d32": 7 * v1,
@@ -211,6 +214,16 @@ def build_benchmarks():
         lambda l, r: census_hamming_cost_volume(l, r, max_disparity=d1))
     benches["sad_cost_512x256_d32"] = cost_bench(
         lambda l, r: sad_cost_volume(l, r, max_disparity=d1, kernel_size=7))
+    # Streaming-Pallas variants (one HBM pass; interpret mode on CPU —
+    # semantics only there, the ms is meaningful on the chip).
+    from stereomatch_tpu.ops.ssd_pallas import (sad_cost_volume_pallas,
+                                                ssd_cost_volume_pallas)
+    benches["ssd_cost_pallas_512x256_d32"] = cost_bench(
+        lambda l, r: ssd_cost_volume_pallas(l, r, max_disparity=d1,
+                                            kernel_size=7, interpret=on_cpu))
+    benches["sad_cost_pallas_512x256_d32"] = cost_bench(
+        lambda l, r: sad_cost_volume_pallas(l, r, max_disparity=d1,
+                                            kernel_size=7, interpret=on_cpu))
     benches["zncc_cost_512x256_d32"] = cost_bench(
         lambda l, r: zncc_cost_volume(l, r, max_disparity=d1, kernel_size=7))
 

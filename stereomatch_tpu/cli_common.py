@@ -105,9 +105,12 @@ def create_pipeline(cost_method: str, disp_method: str,
     if cost_cls is Census:
         cost = Census(max_disparity, window_size=census_window,
                       cost_volume_dtype=jnp.dtype(volume_dtype))
-    elif cost_cls in (SSD, SAD, NCC):
+    elif cost_cls in (SSD, SAD):
         cost = cost_cls(max_disparity,
-                        cost_volume_dtype=jnp.dtype(volume_dtype))
+                        cost_volume_dtype=jnp.dtype(volume_dtype),
+                        backend=backend)
+    elif cost_cls is NCC:
+        cost = NCC(max_disparity, cost_volume_dtype=jnp.dtype(volume_dtype))
     else:
         cost = cost_cls(max_disparity)
 

@@ -24,8 +24,29 @@ import jax.numpy as jnp
 from .ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
                        sad_cost_volume, ssd_cost_volume,
                        ssd_texture_cost_volume, zncc_cost_volume)
+from .ops.ssd_pallas import diff_cost_volume_pallas, ssd_pallas_preferred
 from .texture import TextureImage
 from .utils import validation
+from .utils.backend import resolve_backend
+
+
+def _diff_cost_dispatch(left, right, *, max_disparity, kernel_size,
+                        cost_dtype, absolute, backend):
+    """SSD/SAD backend dispatch: the streaming Pallas kernel where it
+    measures faster and fits VMEM (D <= 64 geometries — see
+    ops.ssd_pallas.ssd_pallas_preferred), else the XLA separable-box
+    formulation (the semantic oracle)."""
+    if (resolve_backend(backend) == "pallas"
+            and ssd_pallas_preferred(left.shape[0], left.shape[1],
+                                     max_disparity, kernel_size)):
+        return diff_cost_volume_pallas(left, right,
+                                       max_disparity=max_disparity,
+                                       kernel_size=kernel_size,
+                                       cost_dtype=cost_dtype,
+                                       absolute=absolute)
+    fn = sad_cost_volume if absolute else ssd_cost_volume
+    return fn(left, right, max_disparity=max_disparity,
+              kernel_size=kernel_size, cost_dtype=cost_dtype)
 
 
 class SSD:
@@ -35,25 +56,31 @@ class SSD:
         max_disparity: number of disparity hypotheses (the D axis).
         kernel_size: SSD window half-extent k; the window is [i-k, i+k).
         cost_volume_dtype: output dtype (float32 or int32).
+        backend: "auto" | "pallas" | "xla" — "pallas" (the TPU default)
+            streams image rows through a single-HBM-pass kernel
+            (ops/ssd_pallas.py) when the geometry fits VMEM, else falls
+            back to the XLA separable-box formulation.
     """
 
     def __init__(self, max_disparity: int, kernel_size: int = 7,
-                 cost_volume_dtype=jnp.float32):
+                 cost_volume_dtype=jnp.float32, backend: str = "auto"):
         validation.check_positive("max_disparity", max_disparity)
         validation.check_positive("kernel_size", kernel_size)
         self.max_disparity = max_disparity
         self.kernel_size = kernel_size
         self.cost_volume_dtype = cost_volume_dtype
+        self.backend = backend
 
     def __call__(self, left_image, right_image,
                  cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         left_image = jnp.asarray(left_image)
         right_image = jnp.asarray(right_image)
         validation.check_stereo_pair(left_image, right_image)
-        return ssd_cost_volume(left_image, right_image,
-                               max_disparity=self.max_disparity,
-                               kernel_size=self.kernel_size,
-                               cost_dtype=self.cost_volume_dtype)
+        return _diff_cost_dispatch(left_image, right_image,
+                                   max_disparity=self.max_disparity,
+                                   kernel_size=self.kernel_size,
+                                   cost_dtype=self.cost_volume_dtype,
+                                   absolute=False, backend=self.backend)
 
 
 class SSDTexture:
@@ -89,22 +116,24 @@ class SAD:
     """
 
     def __init__(self, max_disparity: int, kernel_size: int = 7,
-                 cost_volume_dtype=jnp.float32):
+                 cost_volume_dtype=jnp.float32, backend: str = "auto"):
         validation.check_positive("max_disparity", max_disparity)
         validation.check_positive("kernel_size", kernel_size)
         self.max_disparity = max_disparity
         self.kernel_size = kernel_size
         self.cost_volume_dtype = cost_volume_dtype
+        self.backend = backend
 
     def __call__(self, left_image, right_image,
                  cost_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         left_image = jnp.asarray(left_image)
         right_image = jnp.asarray(right_image)
         validation.check_stereo_pair(left_image, right_image)
-        return sad_cost_volume(left_image, right_image,
-                               max_disparity=self.max_disparity,
-                               kernel_size=self.kernel_size,
-                               cost_dtype=self.cost_volume_dtype)
+        return _diff_cost_dispatch(left_image, right_image,
+                                   max_disparity=self.max_disparity,
+                                   kernel_size=self.kernel_size,
+                                   cost_dtype=self.cost_volume_dtype,
+                                   absolute=True, backend=self.backend)
 
 
 class NCC:
