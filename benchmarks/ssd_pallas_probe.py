@@ -30,7 +30,11 @@ def main():
     aggregate = (semiglobal_aggregate if on_cpu
                  else semiglobal_aggregate_pallas)
     interp = on_cpu
-    results = {"device": jax.devices()[0].device_kind}
+    results = {
+        "device": jax.devices()[0].device_kind,
+        "methodology": "marginal_ms (utils/benchmarking.py), chain K=8, "
+                       "5 repeats",
+    }
 
     def feed(img, disp):
         return img + jnp.float32(1e-12) * disp.astype(jnp.float32)
@@ -47,11 +51,12 @@ def main():
     fin = ref != np.inf
     rel = float((np.abs(ref[fin] - out[fin]) /
                  np.maximum(np.abs(ref[fin]), 1e-30)).max())
-    results["hw_parity"] = {
+    results["hw_parity_64x96_d32_k7"] = {
         "inf_ok": bool(((ref == np.inf) == (out == np.inf)).all()),
         "max_rel": rel,
     }
-    print(f"hw parity: {results['hw_parity']}", file=sys.stderr, flush=True)
+    print(f"hw parity: {results['hw_parity_64x96_d32_k7']}",
+          file=sys.stderr, flush=True)
 
     for name, (h, w, d, k) in {
         "512x256_d32": (256, 512, 32, 7),
@@ -80,6 +85,40 @@ def main():
               file=sys.stderr, flush=True)
         results[f"ssd_pallas_{name}"] = marginal_ms(body_p, args)
         print(f"ssd_pallas_{name}: {results[f'ssd_pallas_{name}']:.3f} ms",
+              file=sys.stderr, flush=True)
+
+    # --- D=64 lane-alignment sweep: the measurements behind the
+    # ssd_pallas_preferred gate (W % 128 alignment and the D octave are
+    # the two discriminators; names are the gate docstring's labels) ---
+    for name, (h, w, d, k) in {
+        "450x375_d64": (375, 450, 64, 7),    # teddy W=450: W % 128 != 0
+        "512x256_d64": (256, 512, 64, 7),
+        "375x384_d64": (375, 384, 64, 7),    # W % 128 == 0
+        "375x512_d64": (375, 512, 64, 7),    # W % 128 == 0
+        "375x448_d64": (375, 448, 64, 7),    # W % 128 != 0
+        "256x384_d32": (256, 384, 32, 7),
+    }.items():
+        if not ssd_pallas_supported(h, w, d, k):
+            continue
+        L = jax.device_put(rng.random((h, w), np.float32))
+        R = jax.device_put(rng.random((h, w), np.float32))
+
+        def body_x(c, R=R, d=d, k=k):
+            img, disp = c
+            v = ssd_cost_volume(img, R, max_disparity=d, kernel_size=k)
+            return (feed(img, jnp.min(v, axis=2).astype(jnp.int32)), disp)
+
+        def body_p(c, R=R, d=d, k=k):
+            img, disp = c
+            v = ssd_cost_volume_pallas(img, R, max_disparity=d,
+                                       kernel_size=k, interpret=interp)
+            return (feed(img, jnp.min(v, axis=2).astype(jnp.int32)), disp)
+
+        args = (L, jnp.zeros((h, w), jnp.int32))
+        results[f"xla_{name}"] = marginal_ms(body_x, args)
+        results[f"pallas_{name}"] = marginal_ms(body_p, args)
+        print(f"{name}: xla {results[f'xla_{name}']:.3f} ms, "
+              f"pallas {results[f'pallas_{name}']:.3f} ms",
               file=sys.stderr, flush=True)
 
     # --- full f32 pipeline, XLA SSD vs Pallas SSD ---

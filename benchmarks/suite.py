@@ -28,6 +28,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 REFERENCE_MS = {
     "ssd_cost_512x256_d32": 2.49,
     "ssd_cost_pallas_512x256_d32": 2.49,
+    # The reference has no SAD benchmark (SAD is beyond its cost surface),
+    # so the SAD rows carry no reference ratio by design.
+    "sad_cost_512x256_d32": None,
+    "sad_cost_pallas_512x256_d32": None,
     "ssd_texture_512x256_d32": 7.29,
     "birchfield_cost_512x256_d32": 2.99,
     "sgm_450x375_d128": 6.99,

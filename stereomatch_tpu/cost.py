@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from .ops.cost import (birchfield_cost_volume, census_hamming_cost_volume,
                        sad_cost_volume, ssd_cost_volume,
                        ssd_texture_cost_volume, zncc_cost_volume)
-from .ops.ssd_pallas import diff_cost_volume_pallas, ssd_pallas_preferred
+from .ops.ssd_pallas import (diff_cost_volume_pallas, ssd_pallas_preferred,
+                             ssd_pallas_supported)
 from .texture import TextureImage
 from .utils import validation
 from .utils.backend import resolve_backend
@@ -32,18 +33,35 @@ from .utils.backend import resolve_backend
 
 def _diff_cost_dispatch(left, right, *, max_disparity, kernel_size,
                         cost_dtype, absolute, backend):
-    """SSD/SAD backend dispatch: the streaming Pallas kernel where it
-    measures faster and fits VMEM (D <= 64 geometries — see
-    ops.ssd_pallas.ssd_pallas_preferred), else the XLA separable-box
-    formulation (the semantic oracle)."""
-    if (resolve_backend(backend) == "pallas"
-            and ssd_pallas_preferred(left.shape[0], left.shape[1],
-                                     max_disparity, kernel_size)):
+    """SSD/SAD backend dispatch.
+
+    ``backend="auto"`` takes the streaming Pallas kernel only where it
+    *measures faster* than the XLA separable-box formulation (D <= 64,
+    W % 128 == 0, fits VMEM — ops.ssd_pallas.ssd_pallas_preferred);
+    explicit ``"pallas"`` forces the kernel whenever the geometry merely
+    *fits VMEM* (ssd_pallas_supported), in interpret mode off-TPU so the
+    routing works on any backend.  Unsupported geometries fall back to the
+    XLA formulation (the semantic oracle) in every mode.
+    """
+    import jax
+
+    height, width = left.shape
+    if backend == "auto":
+        use_pallas = (resolve_backend(backend) == "pallas"
+                      and ssd_pallas_preferred(height, width, max_disparity,
+                                               kernel_size))
+    else:
+        use_pallas = (resolve_backend(backend) == "pallas"
+                      and ssd_pallas_supported(height, width, max_disparity,
+                                               kernel_size))
+    if use_pallas:
         return diff_cost_volume_pallas(left, right,
                                        max_disparity=max_disparity,
                                        kernel_size=kernel_size,
                                        cost_dtype=cost_dtype,
-                                       absolute=absolute)
+                                       absolute=absolute,
+                                       interpret=(jax.default_backend()
+                                                  != "tpu"))
     fn = sad_cost_volume if absolute else ssd_cost_volume
     return fn(left, right, max_disparity=max_disparity,
               kernel_size=kernel_size, cost_dtype=cost_dtype)
@@ -56,10 +74,12 @@ class SSD:
         max_disparity: number of disparity hypotheses (the D axis).
         kernel_size: SSD window half-extent k; the window is [i-k, i+k).
         cost_volume_dtype: output dtype (float32 or int32).
-        backend: "auto" | "pallas" | "xla" — "pallas" (the TPU default)
-            streams image rows through a single-HBM-pass kernel
-            (ops/ssd_pallas.py) when the geometry fits VMEM, else falls
-            back to the XLA separable-box formulation.
+        backend: "auto" | "pallas" | "xla".  "auto" streams image rows
+            through the single-HBM-pass kernel (ops/ssd_pallas.py) only
+            on TPU at geometries where it measured faster (D <= 64,
+            W a multiple of 128, fits VMEM); explicit "pallas" forces the
+            kernel whenever the geometry fits VMEM; "xla" always uses the
+            separable-box formulation (the semantic oracle).
     """
 
     def __init__(self, max_disparity: int, kernel_size: int = 7,
@@ -113,6 +133,8 @@ class SAD:
         max_disparity: number of disparity hypotheses (the D axis).
         kernel_size: window half-extent k; the window is [i-k, i+k).
         cost_volume_dtype: output dtype (float32 / bfloat16 / int32).
+        backend: "auto" | "pallas" | "xla" — same dispatch semantics as
+            :class:`SSD` (the streaming kernel shares its window code).
     """
 
     def __init__(self, max_disparity: int, kernel_size: int = 7,

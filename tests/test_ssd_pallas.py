@@ -166,3 +166,60 @@ def test_api_dispatch_backends_agree():
     out = ssd_cost_volume_pallas(left, right, max_disparity=16,
                                  kernel_size=7, interpret=True)
     _compare_float(ref, out)
+
+
+def test_explicit_pallas_backend_takes_kernel_through_class():
+    """Explicit backend="pallas" forces the streaming kernel through
+    SSD/SAD.__call__ whenever the geometry fits VMEM — even off-TPU,
+    where the dispatch runs it in interpret mode.  Pins the class-level
+    routing (previously only validated by the hardware probe)."""
+    import stereomatch_tpu.cost as cost_mod
+    from stereomatch_tpu.cost import SAD, SSD
+
+    rng = np.random.default_rng(12)
+    left = rng.random((24, 40), np.float32)
+    right = rng.random((24, 40), np.float32)
+
+    calls = []
+    real = cost_mod.diff_cost_volume_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("absolute"))
+        return real(*args, **kwargs)
+
+    cost_mod.diff_cost_volume_pallas = spy
+    try:
+        # 24x40 fails the *preferred* gate (W % 128 != 0) but fits VMEM:
+        # explicit "pallas" must still take the kernel.
+        out_ssd = SSD(16, backend="pallas")(left, right)
+        out_sad = SAD(16, backend="pallas")(left, right)
+    finally:
+        cost_mod.diff_cost_volume_pallas = real
+    assert calls == [False, True]
+    _compare_float(SSD(16, backend="xla")(left, right), out_ssd)
+    _compare_float(SAD(16, backend="xla")(left, right), out_sad)
+
+
+def test_auto_gate_uses_preferred_not_supported(monkeypatch):
+    """backend="auto" consults ssd_pallas_preferred (the measured-win
+    predicate), never the broader supported gate."""
+    import stereomatch_tpu.cost as cost_mod
+    from stereomatch_tpu.cost import SSD
+
+    rng = np.random.default_rng(13)
+    left = rng.random((24, 40), np.float32)
+    right = rng.random((24, 40), np.float32)
+
+    ref = SSD(16, backend="xla")(left, right)   # before the patches below
+    seen = []
+    monkeypatch.setattr(cost_mod, "resolve_backend", lambda b: "pallas")
+    monkeypatch.setattr(cost_mod, "ssd_pallas_preferred",
+                        lambda *a: seen.append(a) or False)
+    calls = []
+    monkeypatch.setattr(
+        cost_mod, "diff_cost_volume_pallas",
+        lambda *a, **k: calls.append(1))
+    out = SSD(16, backend="auto")(left, right)      # falls through to XLA
+    assert seen == [(24, 40, 16, 7)]
+    assert not calls
+    _compare_float(ref, out)
