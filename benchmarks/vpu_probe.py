@@ -1,0 +1,239 @@
+"""VPU / memory microbenchmarks behind the SGM optimization decisions.
+
+Two question groups, both answered on the real chip:
+
+1. **Where do SGM's cycles go?**  Inside a Pallas kernel, measure the
+   marginal cost of each primitive the band recurrence uses — elementwise
+   min/add (f32 and bf16, to test whether bf16 compute doubles VPU rate),
+   lane rolls, sublane rolls, the lane-axis min reduction — plus the
+   complete per-family band step itself.  The per-step number multiplied
+   by families x rows is the true VPU floor for a sweep pass, replacing
+   the hand-counted cycle estimate in docs/performance.md.
+
+2. **What is the real copy roofline?**  The round-2 suite reported WTA at
+   115% of "roofline" because the single jnp.roll bandwidth probe
+   underestimates achievable bandwidth.  This probe takes the max over
+   several independent probes (XLA roll-copy, a Pallas streaming copy,
+   an XLA read-only reduce) — no op can beat a *max* over copy bounds.
+
+Methodology: marginal cost between two in-kernel repeat counts, measured
+with the chain methodology (utils/benchmarking.py), so both the per-call
+dispatch constant AND the per-kernel-launch constant cancel:
+
+    us_per_rep = (ms(reps=R2) - ms(reps=R1)) / (R2 - R1) * 1e3
+
+Usage: python benchmarks/vpu_probe.py [--json OUT.json]
+"""
+
+import argparse
+import functools
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stereomatch_tpu.utils.benchmarking import marginal_ms
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--chain", type=int, default=8)
+    parser.add_argument("--repeats", type=int, default=5)
+    args = parser.parse_args()
+
+    W, D = 448, 128        # one SGM row at teddy-like width, f32-tile aligned
+    results = {
+        "device": jax.devices()[0].device_kind,
+        "shape": [W, D],
+        "methodology": "marginal us/rep between reps=32 and reps=160, "
+                       "chain methodology on top",
+    }
+
+    def probe_runner(body, reps, dtype):
+        """jit(fn(x)) running ``reps`` iterations of ``body(i, y, aux...)``
+        over a VMEM-resident [W, D] buffer inside one Pallas kernel."""
+
+        def kernel(x_ref, c_ref, m0_ref, m1_ref, o_ref):
+            aux = (c_ref[:], m0_ref[:], m1_ref[:])
+
+            def it(i, y):
+                return body(i, y, *aux)
+
+            o_ref[:] = lax.fori_loop(0, reps, it, x_ref[:])
+
+        @jax.jit
+        def run(x, c, m0, m1):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((W, D), dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x, c, m0, m1)
+
+        return run
+
+    rng = np.random.default_rng(0)
+
+    def op_us(name, body, dtype=jnp.float32, r1=64, r2=4160):
+        # The rep diff must be large enough that the total extra compute
+        # (2*chain_k * (r2-r1) * per_rep) clears the relay's ms-scale
+        # timing jitter: 4096 extra reps x 16 extra calls x ~0.1-1 us/rep
+        # = 7-70 ms of signal.
+        x = jnp.asarray(rng.random((W, D)) + 0.5, dtype)
+        c = jnp.asarray(rng.random((W, D)) + 0.5, dtype)
+        # SGM's band-edge masks: P1 everywhere, +inf at one lane.
+        m0 = np.full((W, D), 0.1, np.float32)
+        m0[:, 0] = np.inf
+        m1 = np.full((W, D), 0.1, np.float32)
+        m1[:, -1] = np.inf
+        m0 = jnp.asarray(m0, dtype)
+        m1 = jnp.asarray(m1, dtype)
+
+        def bench(reps):
+            run = probe_runner(body, reps, dtype)
+
+            def chain_body(carry):
+                y, c_, a_, b_ = carry
+                return (run(y, c_, a_, b_), c_, a_, b_)
+
+            return marginal_ms(chain_body, (x, c, m0, m1),
+                               chain_k=args.chain, repeats=args.repeats)
+
+        ms1, ms2 = bench(r1), bench(r2)
+        us = (ms2 - ms1) / (r2 - r1) * 1e3
+        results[name] = round(us, 4)
+        print(f"{name:28s} {us:9.4f} us/rep", file=sys.stderr, flush=True)
+        return us
+
+    # --- elementwise throughput: 1 add + 1 min per rep ---
+    def minadd(i, y, c, m0, m1):
+        t = (jnp.float32(1e-6) * i).astype(y.dtype)
+        return jnp.minimum(y + t, c)
+
+    op_us("ew_minadd_f32", minadd)
+    try:
+        op_us("ew_minadd_bf16", minadd, dtype=jnp.bfloat16)
+    except Exception as e:                                  # noqa: BLE001
+        results["ew_minadd_bf16"] = f"unsupported: {type(e).__name__}"
+
+    # --- rolls ---
+    def roll_lane(i, y, c, m0, m1):
+        return pltpu.roll(y, 1, axis=1) + (jnp.float32(1e-6) * i)
+
+    def roll_sub(i, y, c, m0, m1):
+        return pltpu.roll(y, 1, axis=0) + (jnp.float32(1e-6) * i)
+
+    op_us("roll_lane_add_f32", roll_lane)
+    op_us("roll_sublane_add_f32", roll_sub)
+
+    # --- lane-axis min reduce (the band normalization) ---
+    def reduce_sub(i, y, c, m0, m1):
+        return y - jnp.min(y, axis=1, keepdims=True) + (jnp.float32(1e-6) * i)
+
+    op_us("reduce_min_sub_f32", reduce_sub)
+
+    # --- the full per-family band step, vertical (no W roll) ---
+    def band_step(i, y, c, m0, m1):
+        pm = jnp.min(y, axis=1, keepdims=True)
+        yn = y - pm
+        up = pltpu.roll(yn, 1, axis=1) + m0
+        dn = pltpu.roll(yn, D - 1, axis=1) + m1
+        band = jnp.minimum(jnp.minimum(yn, up),
+                           jnp.minimum(dn, jnp.float32(0.2)))
+        return c + band + (jnp.float32(1e-7) * i)
+
+    op_us("band_step_vertical_f32", band_step)
+
+    # --- the diagonal family adds one sublane roll ---
+    def band_step_diag(i, y, c, m0, m1):
+        y = pltpu.roll(y, 1, axis=0)
+        return band_step(i, y, c, m0, m1)
+
+    op_us("band_step_diagonal_f32", band_step_diag)
+
+    # Projected VPU floor for one 3-family sweep pass at teddy (375 rows):
+    v = results.get("band_step_vertical_f32")
+    dg = results.get("band_step_diagonal_f32")
+    if isinstance(v, float) and isinstance(dg, float):
+        per_row_us = v + 2 * dg
+        results["sgm_row_pass_floor_ms_teddy"] = round(
+            per_row_us * 375 / 1e3, 4)
+        print(f"-> projected 3-family row-pass VPU floor at teddy: "
+              f"{results['sgm_row_pass_floor_ms_teddy']} ms",
+              file=sys.stderr, flush=True)
+
+    # ------------------------------------------------------------------
+    # Bandwidth probes: take the max — the recalibrated copy roofline.
+    # ------------------------------------------------------------------
+    n = 16 * 1024 * 1024                                    # 64 MB f32
+    big = jax.device_put(
+        np.arange(n, dtype=np.float32).reshape(4096, 4096))
+
+    def bw(name, body, arr, bytes_per_iter):
+        ms = marginal_ms(body, arr, chain_k=args.chain,
+                         repeats=args.repeats)
+        gbps = bytes_per_iter / 1e9 / (ms / 1e3) if ms > 0 else float("nan")
+        results[f"bw_{name}_gbps"] = round(gbps, 1)
+        print(f"bw_{name:22s} {gbps:8.1f} GB/s", file=sys.stderr, flush=True)
+        return gbps
+
+    # (a) XLA roll-copy (the round-2 probe)
+    bw("xla_roll", lambda x: jnp.roll(x, 1, axis=0) + jnp.float32(1e-7),
+       big, 2 * n * 4)
+
+    # (b) Pallas streaming copy: block-in, block-out, nothing else.
+    BR = 256
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + jnp.float32(1e-7)
+
+    @jax.jit
+    def pallas_copy(x):
+        return pl.pallas_call(
+            copy_kernel,
+            grid=(4096 // BR,),
+            in_specs=[pl.BlockSpec((BR, 4096), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((BR, 4096), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4096, 4096), jnp.float32),
+        )(x)
+
+    bw("pallas_copy", pallas_copy, big, 2 * n * 4)
+
+    # (c) XLA read-only reduce: the carry is a scalar, the 64 MB array is
+    # a captured constant read once per iteration (the s-dependent fused
+    # multiply keeps the reduce inside the loop — it cannot be hoisted;
+    # s grows to ~1e2 after one sum, so the perturbation is not a no-op
+    # in f32).
+    def reduce_body(s):
+        return jnp.sum(big * (jnp.float32(1.0) + s * jnp.float32(1e-12)))
+
+    bw("xla_reduce_read", reduce_body, jnp.float32(0.0), n * 4)
+
+    gb_keys = [k for k in results if k.startswith("bw_")]
+    results["calibrated_hbm_gbps"] = max(
+        v for k, v in results.items()
+        if k.startswith("bw_") and isinstance(v, float))
+    print(f"calibrated roofline bandwidth: "
+          f"{results['calibrated_hbm_gbps']} GB/s "
+          f"(max over {len(gb_keys)} probes)", file=sys.stderr, flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
