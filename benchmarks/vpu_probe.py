@@ -59,9 +59,9 @@ def main():
                        "chain methodology on top",
     }
 
-    def probe_runner(body, reps, dtype):
+    def probe_runner(body, reps, dtype, shape):
         """jit(fn(x)) running ``reps`` iterations of ``body(i, y, aux...)``
-        over a VMEM-resident [W, D] buffer inside one Pallas kernel."""
+        over a VMEM-resident buffer inside one Pallas kernel."""
 
         def kernel(x_ref, c_ref, m0_ref, m1_ref, o_ref):
             aux = (c_ref[:], m0_ref[:], m1_ref[:])
@@ -75,7 +75,7 @@ def main():
         def run(x, c, m0, m1):
             return pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((W, D), dtype),
+                out_shape=jax.ShapeDtypeStruct(shape, dtype),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             )(x, c, m0, m1)
@@ -84,23 +84,28 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def op_us(name, body, dtype=jnp.float32, r1=64, r2=4160):
+    def op_us(name, body, dtype=jnp.float32, r1=64, r2=4160,
+              shape=(W, D), mask_axis=1):
         # The rep diff must be large enough that the total extra compute
         # (2*chain_k * (r2-r1) * per_rep) clears the relay's ms-scale
         # timing jitter: 4096 extra reps x 16 extra calls x ~0.1-1 us/rep
         # = 7-70 ms of signal.
-        x = jnp.asarray(rng.random((W, D)) + 0.5, dtype)
-        c = jnp.asarray(rng.random((W, D)) + 0.5, dtype)
-        # SGM's band-edge masks: P1 everywhere, +inf at one lane.
-        m0 = np.full((W, D), 0.1, np.float32)
-        m0[:, 0] = np.inf
-        m1 = np.full((W, D), 0.1, np.float32)
-        m1[:, -1] = np.inf
+        x = jnp.asarray(rng.random(shape) + 0.5, dtype)
+        c = jnp.asarray(rng.random(shape) + 0.5, dtype)
+        # SGM's band-edge masks: P1 everywhere, +inf at one d slot.
+        m0 = np.full(shape, 0.1, np.float32)
+        m1 = np.full(shape, 0.1, np.float32)
+        if mask_axis == 1:
+            m0[:, 0] = np.inf
+            m1[:, -1] = np.inf
+        else:
+            m0[0, :] = np.inf
+            m1[-1, :] = np.inf
         m0 = jnp.asarray(m0, dtype)
         m1 = jnp.asarray(m1, dtype)
 
         def bench(reps):
-            run = probe_runner(body, reps, dtype)
+            run = probe_runner(body, reps, dtype, shape)
 
             def chain_body(carry):
                 y, c_, a_, b_ = carry
@@ -161,6 +166,49 @@ def main():
 
     op_us("band_step_diagonal_f32", band_step_diag)
 
+    # --- [D, W] layout variants: d on sublanes, w on lanes — the d+-1
+    # band shifts become sublane rolls (cheap) and the W diagonal shift
+    # becomes a lane roll; the min reduce runs over sublanes. ---
+    def band_step_dw(i, y, c, m0, m1):
+        pm = jnp.min(y, axis=0, keepdims=True)
+        yn = y - pm
+        up = pltpu.roll(yn, 1, axis=0) + m0
+        dn = pltpu.roll(yn, D - 1, axis=0) + m1
+        band = jnp.minimum(jnp.minimum(yn, up),
+                           jnp.minimum(dn, jnp.float32(0.2)))
+        return c + band + (jnp.float32(1e-7) * i)
+
+    def band_step_dw_diag(i, y, c, m0, m1):
+        y = pltpu.roll(y, 1, axis=1)
+        return band_step_dw(i, y, c, m0, m1)
+
+    op_us("band_step_dw_vertical_f32", band_step_dw, shape=(D, W),
+          mask_axis=0)
+    op_us("band_step_dw_diagonal_f32", band_step_dw_diag, shape=(D, W),
+          mask_axis=0)
+
+    v = results.get("band_step_dw_vertical_f32")
+    dg = results.get("band_step_dw_diagonal_f32")
+    if isinstance(v, float) and isinstance(dg, float):
+        results["sgm_row_pass_floor_dw_ms_teddy"] = round(
+            (v + 2 * dg) * 375 / 1e3, 4)
+
+    # --- lane shift via slice+pad instead of roll (does Mosaic lower a
+    # static lane shift cheaper than a rotate?) ---
+    def band_step_slice(i, y, c, m0, m1):
+        pm = jnp.min(y, axis=1, keepdims=True)
+        yn = y - pm
+        inf_col = jnp.full((W, 1), jnp.float32(jnp.inf))
+        up = jnp.concatenate([inf_col, yn[:, :D - 1]], axis=1) \
+            + jnp.float32(0.1)
+        dn = jnp.concatenate([yn[:, 1:], inf_col], axis=1) \
+            + jnp.float32(0.1)
+        band = jnp.minimum(jnp.minimum(yn, up),
+                           jnp.minimum(dn, jnp.float32(0.2)))
+        return c + band + (jnp.float32(1e-7) * i)
+
+    op_us("band_step_slice_f32", band_step_slice)
+
     # Projected VPU floor for one 3-family sweep pass at teddy (375 rows):
     v = results.get("band_step_vertical_f32")
     dg = results.get("band_step_diagonal_f32")
@@ -174,10 +222,14 @@ def main():
 
     # ------------------------------------------------------------------
     # Bandwidth probes: take the max — the recalibrated copy roofline.
+    # 512 MB per pass so one chain-iteration diff is tens of ms — far
+    # above the relay's timing jitter (64 MB arrays measured 1.0-6.4
+    # TB/s, i.e. pure noise above the 819 GB/s part spec).
     # ------------------------------------------------------------------
-    n = 16 * 1024 * 1024                                    # 64 MB f32
+    rows = 32768
+    n = rows * 4096                                         # 512 MB f32
     big = jax.device_put(
-        np.arange(n, dtype=np.float32).reshape(4096, 4096))
+        np.arange(n, dtype=np.float32).reshape(rows, 4096))
 
     def bw(name, body, arr, bytes_per_iter):
         ms = marginal_ms(body, arr, chain_k=args.chain,
@@ -201,12 +253,12 @@ def main():
     def pallas_copy(x):
         return pl.pallas_call(
             copy_kernel,
-            grid=(4096 // BR,),
+            grid=(rows // BR,),
             in_specs=[pl.BlockSpec((BR, 4096), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((BR, 4096), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((4096, 4096), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows, 4096), jnp.float32),
         )(x)
 
     bw("pallas_copy", pallas_copy, big, 2 * n * 4)
