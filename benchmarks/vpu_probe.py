@@ -221,65 +221,81 @@ def main():
               file=sys.stderr, flush=True)
 
     # ------------------------------------------------------------------
-    # Bandwidth probes: take the max — the recalibrated copy roofline.
-    # 512 MB per pass so one chain-iteration diff is tens of ms — far
-    # above the relay's timing jitter (64 MB arrays measured 1.0-6.4
-    # TB/s, i.e. pure noise above the 819 GB/s part spec).
+    # Bandwidth probes: copy (read+write) and pure-read streams over a
+    # size sweep.  Small arrays are noise-dominated on the relay (64 MB
+    # probes measured up to 6.4 TB/s); the calibrated roofline is the max
+    # over the *largest* size, where one chain-iteration diff is tens of
+    # ms.  Arrays are always passed as arguments, never closure-captured
+    # (a captured array is embedded in the program literal — 512 MB blows
+    # the remote-compile relay's request limit).
     # ------------------------------------------------------------------
-    rows = 32768
-    n = rows * 4096                                         # 512 MB f32
-    big = jax.device_put(
-        np.arange(n, dtype=np.float32).reshape(rows, 4096))
-
-    def bw(name, body, arr, bytes_per_iter):
-        ms = marginal_ms(body, arr, chain_k=args.chain,
-                         repeats=args.repeats)
-        gbps = bytes_per_iter / 1e9 / (ms / 1e3) if ms > 0 else float("nan")
-        results[f"bw_{name}_gbps"] = round(gbps, 1)
-        print(f"bw_{name:22s} {gbps:8.1f} GB/s", file=sys.stderr, flush=True)
-        return gbps
-
-    # (a) XLA roll-copy (the round-2 probe)
-    bw("xla_roll", lambda x: jnp.roll(x, 1, axis=0) + jnp.float32(1e-7),
-       big, 2 * n * 4)
-
-    # (b) Pallas streaming copy: block-in, block-out, nothing else.
     BR = 256
 
     def copy_kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:] + jnp.float32(1e-7)
 
-    @jax.jit
-    def pallas_copy(x):
-        return pl.pallas_call(
-            copy_kernel,
-            grid=(rows // BR,),
-            in_specs=[pl.BlockSpec((BR, 4096), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((BR, 4096), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, 4096), jnp.float32),
-        )(x)
+    def bw(name, body, arr, bytes_per_iter, chain_k):
+        ms = marginal_ms(body, arr, chain_k=chain_k, repeats=args.repeats)
+        gbps = bytes_per_iter / 1e9 / (ms / 1e3) if ms > 0 else float("nan")
+        results[f"bw_{name}_gbps"] = round(gbps, 1)
+        print(f"bw_{name:26s} {gbps:8.1f} GB/s", file=sys.stderr,
+              flush=True)
+        return gbps
 
-    bw("pallas_copy", pallas_copy, big, 2 * n * 4)
+    for mb in (64, 256, 512):
+        rows = mb * 1024 * 1024 // (4096 * 4)
+        n = rows * 4096
+        big = jax.device_put(np.arange(n, dtype=np.float32)
+                             .reshape(rows, 4096))
+        # Keep the marginal-time signal roughly constant (~50 ms) across
+        # sizes: more chained iterations for the small arrays.
+        ck = max(args.chain, 2048 // mb)
 
-    # (c) XLA read-only reduce: the carry is a scalar, the 64 MB array is
-    # a captured constant read once per iteration (the s-dependent fused
-    # multiply keeps the reduce inside the loop — it cannot be hoisted;
-    # s grows to ~1e2 after one sum, so the perturbation is not a no-op
-    # in f32).
-    def reduce_body(s):
-        return jnp.sum(big * (jnp.float32(1.0) + s * jnp.float32(1e-12)))
+        # (a) XLA roll-copy (the round-2 probe).
+        bw(f"xla_roll_{mb}mb",
+           lambda x: jnp.roll(x, 1, axis=0) + jnp.float32(1e-7),
+           big, 2 * n * 4, ck)
 
-    bw("xla_reduce_read", reduce_body, jnp.float32(0.0), n * 4)
+        # (b) Pallas streaming copy: block-in, block-out, nothing else.
+        @jax.jit
+        def pallas_copy(x, rows=rows):
+            return pl.pallas_call(
+                copy_kernel,
+                grid=(rows // BR,),
+                in_specs=[pl.BlockSpec((BR, 4096), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((BR, 4096), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((rows, 4096), jnp.float32),
+            )(x)
 
-    gb_keys = [k for k in results if k.startswith("bw_")]
-    results["calibrated_hbm_gbps"] = max(
-        v for k, v in results.items()
-        if k.startswith("bw_") and isinstance(v, float))
-    print(f"calibrated roofline bandwidth: "
-          f"{results['calibrated_hbm_gbps']} GB/s "
-          f"(max over {len(gb_keys)} probes)", file=sys.stderr, flush=True)
+        bw(f"pallas_copy_{mb}mb", pallas_copy, big, 2 * n * 4, ck)
+
+        # (c) XLA pure-read reduce: scalar carry + the array riding along
+        # unchanged; the s-dependent fused multiply cannot be hoisted.
+        def reduce_body(carry):
+            s, arr = carry
+            return (jnp.sum(arr * (jnp.float32(1.0)
+                                   + s * jnp.float32(1e-12))), arr)
+
+        bw(f"xla_reduce_read_{mb}mb", reduce_body,
+           (jnp.float32(0.0), big), n * 4, ck)
+        del big
+
+    copy_keys = [k for k in results
+                 if k.startswith(("bw_xla_roll", "bw_pallas_copy"))
+                 and isinstance(results[k], float)]
+    read_keys = [k for k in results if k.startswith("bw_xla_reduce_read")
+                 and isinstance(results[k], float)]
+    if copy_keys:
+        results["calibrated_copy_gbps"] = max(results[k] for k in copy_keys
+                                              if "512" in k or "256" in k)
+    if read_keys:
+        results["calibrated_read_gbps"] = max(results[k] for k in read_keys
+                                              if "512" in k or "256" in k)
+    print(f"calibrated: copy {results.get('calibrated_copy_gbps')} GB/s, "
+          f"read {results.get('calibrated_read_gbps')} GB/s",
+          file=sys.stderr, flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

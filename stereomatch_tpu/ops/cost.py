@@ -464,6 +464,52 @@ def _zncc_combine(sums: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
 
 
+def _rowboxed_prefix(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """[H, W+1] row-box-summed column prefix of a plane.
+
+    RBS[r, j] = sum over window rows r' of (sum over columns x < j of
+    img[r', x]) — the building block that turns every per-window column
+    sum into a difference of two entries: the full windowed sum over
+    columns [a, b) at row r is RBS[r, b] - RBS[r, a].  Row clipping comes
+    from the box pass's zero padding (out-of-image rows contribute 0).
+    """
+    height = img.shape[0]
+    prefix = jnp.concatenate(
+        [jnp.zeros((height, 1), img.dtype), jnp.cumsum(img, axis=1)],
+        axis=1)
+    return _box_sum(prefix, kernel_size, axes=(0,))
+
+
+def _window_ends(plane: jnp.ndarray, kernel_size: int):
+    """(upper, lower) per-column reads of an [H, W+1] prefix-style plane:
+    upper[., c] = plane[., min(c+k, W)], lower[., c] = plane[., max(c-k,
+    0)] — static concat/broadcast re-indexing, no gathers."""
+    k = kernel_size
+    width = plane.shape[-1] - 1
+    upper = jnp.concatenate(
+        [plane[..., k:],
+         jnp.broadcast_to(plane[..., -1:],
+                          plane.shape[:-1] + (k - 1,))], axis=-1)
+    lower = jnp.concatenate(
+        [jnp.broadcast_to(plane[..., :1], plane.shape[:-1] + (k,)),
+         plane[..., :width - k]], axis=-1)
+    return upper, lower
+
+
+def _shifted_plane_stack(plane: jnp.ndarray, max_disparity: int,
+                         disparity_offset) -> jnp.ndarray:
+    """[H, Wp, D] stack G[r, x, d] = plane[r, x - d - offset] (0 when the
+    source index is negative) — shifted_right_stack generalized to
+    prefix-width planes."""
+    wp = plane.shape[1]
+    x_idx = lax.broadcasted_iota(jnp.int32, (wp, max_disparity), 0)
+    d_idx = lax.broadcasted_iota(jnp.int32, (wp, max_disparity), 1)
+    src = x_idx - d_idx - disparity_offset
+    valid = src >= 0
+    gathered = jnp.take(plane, jnp.maximum(src, 0), axis=1)
+    return jnp.where(valid[None], gathered, jnp.zeros((), plane.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("max_disparity", "kernel_size",
                                              "cost_dtype"))
 def zncc_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
@@ -477,29 +523,106 @@ def zncc_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     mismatch between the two cameras — where SSD/SAD degrade under any
     mismatch and census handles only monotonic transforms losslessly.
 
-    All six window statistics (count, ΣL, ΣL², ΣR, ΣR², ΣLR) are stacked
-    on a leading axis and box-summed in one separable pass pair, so XLA
-    streams the [H, W, D] volume a constant number of times regardless of
-    the statistic count.  Always computes float32 (normalization is a
-    float quantity); ``cost_dtype`` must be a float dtype.
+    Of the six window statistics only ΣLR genuinely couples both images
+    per disparity and gets the volume-sized separable box pass.  The
+    rest are *plane* algebra: ΣL/ΣL² are prefix-difference reads of
+    row-box-summed column prefixes (the window's d-dependent left clip
+    max(c-k, d) selects between a column plane and a disparity plane);
+    ΣR/ΣR² are the same prefix planes read through a shifted stack; the
+    count is a closed-form row-extent x column-extent product.  That
+    takes the round-2 formulation's ~31 volume-sized HBM transfers (six
+    stacked statistics through two box passes) down to ~7.
+
+    Both images are centered by their global means first — ZNCC is
+    invariant to per-image shifts, and small-magnitude prefixes keep the
+    prefix-difference cancellation at window-sum scale instead of
+    image-sum scale.  Always computes float32; ``cost_dtype`` must be a
+    float dtype.
     """
     cost_dtype = jnp.dtype(cost_dtype)
     if not jnp.issubdtype(cost_dtype, jnp.floating):
         raise ValueError("zncc cost requires a float cost_dtype "
                          f"(got {cost_dtype})")
-    left_f = left.astype(jnp.float32)
-    right_f = right.astype(jnp.float32)
+    k = kernel_size
+    if left.shape[1] <= k:
+        # Degenerate width (every window spans the whole image): the
+        # static prefix re-indexing below assumes W > k; the stacked
+        # formulation is fine at this scale.
+        left_f = left.astype(jnp.float32)
+        right_f = right.astype(jnp.float32)
+        shifted = shifted_right_stack(right_f, max_disparity,
+                                      disparity_offset)
+        width = left.shape[1]
+        w_i = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
+        d_i = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
+        valid = (w_i >= d_i + disparity_offset)[None, :, :]
+        stack = _zncc_stack(left_f, shifted, valid)
+        sums = _box_sum(stack, kernel_size, axes=(1, 2))
+        return _zncc_combine(sums, valid, cost_dtype, eps)
+    left_c = left.astype(jnp.float32)
+    right_c = right.astype(jnp.float32)
+    left_c = left_c - jnp.mean(left_c)
+    right_c = right_c - jnp.mean(right_c)
+    height, width = left_c.shape
 
-    shifted = shifted_right_stack(right_f, max_disparity,
-                                  disparity_offset)          # [H, W, D]
-    width = left.shape[1]
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
-    valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
+    delta = d_idx + disparity_offset
+    valid = (w_idx >= delta)[None, :, :]
 
-    stack = _zncc_stack(left_f, shifted, valid)              # [6, H, W, D]
-    sums = _box_sum(stack, kernel_size, axes=(1, 2))
-    return _zncc_combine(sums, valid, cost_dtype, eps)
+    # Window support count: rows(r) x columns(c, d), both closed-form.
+    r_idx = jnp.arange(height)
+    rows_n = (jnp.minimum(r_idx + k, height)
+              - jnp.maximum(r_idx - k, 0)).astype(jnp.float32)
+    cols_n = jnp.maximum(jnp.minimum(w_idx + k, width)
+                         - jnp.maximum(w_idx - k, delta), 0
+                         ).astype(jnp.float32)
+    n = rows_n[:, None, None] * cols_n[None]
+
+    # Left-image statistics: prefix-difference planes.  The column window
+    # is [max(c-k, d), min(c+k, W)): the upper end and the c-k lower end
+    # are per-column planes; when the d clip wins the lower read comes
+    # from the per-disparity plane RBS[:, d] instead.
+    cmask = ((w_idx - k) >= delta)[None, :, :]
+
+    def left_stat(img):
+        rbs = _rowboxed_prefix(img, k)                       # [H, W+1]
+        upper, lower = _window_ends(rbs, k)                  # [H, W] x2
+        at_d = lax.dynamic_slice_in_dim(
+            rbs, disparity_offset, max_disparity, axis=1)    # [H, D]
+        return upper[:, :, None] - jnp.where(cmask, lower[:, :, None],
+                                             at_d[:, None, :])
+
+    s_l = left_stat(left_c)
+    s_ll = left_stat(left_c * left_c)
+
+    # Right-image statistics: the same prefix planes, read at shifted
+    # columns — G[r, x, d] = RBS_R[r, x - d], so the window ends become
+    # static re-indexes of one shifted stack (the zero fill of the stack
+    # IS the max(c-k, d) clip: a clipped lower end reads RBS_R[0] = 0).
+    def right_stat(img):
+        g = _shifted_plane_stack(_rowboxed_prefix(img, k), max_disparity,
+                                 disparity_offset)           # [H, W+1, D]
+        upper = jnp.concatenate(
+            [g[:, k:], jnp.broadcast_to(g[:, -1:],
+                                        (height, k - 1, max_disparity))],
+            axis=1)
+        lower = jnp.concatenate(
+            [jnp.zeros((height, k, max_disparity), g.dtype),
+             g[:, :width - k]], axis=1)
+        return upper - lower
+
+    s_r = right_stat(right_c)
+    s_rr = right_stat(right_c * right_c)
+
+    # The one statistic that needs a volume-sized box pass: the shifted
+    # stack's zero fill makes out-of-window products the additive
+    # identity, so the plain clipped box implements the d-dependent clip.
+    shifted = shifted_right_stack(right_c, max_disparity, disparity_offset)
+    s_lr = _box_sum(left_c[:, :, None] * shifted, k, axes=(0, 1))
+
+    return _zncc_combine((n, s_l, s_ll, s_r, s_rr, s_lr), valid,
+                         cost_dtype, eps)
 
 
 def zncc_cost_from_padded(left_padded: jnp.ndarray,

@@ -18,9 +18,13 @@ kernels restructure the work around HBM traffic, the true bottleneck:
   (input_output_aliases), so the 6 row-direction traversals cost
   read-cost + write-partial (forward) + read-cost + read-partial +
   write-partial (reverse) of HBM traffic in total.
-* The horizontal family (scan along W) reuses the same kernel on a
-  transposed volume — two XLA transposes are cheaper than a
-  strided-DMA column walk.
+* The horizontal family (scan along W) has two implementations: the
+  NATURAL mode (round 3 default) walks [H, cw, D] column-chunk blocks
+  with a VMEM-resident [H, D] carry and accumulates in place onto the
+  row-family partial — zero transpose traffic, no separate partial
+  volume, no final add (measured: teddy pipeline 3.84 -> 3.25 ms);
+  the TRANSPOSED mode reuses the row kernel on a swapaxes'd volume and
+  remains the fallback where no column chunking fits VMEM.
 * The adaptive penalty P2_adj = max(P1, P2/|dI|) (semiglobal.cpp:137-138)
   depends only on the image, not the recurrence — it is precomputed in XLA
   as an [H, W, F] map (one lane-broadcast column read per row step) instead
@@ -108,6 +112,179 @@ def _roll(x, shift: int, axis: int):
     """pltpu.roll with negative shifts mapped to their positive equivalent."""
     size = x.shape[axis]
     return pltpu.roll(x, shift % size, axis=axis)
+
+
+def _p2_map_horizontal(image: jnp.ndarray, penalty1: float, penalty2: float,
+                       reverse: bool) -> jnp.ndarray:
+    """[H, W] adaptive-P2 map for the horizontal (along-W) family.
+
+    Same formula as :func:`_p2_maps` evaluated on the transposed image
+    with family shift 0 — the predecessor of (r, x) is (r, x-1) forward,
+    (r, x+1) reverse.  No edge-column zeroing is needed: the natural
+    horizontal sweep seeds through the zero-carry identity (prev == 0 =>
+    normalized band == 0 => L = C), so the scan-start column's P2 value
+    never takes effect.
+    """
+    prev = _shift2d(image, 0, -1 if reverse else 1)
+    grad = jnp.abs(image - prev)
+    return jnp.maximum(jnp.float32(penalty1), jnp.float32(penalty2) / grad)
+
+
+def _hsweep_kernel_natural(*refs, penalty1: float, reverse: bool,
+                           accumulate: bool, cw: int, width: int):
+    """Horizontal-family sweep over the volume in NATURAL layout.
+
+    The transposed formulation (reusing _sweep_kernel on a swapaxes'd
+    volume) costs two full-volume HBM transposes plus a separate partial
+    volume and final add.  This kernel scans along W directly: the grid
+    walks [H, cw, D] column-chunk blocks left to right (right to left for
+    the reverse traversal via a reversed index map), the running carry is
+    one full-height [H, D] plane resident in VMEM, and each of the cw
+    columns is processed by a static in-block slice — full [H, D] rows of
+    VPU work per step, same throughput shape as the transposed kernel,
+    zero transpose traffic.
+
+    ``cw`` is tile-aligned (8), so the grid may be ragged: the last chunk
+    holds ``width % cw`` real columns and Mosaic-padded garbage beyond.
+    Every column step is guarded by ``col < width``; on the reverse
+    traversal the ragged chunk comes FIRST, and the guard ensures the
+    garbage never touches the carry — the scan enters the last real
+    column with the pristine zero carry.
+
+    Scan-start seeding uses the zero-carry identity (carry initialized to
+    zeros => band == 0 => val = cost), which is exactly the explicit
+    seed of the transposed kernel (out = base + cost, carry = cost).
+
+    The P2 map arrives TRANSPOSED ([W, H] blocks of (cw, H)) purely for
+    tile legality: an [H, cw] block would put cw on the lane axis, which
+    Mosaic requires to be 128-divisible or full.
+    """
+    if accumulate:
+        cost_ref, p2_ref, acc_ref, out_ref, carry_ref, mask_ref = refs
+    else:
+        cost_ref, p2_ref, out_ref, carry_ref, mask_ref = refs
+        acc_ref = None
+    c = pl.program_id(1)
+    n = pl.num_programs(1)
+    block_index = (n - 1 - c) if reverse else c
+    col0 = block_index * cw
+    height, _, max_disp = cost_ref.shape      # height = rows per h-block
+    p1 = jnp.float32(penalty1)
+
+    # Rows are independent for the horizontal family, so the grid may
+    # also tile H (outer axis, W chunks fastest): each h-block starts a
+    # fresh scan — re-init the carry at its first column chunk.
+    @pl.when(c == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)   # scan-start identity
+        inf = jnp.float32(jnp.inf)
+        lane = lax.broadcasted_iota(jnp.int32, (height, max_disp), 1)
+        ones = jnp.full((height, max_disp), p1, jnp.float32)
+        mask_ref[0] = jnp.where(lane == 0, inf, ones)
+        mask_ref[1] = jnp.where(lane == max_disp - 1, inf, ones)
+
+    out_dtype = out_ref.dtype
+    cols = reversed(range(cw)) if reverse else range(cw)
+    for w in cols:
+        @pl.when(col0 + w < width)
+        def _col(w=w):
+            cst = cost_ref[:, w, :].astype(jnp.float32)      # [H, D]
+            prev = carry_ref[0]
+            # Same normalized band association as _sweep_kernel —
+            # identical rounding column for column.
+            pm = jnp.min(prev, axis=1, keepdims=True)
+            pn = prev - pm
+            up = _roll(pn, 1, axis=1) + mask_ref[0]          # d-1, +P1
+            dn = _roll(pn, -1, axis=1) + mask_ref[1]         # d+1, +P1
+            p2a = p2_ref[w, :][:, None]                      # [H, 1]
+            band = jnp.minimum(jnp.minimum(pn, up),
+                               jnp.minimum(dn, p2a))
+            val = cst + band
+            carry_ref[0] = val
+            if accumulate:
+                val = acc_ref[:, w, :].astype(jnp.float32) + val
+            out_ref[:, w, :] = val.astype(out_dtype)
+
+
+def _pick_hsweep_chunk(height: int, width: int, max_disp: int):
+    """(row-block height, column-chunk width) for the natural horizontal
+    sweep, or None when nothing fits the VMEM budget (then the transposed
+    path is used).
+
+    The column chunk is tile-aligned 8 (the grid may be ragged along W —
+    the kernel guards the tail columns), or 16 when it divides W.  Rows
+    are independent for the horizontal family, so geometries whose
+    full-height blocks break the budget (HD-class) tile H as well: the
+    largest 8-aligned divisor of H whose working set fits.
+    """
+    dp = (max_disp + 127) // 128 * 128
+    for cw in (16, 8):
+        if cw == 16 and width % 16:
+            continue
+        for hc in (height, *(h for h in range(
+                (height // 8) * 8, 7, -8) if height % h == 0)):
+            plane = _row_vmem_bytes(hc, max_disp)             # [hc, D]
+            block = hc * cw * dp * 4
+            if 6 * block + 3 * plane <= _VMEM_BUDGET_BYTES:
+                return hc, cw
+    return None
+
+
+def _hsweep_pass_natural(cost, p2map, partial, *, penalty1: float,
+                         reverse: bool, chunk, interpret: bool = False,
+                         out_vma=None):
+    """One natural-layout horizontal traversal; accumulates onto
+    ``partial`` in place when given (input_output_aliases).
+
+    ``chunk`` is the (row-block height, column-chunk width) pair from
+    :func:`_pick_hsweep_chunk`.  ``p2map`` is the [H, W] horizontal
+    adaptive-P2 map; it is transposed here (a [W, H] plane costs ~H*W*4
+    bytes, noise next to the volume) so its blocks are (cw, hc) —
+    lane-size legal for any cw.
+    """
+    height, width, max_disp = cost.shape
+    hc, cw = chunk
+    n_chunks = -(-width // cw)                    # ragged tail allowed
+    if reverse:
+        blk = lambda h, c: (h, n_chunks - 1 - c, 0)
+    else:
+        blk = lambda h, c: (h, c, 0)
+
+    accumulate = partial is not None
+    kernel = functools.partial(_hsweep_kernel_natural, penalty1=penalty1,
+                               reverse=reverse, accumulate=accumulate,
+                               cw=cw, width=width)
+    in_specs = [
+        pl.BlockSpec((hc, cw, max_disp), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cw, hc), lambda h, c: (blk(h, c)[1], h),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [cost, p2map.T]
+    io_aliases = {}
+    if accumulate:
+        in_specs.append(pl.BlockSpec((hc, cw, max_disp), blk,
+                                     memory_space=pltpu.VMEM))
+        args.append(partial)
+        io_aliases = {2: 0}
+
+    return pl.pallas_call(
+        kernel,
+        grid=(height // hc, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((hc, cw, max_disp), blk,
+                               memory_space=pltpu.VMEM),
+        out_shape=(jax.ShapeDtypeStruct((height, width, max_disp),
+                                        cost.dtype)
+                   if out_vma is None else
+                   jax.ShapeDtypeStruct((height, width, max_disp),
+                                        cost.dtype, vma=out_vma)),
+        scratch_shapes=[
+            pltpu.VMEM((1, hc, max_disp), jnp.float32),       # carry
+            pltpu.VMEM((2, hc, max_disp), jnp.float32),       # P1 masks
+        ],
+        input_output_aliases=io_aliases,
+        interpret=interpret,
+    )(*args)
 
 
 def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
@@ -797,12 +974,13 @@ def _maybe_pad_rows(cost, image, n_fam):
 
 
 @functools.partial(jax.jit, static_argnames=("penalty1", "penalty2",
-                                             "interpret"))
+                                             "interpret", "horizontal"))
 def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
                                 left_image: jnp.ndarray, *,
                                 penalty1: float = 0.1,
                                 penalty2: float = 0.2,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                horizontal: str = "auto") -> jnp.ndarray:
     """8-direction SGM aggregation, Pallas path.
 
     Drop-in equivalent of ops.aggregation.semiglobal_aggregate
@@ -813,12 +991,29 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
     runs float32 in VMEM.  Accumulation across passes is then rounded to
     bfloat16 per pass — disparity-level accuracy cost is small and
     measured (tests/test_bf16.py, docs/performance.md).
+
+    ``horizontal`` selects the along-W family's implementation: "natural"
+    scans the volume in natural layout with a VMEM-resident [H, D] carry
+    (zero transpose traffic, the measured-faster mode); "transposed"
+    reuses the row-sweep kernel on a swapaxes'd volume; "auto" picks
+    natural whenever a usable column chunking exists and fits VMEM.
     """
     storage = (jnp.bfloat16 if cost_volume.dtype == jnp.bfloat16
                else jnp.float32)
     cost = cost_volume.astype(storage)
     image = left_image.astype(jnp.float32)
     p1, p2 = float(penalty1), float(penalty2)
+
+    height0, width0, max_disp = cost.shape
+    if horizontal == "auto":
+        hchunk = _pick_hsweep_chunk(height0, width0, max_disp)
+        horizontal = "natural" if hchunk is not None else "transposed"
+    elif horizontal == "natural":
+        hchunk = _pick_hsweep_chunk(height0, width0, max_disp)
+        if hchunk is None:
+            raise ValueError(
+                f"natural horizontal sweep unsupported at "
+                f"{height0}x{width0} D={max_disp} (no usable W chunking)")
 
     # Row-direction families (vertical + diagonals): forward then reverse,
     # accumulated in place.  The scan axis may be zero-padded for larger
@@ -835,6 +1030,20 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
         partial = _sweep_pass(cost_v, p2_r, partial, families=shifts,
                               penalty1=p1, reverse=True, interpret=interpret)
     partial = partial[:height]
+
+    if horizontal == "natural":
+        # Horizontal family scanned in natural layout, accumulated in
+        # place onto the row-family partial — no volume transposes, no
+        # separate partial volume, no final add.
+        p2h_f = _p2_map_horizontal(image, p1, p2, reverse=False)
+        p2h_r = _p2_map_horizontal(image, p1, p2, reverse=True)
+        out = _hsweep_pass_natural(cost, p2h_f, partial, penalty1=p1,
+                                   reverse=False, chunk=hchunk,
+                                   interpret=interpret)
+        out = _hsweep_pass_natural(cost, p2h_r, out, penalty1=p1,
+                                   reverse=True, chunk=hchunk,
+                                   interpret=interpret)
+        return out.astype(cost_volume.dtype)
 
     # Horizontal family: the same kernel over the transposed volume.
     cost_t, image_t, width = _maybe_pad_rows(jnp.swapaxes(cost, 0, 1),

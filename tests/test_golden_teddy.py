@@ -116,9 +116,13 @@ def test_golden_teddy_wgrid(golden, monkeypatch):
                                            seed=int(g["seed"]))
     left, right = left[:, :w], right[:, :w]
     vol = _volume(g, left, right)
+    # horizontal="transposed" on both sides: the VMEM-budget monkeypatch
+    # below would otherwise flip the horizontal mode between ref and out,
+    # and this test pins the ROW kernels' W-on-grid chunking.
     ref = np.asarray(semiglobal_aggregate_pallas(
         vol, left, penalty1=float(g["penalty1"]),
-        penalty2=float(g["penalty2"]), interpret=True))
+        penalty2=float(g["penalty2"]), interpret=True,
+        horizontal="transposed"))
 
     row_bytes = sgm_pallas._row_vmem_bytes(w, int(g["max_disparity"]))
     monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 0)
@@ -127,7 +131,8 @@ def test_golden_teddy_wgrid(golden, monkeypatch):
     assert sgm_pallas._pick_wgrid_chunks(w, int(g["max_disparity"]), 3) == 2
     out = semiglobal_aggregate_pallas.__wrapped__(
         vol, left, penalty1=float(g["penalty1"]),
-        penalty2=float(g["penalty2"]), interpret=True)
+        penalty2=float(g["penalty2"]), interpret=True,
+        horizontal="transposed")
     out = np.asarray(out)
     np.testing.assert_array_equal(out, ref)
     np.testing.assert_array_equal(

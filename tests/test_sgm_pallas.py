@@ -10,6 +10,8 @@ identical WTA disparities.
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from stereomatch_tpu.ops.aggregation import semiglobal_aggregate
 from stereomatch_tpu.ops.cost import ssd_cost_volume
 from stereomatch_tpu.ops.disparity import winner_takes_all
@@ -64,7 +66,7 @@ def _forced_aggregate(vol, left, monkeypatch, **knobs):
     for name, value in knobs.items():
         monkeypatch.setattr(sgm_pallas, name, value)
     return np.asarray(semiglobal_aggregate_pallas.__wrapped__(
-        vol, left, interpret=True))
+        vol, left, interpret=True, horizontal="transposed"))
 
 
 def test_forced_w_chunks(volumes, monkeypatch):
@@ -73,7 +75,8 @@ def test_forced_w_chunks(volumes, monkeypatch):
     including the wrapped-element/edge-column interplay on diagonals."""
     from stereomatch_tpu.ops import sgm_pallas
     vol, left = volumes
-    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                                 horizontal="transposed"))
     out = _forced_aggregate(vol, left, monkeypatch,
                             _WCHUNK_TARGET_BYTES=1)
     np.testing.assert_array_equal(out, ref)
@@ -83,7 +86,8 @@ def test_forced_no_mask_scratch(volumes, monkeypatch):
     """mask_scratch=False recomputes edge masks per chunk (very large rows
     drop the cache) — bit-identical output."""
     vol, left = volumes
-    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                                 horizontal="transposed"))
     out = _forced_aggregate(vol, left, monkeypatch,
                             _MASK_CACHE_MAX_BYTES=0)
     np.testing.assert_array_equal(out, ref)
@@ -96,7 +100,8 @@ def test_forced_single_family_passes(volumes, monkeypatch):
     from stereomatch_tpu.ops import sgm_pallas
     vol, left = volumes
     row_bytes = vol.shape[1] * vol.shape[2] * 4
-    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                                 horizontal="transposed"))
     out = _forced_aggregate(vol, left, monkeypatch,
                             _VMEM_BUDGET_BYTES=9 * row_bytes,
                             _WGRID_BUDGET_BYTES=0)
@@ -117,7 +122,8 @@ def test_forced_wgrid_mode(monkeypatch, n_chunks):
     from stereomatch_tpu.ops import sgm_pallas
     left, right, _ = synthetic_stereo_pair(24, 64, D, seed=9)
     vol = ssd_cost_volume(left, right, max_disparity=D, kernel_size=3)
-    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                                 horizontal="transposed"))
     row_bytes = sgm_pallas._row_vmem_bytes(64, D)  # padded (8, 128) tiles
     cap = 3 * row_bytes + 10 * (row_bytes // n_chunks)
     out = _forced_aggregate(vol, left, monkeypatch,
@@ -132,7 +138,8 @@ def test_forced_all_adaptations_together(volumes, monkeypatch):
     rows at once (geometries where even the 3-family carry breaks VMEM)."""
     vol, left = volumes
     row_bytes = vol.shape[1] * vol.shape[2] * 4
-    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True))
+    ref = np.asarray(semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                                 horizontal="transposed"))
     out = _forced_aggregate(vol, left, monkeypatch,
                             _VMEM_BUDGET_BYTES=9 * row_bytes,
                             _WGRID_BUDGET_BYTES=0,
@@ -179,3 +186,91 @@ def test_pallas_distinct_value_tiebreak():
     out = np.asarray(winner_takes_all(
         semiglobal_aggregate_pallas(vol, left, interpret=True)))
     np.testing.assert_array_equal(out, ref)
+
+
+# --------------------------------------------------------------------------
+# Natural-layout horizontal sweep (round 3): scans along W with a
+# VMEM-resident [H, D] carry instead of transposing the volume.
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [
+    (24, 64, 16, 3),     # cw=16, exact chunking
+    (17, 45, 8, 3),      # ragged W (45 = 5*8 + 5): guarded tail columns
+    (48, 58, 32, 5),     # ragged W at a wider D
+    (9, 16, 8, 1),       # single chunk
+], ids=lambda s: f"{s[0]}x{s[1]}d{s[2]}k{s[3]}")
+def test_natural_horizontal_matches_transposed(shape):
+    """Same recurrence, same per-column rounding: last-ulp aggregation
+    agreement and identical WTA disparities vs the transposed mode (and
+    the XLA oracle transitively, via the existing transposed-mode
+    tests)."""
+    h, w, d, k = shape
+    left, right, _ = synthetic_stereo_pair(h, w, d, seed=5)
+    vol = ssd_cost_volume(left, right, max_disparity=d, kernel_size=k)
+    ref = np.asarray(semiglobal_aggregate_pallas(
+        vol, left, interpret=True, horizontal="transposed"))
+    out = np.asarray(semiglobal_aggregate_pallas(
+        vol, left, interpret=True, horizontal="natural"))
+    finite = np.isfinite(ref)
+    assert np.array_equal(finite, np.isfinite(out))
+    np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-6,
+                               atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(winner_takes_all(jnp.asarray(out))),
+        np.asarray(winner_takes_all(jnp.asarray(ref))))
+
+
+def test_natural_horizontal_multi_hblock(monkeypatch):
+    """A shrunken VMEM budget forces row-blocking of the natural sweep
+    (the HD adaptation: grid tiles H too, carry re-seeds per h-block).
+    The h-sweep itself is bit-independent across h-blocks, but the same
+    budget knob also regroups the ROW passes (per-family fallback), so
+    the end-to-end comparison is the standard last-ulp + identical-WTA
+    contract rather than bit equality."""
+    from stereomatch_tpu.ops import sgm_pallas
+    h, w, d, k = 48, 58, 32, 5
+    left, right, _ = synthetic_stereo_pair(h, w, d, seed=5)
+    vol = ssd_cost_volume(left, right, max_disparity=d, kernel_size=k)
+    ref = np.asarray(semiglobal_aggregate_pallas.__wrapped__(
+        vol, left, interpret=True, horizontal="natural"))
+    assert sgm_pallas._pick_hsweep_chunk(h, w, d)[0] == h
+    monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 300 * 1024)
+    hc, cw = sgm_pallas._pick_hsweep_chunk(h, w, d)
+    assert hc < h and h % hc == 0
+    out = np.asarray(semiglobal_aggregate_pallas.__wrapped__(
+        vol, left, interpret=True, horizontal="natural"))
+    finite = np.isfinite(ref)
+    assert np.array_equal(finite, np.isfinite(out))
+    np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-6,
+                               atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(winner_takes_all(jnp.asarray(out))),
+        np.asarray(winner_takes_all(jnp.asarray(ref))))
+
+
+def test_natural_horizontal_bf16_dtype():
+    """bf16 volumes stream bf16 through the natural sweep too (storage
+    dtype preserved; recurrence f32)."""
+    left, right, _ = synthetic_stereo_pair(16, 32, 8, seed=3)
+    vol = ssd_cost_volume(left, right, max_disparity=8, kernel_size=3,
+                          cost_dtype=jnp.bfloat16)
+    out = semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                      horizontal="natural")
+    assert out.dtype == jnp.bfloat16
+    ref = semiglobal_aggregate_pallas(vol, left, interpret=True,
+                                      horizontal="transposed")
+    d16 = np.asarray(winner_takes_all(out))
+    d32 = np.asarray(winner_takes_all(ref))
+    assert np.mean(d16 != d32) < 0.02
+
+
+def test_natural_horizontal_unsupported_raises(monkeypatch):
+    """Explicit horizontal="natural" on a geometry with no usable
+    chunking must raise, never silently fall back."""
+    from stereomatch_tpu.ops import sgm_pallas
+    left, right, _ = synthetic_stereo_pair(16, 32, 8, seed=3)
+    vol = ssd_cost_volume(left, right, max_disparity=8, kernel_size=3)
+    monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 0)
+    with pytest.raises(ValueError, match="natural horizontal"):
+        semiglobal_aggregate_pallas.__wrapped__(
+            vol, left, interpret=True, horizontal="natural")
