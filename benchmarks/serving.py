@@ -110,13 +110,25 @@ def bench_config(batch, clients, requests, linger_ms, extra):
 
         total = clients * requests
         lat_ms = np.sort(np.asarray(latencies)) * 1e3
-        return {
+        result = {
             "requests": total,
             "wall_s": round(wall, 3),
             "rps": round(total / wall, 2),
             "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
             "latency_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
         }
+        # Server-side stage split (decode/compute/encode p50s, batcher
+        # padding + device/queue per-frame) — the instrumentation that
+        # says WHERE the time went, not just how much there was.
+        health = url.rsplit("/", 1)[0] + "/healthz"
+        try:
+            with urllib.request.urlopen(health, timeout=30) as resp:
+                info = json.loads(resp.read())
+            result["stages"] = info.get("stages")
+            result["batching"] = info.get("batching")
+        except Exception:                                  # noqa: BLE001
+            pass
+        return result
     finally:
         srv.shutdown()
         srv.server_close()
@@ -129,7 +141,11 @@ def main():
     parser.add_argument("--clients", type=int, default=16)
     parser.add_argument("--requests", type=int, default=4,
                         help="sequential requests per client")
-    parser.add_argument("--linger-ms", type=float, default=100.0)
+    parser.add_argument("--lingers", default="100",
+                        help="comma-separated --linger-ms values to sweep")
+    parser.add_argument("--depths", default=None,
+                        help="comma-separated --pipeline-depth values "
+                             "(overrides --pipeline-depth when set)")
     parser.add_argument("--dtype", default="bfloat16",
                         choices=("float32", "bfloat16"))
     parser.add_argument("--backend", default="auto",
@@ -142,20 +158,30 @@ def main():
 
     import jax
     device = jax.devices()[0].device_kind
-    extra = ["--dtype", args.dtype, "--backend", args.backend,
-             "--pipeline-depth", str(args.pipeline_depth)]
+    depths = ([int(d) for d in args.depths.split(",")] if args.depths
+              else [args.pipeline_depth])
+    lingers = [float(x) for x in args.lingers.split(",")]
 
     results = {}
-    for batch in (int(b) for b in args.batches.split(",")):
-        print(f"# measuring --batch {batch} ...", file=sys.stderr)
-        results[f"batch{batch}"] = bench_config(
-            batch, args.clients, args.requests, args.linger_ms, extra)
-        print(f"#   {results[f'batch{batch}']}", file=sys.stderr)
+    for depth in depths:
+        extra = ["--dtype", args.dtype, "--backend", args.backend,
+                 "--pipeline-depth", str(depth)]
+        for linger in lingers:
+            for batch in (int(b) for b in args.batches.split(",")):
+                name = f"batch{batch}"
+                if len(lingers) > 1:
+                    name += f"_linger{linger:g}"
+                if len(depths) > 1:
+                    name += f"_depth{depth}"
+                print(f"# measuring {name} ...", file=sys.stderr)
+                results[name] = bench_config(
+                    batch, args.clients, args.requests, linger, extra)
+                print(f"#   {results[name]}", file=sys.stderr)
 
     payload = {"device": device, "clients": args.clients,
                "frame": f"{HEIGHT}x{WIDTH}xD{MAX_DISPARITY}",
                "config": f"census-wta-sgm {args.dtype} "
-                         f"depth{args.pipeline_depth}",
+                         f"depths={depths}",
                "results": results}
     if args.json:
         with open(args.json, "w") as f:

@@ -129,6 +129,22 @@ record("teddy_pipeline_natural",
 record("teddy_census_bf16_pipeline_natural",
        marginal_ms(pipe_body("natural", census_bf16), (l2, r2), 8, 5))
 
+# --- band-shift A/B: pltpu.roll vs slice+concat for the d+-1 shifts ---
+# (the VPU probe suggested concat may lower cheaper; decide on the real
+# kernel.  __wrapped__ avoids the jit cache, which cannot see the flag.)
+def sgm_body_unjit(carry):
+    v, img = carry
+    out = sgm_pallas.semiglobal_aggregate_pallas.__wrapped__(
+        v, img, horizontal="natural")
+    return v + jnp.float32(1e-12) * out[:, :, :1], img
+
+
+for impl in ("roll", "concat"):
+    sgm_pallas._BAND_SHIFT_IMPL = impl
+    record(f"teddy_sgm_natural_shift_{impl}",
+           marginal_ms(sgm_body_unjit, (vol2, l2), 8, 5))
+sgm_pallas._BAND_SHIFT_IMPL = "roll"
+
 # --- HD geometry: does natural apply there? ---
 h3, w3, d3 = 1024, 1280, 256
 print("hsweep chunk at HD:", sgm_pallas._pick_hsweep_chunk(h3, w3, d3),

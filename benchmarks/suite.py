@@ -131,26 +131,88 @@ def _traffic_models():
     }
 
 
-def measure_hbm_bandwidth(chain_k=8, repeats=5) -> float:
-    """Achievable HBM GB/s: read + write of a 64 MB array per iteration.
+def measure_hbm_bandwidth(chain_k=8, repeats=5):
+    """Achievable HBM GB/s: the MAX over independent copy probes, so no
+    op can measure above 100% of roofline from a single probe's bad day
+    (round 2's lone jnp.roll probe under-read the bandwidth by ~35% and
+    put WTA at an impossible 115% of "roofline").
 
-    The body is a roll (+ epsilon so iterations can't be algebraically
-    collapsed) — a plain ``x*a+b`` chain measured orders of magnitude
-    above the HBM spec (the compiler reduced it), while a rotation forces
-    a genuine full-array permutation through memory each step.
+    Probes (all 64 MB working sets — the regime the suite's volumes live
+    in; see benchmarks/vpu_probe.py for the size sweep):
+      * XLA roll-copy: a genuine full-array permutation per iteration;
+      * Pallas streaming copy: block-in, block-out, nothing else.
+    Returns (max_gbps, {probe: gbps}).
     """
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     n = 16 * 1024 * 1024                   # 64 MB of f32
     x = jax.device_put(np.arange(n, dtype=np.float32).reshape(4096, 4096))
+    gbytes = 2 * n * 4 / 1e9
+    probes = {}
 
-    def body(carry):
+    def roll_body(carry):
         return jnp.roll(carry, 1, axis=0) + jnp.float32(1e-7)
 
-    ms = _marginal_ms(body, x, chain_k, repeats)
-    gbytes = 2 * n * 4 / 1e9
-    return gbytes / (ms / 1e3) if ms > 0 else float("nan")
+    ms = _marginal_ms(roll_body, x, chain_k, repeats)
+    probes["xla_roll"] = gbytes / (ms / 1e3) if ms > 0 else float("nan")
+
+    if jax.default_backend() != "cpu":
+        def copy_kernel(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + jnp.float32(1e-7)
+
+        @jax.jit
+        def pallas_copy(arr):
+            return pl.pallas_call(
+                copy_kernel,
+                grid=(16,),
+                in_specs=[pl.BlockSpec((256, 4096), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((256, 4096), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((4096, 4096), jnp.float32),
+            )(arr)
+
+        ms = _marginal_ms(pallas_copy, x, chain_k, repeats)
+        probes["pallas_copy"] = (gbytes / (ms / 1e3) if ms > 0
+                                 else float("nan"))
+
+    valid = [v for v in probes.values() if v == v]
+    return (max(valid) if valid else float("nan")), probes
+
+
+# Reducer-class ops read the volume and write ~nothing; pure-read streams
+# run measurably faster than read+write copies (benchmarks/vpu_probe.py:
+# ~720 GB/s read vs ~690 copy at 64 MB, wider at 256 MB), so their
+# roofline is the READ bandwidth — scoring them against the copy bound
+# put argmin at an impossible 110-116% in rounds 1-2.
+_READ_DOMINATED = {
+    "wta_450x375_d128",
+    "argmin_baseline_450x375_d128",
+    "dynprog_450x375_d128",
+    "refine_median_subpixel_teddy_d128",
+}
+
+
+def measure_read_bandwidth(chain_k=8, repeats=5) -> float:
+    """Achievable pure-read GB/s: a fused multiply-reduce over a 256 MB
+    constant rider (scalar carry keeps the loop un-hoistable; the large
+    array keeps the marginal signal above relay jitter)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 64 * 1024 * 1024                   # 256 MB of f32
+    big = jax.device_put(np.arange(n, dtype=np.float32).reshape(-1, 4096))
+
+    def body(carry):
+        s, arr = carry
+        return (jnp.sum(arr * (jnp.float32(1.0) + s * jnp.float32(1e-12))),
+                arr)
+
+    ms = _marginal_ms(body, (jnp.float32(0.0), big), chain_k, repeats)
+    return n * 4 / 1e9 / (ms / 1e3) if ms > 0 else float("nan")
 
 
 def _marginal_ms(body_fn, args, chain_k, repeats):
@@ -474,8 +536,14 @@ def main():
 
     results = {}
     print(f"# device: {device}", file=sys.stderr)
-    hbm_gbps = measure_hbm_bandwidth(args.chain, args.repeats)
-    print(f"# measured copy bandwidth: {hbm_gbps:.0f} GB/s", file=sys.stderr)
+    hbm_gbps, bw_probes = measure_hbm_bandwidth(args.chain, args.repeats)
+    read_gbps = measure_read_bandwidth(args.chain, args.repeats)
+    # A read probe cannot undercut the copy bound it strictly dominates;
+    # clamp against a noisy-day reading.
+    read_gbps = max(read_gbps, hbm_gbps)
+    print(f"# calibrated copy bandwidth: {hbm_gbps:.0f} GB/s "
+          f"(max over {bw_probes}); read {read_gbps:.0f} GB/s",
+          file=sys.stderr)
     traffic = _traffic_models()
     header = (f"{'benchmark':36s} {'ms':>9s} {'ref ms':>8s} {'speedup':>8s}"
               f" {'GB':>7s} {'%SoL':>6s}")
@@ -484,12 +552,19 @@ def main():
         if args.only and args.only not in name:
             continue
         ms = _marginal_ms(body, init, args.chain, args.repeats)
+        if 0 < ms < 0.7 and args.chain < 64:
+            # Sub-ms ops: the chain-K diff signal (2K * ms) is otherwise
+            # at the relay's jitter scale — round 2 recorded a 2.3x
+            # spread between WTA and the IDENTICAL argmin body.  Longer
+            # chains buy the signal back.
+            ms = _marginal_ms(body, init, 64, args.repeats)
         ref = REFERENCE_MS.get(name)
         speed = f"{ref / ms:8.2f}" if ref and ms > 0 else "       -"
         min_bytes = traffic.get(name)
         sol_ms = pct = None
-        if min_bytes and ms > 0 and hbm_gbps == hbm_gbps:
-            sol_ms = min_bytes / 1e9 / hbm_gbps * 1e3
+        gbps = read_gbps if name in _READ_DOMINATED else hbm_gbps
+        if min_bytes and ms > 0 and gbps == gbps:
+            sol_ms = min_bytes / 1e9 / gbps * 1e3
             pct = 100.0 * sol_ms / ms
         print(f"{name:36s} {ms:9.3f} {ref if ref else float('nan'):8.3f}"
               f" {speed} {min_bytes / 1e9 if min_bytes else 0:7.3f}"
@@ -506,6 +581,9 @@ def main():
 
     payload = {"device": device,
                "measured_hbm_gbps": round(hbm_gbps, 1),
+               "measured_read_gbps": round(read_gbps, 1),
+               "bw_probes_gbps": {k: round(v, 1)
+                                  for k, v in bw_probes.items()},
                "results": results}
     if args.json:
         with open(args.json, "w") as f:

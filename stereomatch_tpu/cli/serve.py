@@ -265,6 +265,11 @@ class _Batcher:
         self._fns = {}
         self.batches = 0
         self.batched_frames = 0
+        # Instrumentation (read under _finish's implicit serialization;
+        # /healthz reads may race by one batch — fine for stats):
+        self.padded_frames = 0           # device frames burned on padding
+        self.device_s = 0.0              # dispatch -> host-result seconds
+        self.queue_s = 0.0               # request arrival -> dispatch
         self.depth = max(getattr(args, "pipeline_depth", 1), 1)
         if self.depth > 1:
             self._inflight = queue.Queue(maxsize=self.depth - 1)
@@ -378,26 +383,55 @@ class _Batcher:
                                       r.astype(jnp.float32)))), 1)
         return self._fns[refine, speckle]
 
+    @staticmethod
+    def _chunk_sizes(n: int, multiple: int, cap: int):
+        """Decompose a group of n into power-of-two device batch sizes
+        (x the mesh batch multiple), largest first.
+
+        The compiled program sequences frames with ``lax.map``, so device
+        time is linear in the PADDED size — padding a 5-request group to
+        8 burns 60% extra compute.  Splitting into pow-2 chunks (5 ->
+        4 + 1) keeps the compiled-shape count at log2(max_batch)+1 while
+        making padding waste zero single-chip (< one mesh multiple on a
+        mesh, where the batch axis must be filled exactly)."""
+        sizes = []
+        rem = n
+        while rem > 0:
+            if rem < multiple:
+                sizes.append(multiple)            # final ragged mesh pad
+                break
+            b = multiple
+            while b * 2 <= min(rem, cap):
+                b *= 2
+            sizes.append(b)
+            rem -= b
+        return sizes
+
     def _dispatch(self, group):
-        """Upload + queue the batched program; returns the device result
-        without waiting for it (XLA computes while the caller moves on)."""
+        """Upload + queue the batched program(s); returns device results
+        without waiting (XLA computes while the caller moves on)."""
         import jax
         import numpy as np
-        n = len(group)
+        now = time.monotonic()
+        self.queue_s += sum(now - j.t0 for j in group)
         fn, multiple = self._fn(group[0])
-        # Next power of two, rounded up to the mesh batch-axis
-        # multiple (a no-op single-chip, where multiple == 1).
-        padded = 1 << (n - 1).bit_length()
-        padded = -(-padded // multiple) * multiple
-        lefts = [j.left for j in group] + [group[-1].left] * (padded - n)
-        rights = ([j.right for j in group]
-                  + [group[-1].right] * (padded - n))
-        # Upload in the request dtype (uint8 frames: 4x fewer bytes
-        # over the transport) and widen to float32 inside the program.
-        return _narrow_for_fetch(
-            fn(jax.device_put(np.stack(lefts)),
-               jax.device_put(np.stack(rights))),
-            self.args.max_disparity)
+        outs = []
+        i = 0
+        for size in self._chunk_sizes(len(group), multiple,
+                                      self.max_batch):
+            chunk = group[i:i + size]
+            i += size
+            pad = size - len(chunk)
+            self.padded_frames += pad
+            lefts = [j.left for j in chunk] + [chunk[-1].left] * pad
+            rights = [j.right for j in chunk] + [chunk[-1].right] * pad
+            # Upload in the request dtype (uint8 frames: 4x fewer bytes
+            # over the transport), widen to float32 inside the program.
+            outs.append(_narrow_for_fetch(
+                fn(jax.device_put(np.stack(lefts)),
+                   jax.device_put(np.stack(rights))),
+                self.args.max_disparity))
+        return (now, outs)
 
     def _finish(self, group, out):
         """Fetch the batch result and release its waiting requests."""
@@ -405,7 +439,9 @@ class _Batcher:
         try:
             if isinstance(out, Exception):
                 raise out
-            host = np.asarray(out)
+            t_disp, outs = out
+            host = np.concatenate([np.asarray(o) for o in outs])
+            self.device_s += time.monotonic() - t_disp
             for job, disp in zip(group, host):
                 job.result = disp
         except Exception as exc:                  # noqa: BLE001 — fan out
@@ -492,12 +528,22 @@ class _State:
         self.frames = 0
         self.lock = threading.Lock()
         self._latencies = []            # rolling window, seconds
+        self._stages = {}               # stage name -> rolling seconds
 
     def record_latency(self, seconds: float, keep: int = 512):
         with self.lock:
             self._latencies.append(seconds)
             if len(self._latencies) > keep:
                 del self._latencies[:-keep]
+
+    def record_stage(self, name: str, seconds: float, keep: int = 512):
+        """Per-request stage split (decode / compute / encode) — the
+        instrumentation that tells transport-bound from device-bound."""
+        with self.lock:
+            window = self._stages.setdefault(name, [])
+            window.append(seconds)
+            if len(window) > keep:
+                del window[:-keep]
 
     def latency_stats(self):
         with self.lock:
@@ -507,6 +553,13 @@ class _State:
         return {"window": len(lat),
                 "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
                 "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 1)}
+
+    def stage_stats(self):
+        with self.lock:
+            snap = {k: sorted(v) for k, v in self._stages.items() if v}
+        return {k: {"p50_ms": round(v[len(v) // 2] * 1e3, 2),
+                    "p95_ms": round(v[int(len(v) * 0.95)] * 1e3, 2)}
+                for k, v in snap.items()} or None
 
     def estimate(self, left, right, refine: bool, speckle: bool = False,
                  count: bool = True):
@@ -576,14 +629,24 @@ def _make_handler(state: _State):
                     "dtype": a.dtype, "backend": a.backend}
             if state.batcher is not None:
                 b = state.batcher
-                info["batching"] = {"max_batch": b.max_batch,
-                                    "linger_ms": a.linger_ms,
-                                    "mesh": a.mesh,
-                                    "batches": b.batches,
-                                    "batched_frames": b.batched_frames}
+                info["batching"] = {
+                    "max_batch": b.max_batch,
+                    "linger_ms": a.linger_ms,
+                    "mesh": a.mesh,
+                    "batches": b.batches,
+                    "batched_frames": b.batched_frames,
+                    "padded_frames": b.padded_frames,
+                    "device_ms_per_frame": round(
+                        b.device_s / max(b.batched_frames, 1) * 1e3, 2),
+                    "queue_ms_per_frame": round(
+                        b.queue_s / max(b.batched_frames, 1) * 1e3, 2),
+                }
             stats = state.latency_stats()
             if stats is not None:
                 info["latency"] = stats
+            stages = state.stage_stats()
+            if stages is not None:
+                info["stages"] = stages
             self._reply(200, json.dumps(info).encode())
 
         # Drop handlers whose socket stalls instead of blocking the
@@ -607,6 +670,7 @@ def _make_handler(state: _State):
             # Client-fault stages -> 400; anything past decode is a
             # server fault -> 500 (a dead device must not look like a
             # stream of bad clients to load balancers).
+            t_start = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if not 0 < length <= self._MAX_BODY:
@@ -651,9 +715,13 @@ def _make_handler(state: _State):
                 return
             try:
                 t0 = time.perf_counter()
+                state.record_stage("decode", t0 - t_start)
                 disp = np.asarray(state.estimate(left, right, refine,
                                                  speckle))
+                t1 = time.perf_counter()
+                state.record_stage("compute", t1 - t0)
                 body, ctype = _encode(disp, fmt, state.args.max_disparity)
+                state.record_stage("encode", time.perf_counter() - t1)
                 state.record_latency(time.perf_counter() - t0)
             except Exception as exc:     # noqa: BLE001 — server fault
                 self._reply(500, json.dumps({"error": str(exc)}).encode())

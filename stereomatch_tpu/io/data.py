@@ -139,10 +139,21 @@ class MiddleburyDataset:
     """Folder-per-scene Middlebury dataset parser
     (reference: stereomatch/data.py:26-93).
 
-    Each scene directory holds im0.png / im1.png, disp0.pfm / disp1.pfm and
-    calib.txt.  Items are dicts with stereo_name / left / right /
-    max_disparity (+ gt_disparity when ground truth is requested).
+    Two scene layouts are recognized per directory:
+
+    * 2014/2021: im0.png / im1.png, disp0.pfm / disp1.pfm, calib.txt
+      (ndisp read from the calibration);
+    * 2003 quarter-size (teddy/cones — the reference's unit-test
+      fixtures, tests/conftest.py:15-31, fetched by ``stm-fetch
+      teddy2003``): im2.ppm / im6.ppm with disp2.pgm ground truth.  The
+      PGM stores disparity * 4 with 0 = unknown (both conventions are
+      undone/kept on load); ndisp is the sets' published 64.
+
+    Items are dicts with stereo_name / left / right / max_disparity
+    (+ gt_disparity when ground truth is requested).
     """
+
+    _NDISP_2003 = 64
 
     def __init__(self, dataset_dir, max_size: Optional[int] = None):
         dataset_dir = Path(dataset_dir)
@@ -160,6 +171,13 @@ class MiddleburyDataset:
         for sample_dir in sample_dirs:
             if not sample_dir.is_dir():
                 continue
+            if (sample_dir / "im2.ppm").exists():       # 2003 layout
+                self.images.append((sample_dir / "im2.ppm",
+                                    sample_dir / "im6.ppm"))
+                self.disps.append((sample_dir / "disp2.pgm",
+                                   sample_dir / "disp6.pgm"))
+                self.calibs.append({"ndisp": self._NDISP_2003})
+                continue
             self.images.append((sample_dir / "im0.png", sample_dir / "im1.png"))
             self.disps.append((sample_dir / "disp0.pfm",
                                sample_dir / "disp1.pfm"))
@@ -175,9 +193,13 @@ class MiddleburyDataset:
 
     def get_ground_truth(self, idx: int) -> Dict:
         disp_path = self.disps[idx][0]
+        if disp_path.suffix == ".pgm":                  # 2003 layout
+            gt = load_image(disp_path).astype("float32") / 4.0
+        else:
+            gt = read_pfm(disp_path)
         return dict(
             stereo_name=disp_path.parent.name,
-            gt_disparity=read_pfm(disp_path),
+            gt_disparity=gt,
             max_disparity=self.calibs[idx]["ndisp"])
 
     def __getitem__(self, idx: int) -> Dict:

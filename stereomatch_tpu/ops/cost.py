@@ -77,6 +77,18 @@ def shifted_right_stack(right: jnp.ndarray, max_disparity: int,
     return jnp.where(valid[None, :, :], gathered, jnp.zeros((), right.dtype))
 
 
+# The leading-axis box pass can run on the MXU as a banded-matrix
+# multiply instead of 2k VPU adds per element.  Measured at teddy
+# (450x375, D=128, k=7): SSD 1.30 -> 1.07 ms with HIGHEST-precision
+# passes (bf16x6, max_rel 4.2e-7 vs reduce_window — inside the 2e-6
+# oracle tolerance; DEFAULT precision truncates to bf16 mantissas,
+# ~1e-3, and is not usable).  The band is materialized dense, so the
+# MXU work grows with n^2: past this height the six f32-exact passes
+# cost more than the VPU adds (HD n=1024: ~4 TFLOP — reduce_window
+# wins there).  benchmarks/ssd_mxu_probe.py holds the measurements.
+_BOX_MXU_MAX_N = 512
+
+
 def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
     """Separable clipped box sum with the reference's half-open window.
 
@@ -84,12 +96,26 @@ def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
     (ssd.cu:37-42) — realised with asymmetric padding (k, k-1).  Values
     outside the array contribute zero, which matches window *clipping*
     because the summand is non-negative and the pad is additive identity.
+
+    Two lowerings per axis: the leading axis of float volumes rides the
+    MXU as a banded 0/1 matrix contraction when the axis is short enough
+    (see _BOX_MXU_MAX_N); everything else — trailing axes, integer
+    dtypes (bit-exactness), long axes — is one ``reduce_window``
+    (O(k) adds/element, additive-identity padding).
     """
     k = kernel_size
-    # One reduce_window per axis: the separable form is O(k) adds/element
-    # per axis instead of O(k^2) for a joint 2-D window (additive identity
-    # padding makes the passes commute exactly in f32/int32).
     for ax in axes:
+        n = volume.shape[ax]
+        if (ax == 0 and n <= _BOX_MXU_MAX_N and volume.ndim >= 2
+                and jnp.issubdtype(volume.dtype, jnp.floating)):
+            i_idx = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            o_idx = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            band = ((i_idx >= o_idx - k) & (i_idx < o_idx + k)
+                    ).astype(volume.dtype)
+            volume = jnp.einsum("ih,i...->h...", band, volume,
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=volume.dtype)
+            continue
         window = [1] * volume.ndim
         padding = [(0, 0)] * volume.ndim
         window[ax] = 2 * k

@@ -114,6 +114,23 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, shift % size, axis=axis)
 
 
+_BAND_SHIFT_IMPL = "roll"        # | "concat" — A/B'd on hardware
+
+
+def _band_shift(x, direction: int):
+    """Lane shift by one for the d-1 (+1) / d+1 (-1) band candidates.
+
+    The shifted-in lane's value is irrelevant by contract — the +inf edge
+    mask kills it — so a rotate (wrapped lane) and a slice+dup-edge
+    concat are interchangeable; which lowers faster on the VPU is an
+    empirical question (benchmarks/sgm_experiments_r3.py)."""
+    if _BAND_SHIFT_IMPL == "roll":
+        return _roll(x, direction, axis=1)
+    if direction > 0:
+        return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
 def _p2_map_horizontal(image: jnp.ndarray, penalty1: float, penalty2: float,
                        reverse: bool) -> jnp.ndarray:
     """[H, W] adaptive-P2 map for the horizontal (along-W) family.
@@ -194,8 +211,8 @@ def _hsweep_kernel_natural(*refs, penalty1: float, reverse: bool,
             # identical rounding column for column.
             pm = jnp.min(prev, axis=1, keepdims=True)
             pn = prev - pm
-            up = _roll(pn, 1, axis=1) + mask_ref[0]          # d-1, +P1
-            dn = _roll(pn, -1, axis=1) + mask_ref[1]         # d+1, +P1
+            up = _band_shift(pn, 1) + mask_ref[0]          # d-1, +P1
+            dn = _band_shift(pn, -1) + mask_ref[1]         # d+1, +P1
             p2a = p2_ref[w, :][:, None]                      # [H, 1]
             band = jnp.minimum(jnp.minimum(pn, up),
                                jnp.minimum(dn, p2a))
@@ -206,25 +223,41 @@ def _hsweep_kernel_natural(*refs, penalty1: float, reverse: bool,
             out_ref[:, w, :] = val.astype(out_dtype)
 
 
-def _pick_hsweep_chunk(height: int, width: int, max_disp: int):
+# Row-block alignment for the natural horizontal sweep when H is tiled:
+# the transposed P2 map's (cw, hc) blocks put hc on the LANE axis, which
+# Mosaic requires to be 128-divisible unless the block spans the full
+# dimension.  Tests shrink this to exercise multi-h-block logic at toy
+# shapes in interpret mode (which has no tiling constraint).
+_HSWEEP_HC_ALIGN = 128
+
+
+def _pick_hsweep_chunk(height: int, width: int, max_disp: int,
+                       sublane: int = 8):
     """(row-block height, column-chunk width) for the natural horizontal
     sweep, or None when nothing fits the VMEM budget (then the transposed
     path is used).
 
-    The column chunk is tile-aligned 8 (the grid may be ragged along W —
-    the kernel guards the tail columns), or 16 when it divides W.  Rows
-    are independent for the horizontal family, so geometries whose
-    full-height blocks break the budget (HD-class) tile H as well: the
-    largest 8-aligned divisor of H whose working set fits.
+    The column chunk is one sublane tile — 8 for f32, 16 for bf16
+    (``sublane``; a bf16 [*, 8, D] block would pad to 16 sublanes and
+    double the DMA) — with a ragged grid along W (the kernel guards the
+    tail columns); 2 tiles when that divides W.  Rows are independent for
+    the horizontal family, so geometries whose full-height blocks break
+    the budget (HD-class) tile H as well: the largest lane-legal
+    (128-aligned, see _HSWEEP_HC_ALIGN) divisor of H whose working set
+    fits.
     """
     dp = (max_disp + 127) // 128 * 128
-    for cw in (16, 8):
-        if cw == 16 and width % 16:
+    itemsize = 32 // sublane            # sublane 8 -> f32, 16 -> bf16
+    align = _HSWEEP_HC_ALIGN
+    for cw in (2 * sublane, sublane):
+        if cw == 2 * sublane and width % cw:
             continue
-        for hc in (height, *(h for h in range(
-                (height // 8) * 8, 7, -8) if height % h == 0)):
-            plane = _row_vmem_bytes(hc, max_disp)             # [hc, D]
-            block = hc * cw * dp * 4
+        candidates = [height] + [
+            h for h in range((height // align) * align, align - 1, -align)
+            if h and height % h == 0]
+        for hc in candidates:
+            plane = _row_vmem_bytes(hc, max_disp)    # [hc, D] f32 scratch
+            block = hc * cw * dp * itemsize
             if 6 * block + 3 * plane <= _VMEM_BUDGET_BYTES:
                 return hc, cw
     return None
@@ -391,8 +424,8 @@ def _sweep_kernel(*refs, families, penalty1: float, reverse: bool,
                     prev_min = jnp.min(prev, axis=1, keepdims=True)
                     p2a = p2_ref[r, sl, idx][:, None]            # [cw, 1]
                     prevn = prev - prev_min
-                    up = _roll(prevn, 1, axis=1) + mask_up       # d-1, +P1
-                    down = _roll(prevn, -1, axis=1) + mask_dn    # d+1, +P1
+                    up = _band_shift(prevn, 1) + mask_up       # d-1, +P1
+                    down = _band_shift(prevn, -1) + mask_dn    # d+1, +P1
                     band = jnp.minimum(jnp.minimum(prevn, up),
                                        jnp.minimum(down, p2a))
                     # Diagonal edge-column re-seed comes via p2a == 0 there
@@ -506,8 +539,8 @@ def _sweep_kernel_wgrid(*refs, families, penalty1: float, reverse: bool,
             prev_min = jnp.min(prev, axis=1, keepdims=True)
             p2a = p2_ref[0, :, idx][:, None]                     # [cw, 1]
             prevn = prev - prev_min
-            up = _roll(prevn, 1, axis=1) + mask_ref[0]           # d-1, +P1
-            down = _roll(prevn, -1, axis=1) + mask_ref[1]        # d+1, +P1
+            up = _band_shift(prevn, 1) + mask_ref[0]           # d-1, +P1
+            down = _band_shift(prevn, -1) + mask_ref[1]        # d+1, +P1
             band = jnp.minimum(jnp.minimum(prevn, up),
                                jnp.minimum(down, p2a))
             val = cost + band      # edge re-seed via p2a == 0 (_p2_maps)
@@ -571,8 +604,8 @@ def _chunk_kernel(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
                 prev_min = jnp.min(prev, axis=1, keepdims=True)  # [W, 1]
                 p2a = p2_ref[r, :, idx][:, None]                 # [W, 1]
                 prevn = prev - prev_min
-                up = _roll(prevn, 1, axis=1) + mask_up           # d-1, +P1
-                down = _roll(prevn, -1, axis=1) + mask_dn        # d+1, +P1
+                up = _band_shift(prevn, 1) + mask_up           # d-1, +P1
+                down = _band_shift(prevn, -1) + mask_dn        # d+1, +P1
                 band = jnp.minimum(jnp.minimum(prevn, up),
                                    jnp.minimum(down, p2a))
                 val = cost + band  # edge re-seed via p2a == 0 (_p2_maps)
@@ -658,8 +691,8 @@ def _chunk_kernel_wgrid(cost_ref, p2_ref, carry_in_ref, seed_ref, out_ref,
         prev_min = jnp.min(prev, axis=1, keepdims=True)
         p2a = p2_ref[0, :, idx][:, None]
         prevn = prev - prev_min
-        up = _roll(prevn, 1, axis=1) + mask_ref[0]
-        down = _roll(prevn, -1, axis=1) + mask_ref[1]
+        up = _band_shift(prevn, 1) + mask_ref[0]
+        down = _band_shift(prevn, -1) + mask_ref[1]
         band = jnp.minimum(jnp.minimum(prevn, up),
                            jnp.minimum(down, p2a))
         val = cost + band          # edge re-seed via p2a == 0 (_p2_maps)
@@ -1005,11 +1038,12 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
     p1, p2 = float(penalty1), float(penalty2)
 
     height0, width0, max_disp = cost.shape
+    sublane = 16 if storage == jnp.bfloat16 else 8
     if horizontal == "auto":
-        hchunk = _pick_hsweep_chunk(height0, width0, max_disp)
+        hchunk = _pick_hsweep_chunk(height0, width0, max_disp, sublane)
         horizontal = "natural" if hchunk is not None else "transposed"
     elif horizontal == "natural":
-        hchunk = _pick_hsweep_chunk(height0, width0, max_disp)
+        hchunk = _pick_hsweep_chunk(height0, width0, max_disp, sublane)
         if hchunk is None:
             raise ValueError(
                 f"natural horizontal sweep unsupported at "

@@ -54,6 +54,7 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
                        band_radius: int,
                        max_disparity: int,
                        window_size: int = 5,
+                       band_kernel_size: int = 1,
                        subpixel: bool = False,
                        return_best_cost: bool = False) -> jnp.ndarray:
     """Re-score disparities in [predicted - r, predicted + r] per pixel.
@@ -102,11 +103,32 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
     padded_r = jnp.pad(code_r, ((0, 0), (max_disparity, 0)))
     big = jnp.int32(1 << 20)
 
+    k2 = band_kernel_size // 2
+
     def plane(d, carry):
         best_cost, best_d, prev_cost, c_minus, c_plus = carry
         shifted = lax.dynamic_slice(
             padded_r, (0, max_disparity - d), (height, width))
         ham = lax.population_count(code_l ^ shifted)
+        if k2:
+            # Windowed Hamming (band_kernel_size > 1): box-sum each
+            # plane so the band WTA gets the neighborhood support the
+            # flat census cost's kernel_size provides — plane-local VPU
+            # work, still no [H, W, D] volume.  Same-disparity windows
+            # only (the band varies per pixel); columns left of the
+            # d <= x validity edge contribute the worst Hamming value,
+            # biasing that fringe conservatively.
+            worst = jnp.int32(window_size * window_size)
+            filt = jnp.where(x >= d, ham, worst)
+            filt = lax.reduce_window(
+                filt, jnp.int32(0), lax.add,
+                window_dimensions=(2 * k2 + 1, 1), window_strides=(1, 1),
+                padding=((k2, k2), (0, 0)))
+            filt = lax.reduce_window(
+                filt, jnp.int32(0), lax.add,
+                window_dimensions=(1, 2 * k2 + 1), window_strides=(1, 1),
+                padding=((0, 0), (k2, k2)))
+            ham = filt
         valid = (d >= base) & (d < base + n_band) & (d <= x)
         cost = jnp.where(valid, ham, big)
         better = cost < best_cost                 # ties keep the lower d
@@ -175,6 +197,7 @@ class PyramidPipeline:
 
     def __init__(self, max_disparity: int, *, levels: int = 1,
                  band_radius: int = 4, window_size: int = 5,
+                 band_kernel_size: int = 1,
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  cost_dtype=jnp.float32,
                  median: bool = True,
@@ -188,6 +211,7 @@ class PyramidPipeline:
         self.levels = levels
         self.band_radius = band_radius
         self.window_size = window_size
+        self.band_kernel_size = band_kernel_size
         self.penalty1 = penalty1
         self.penalty2 = penalty2
         self.cost_dtype = cost_dtype
@@ -235,6 +259,7 @@ class PyramidPipeline:
                 fine_l, fine_r, upsample2_nearest(disp),
                 band_radius=self.band_radius, max_disparity=d_level,
                 window_size=self.window_size,
+                band_kernel_size=self.band_kernel_size,
                 subpixel=subpixel and level == 0)
             if self.median:
                 # The pixelwise band WTA has no smoothing term; a 3x3

@@ -235,6 +235,7 @@ def test_natural_horizontal_multi_hblock(monkeypatch):
         vol, left, interpret=True, horizontal="natural"))
     assert sgm_pallas._pick_hsweep_chunk(h, w, d)[0] == h
     monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 300 * 1024)
+    monkeypatch.setattr(sgm_pallas, "_HSWEEP_HC_ALIGN", 8)
     hc, cw = sgm_pallas._pick_hsweep_chunk(h, w, d)
     assert hc < h and h % hc == 0
     out = np.asarray(semiglobal_aggregate_pallas.__wrapped__(
