@@ -103,6 +103,8 @@ def _traffic_models():
         # these rows and low values do NOT mean headroom.
         "pipeline_pyramid1_teddy_d128":
             4 * v2 // 8 + 8 * _vol_bytes(376, 450, 1),
+        "pipeline_pyramid1_tuned_teddy_d128":
+            4 * v2 // 8 + 8 * _vol_bytes(376, 450, 1),
         "pipeline_pyramid2_teddy_d128":
             4 * v2 // 64 + 8 * _vol_bytes(188, 226, 1)
             + 8 * _vol_bytes(376, 450, 1),
@@ -393,8 +395,11 @@ def build_benchmarks():
     # full resolution).
     from stereomatch_tpu.pyramid import PyramidPipeline
 
-    def pyramid_bench(levels, max_disparity, pair):
-        pipe = PyramidPipeline(max_disparity, levels=levels, band_radius=4)
+    def pyramid_bench(levels, max_disparity, pair, band_radius=4,
+                      band_kernel_size=1):
+        pipe = PyramidPipeline(max_disparity, levels=levels,
+                               band_radius=band_radius,
+                               band_kernel_size=band_kernel_size)
 
         def body(carry):
             l, r = carry
@@ -402,6 +407,11 @@ def build_benchmarks():
         return body, pair
 
     benches["pipeline_pyramid1_teddy_d128"] = pyramid_bench(1, d2, (l2, r2))
+    # Accuracy-tuned band config (benchmarks/pyramid_sweep.py: bad-pixel
+    # 2.28% -> 1.81% at pyramid1): wider band is free (full-D masked
+    # scan); the windowed Hamming costs per-plane box sums.
+    benches["pipeline_pyramid1_tuned_teddy_d128"] = pyramid_bench(
+        1, d2, (l2, r2), band_radius=8, band_kernel_size=5)
     benches["pipeline_pyramid2_teddy_d128"] = pyramid_bench(2, d2, (l2, r2))
 
     # Temporal tracked-frame steady state (temporal.py): census band

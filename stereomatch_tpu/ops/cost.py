@@ -89,6 +89,33 @@ def shifted_right_stack(right: jnp.ndarray, max_disparity: int,
 _BOX_MXU_MAX_N = 512
 
 
+def mxu_leading_box_ok(n: int, dtype) -> bool:
+    """Whether the leading-axis box sum should ride the MXU (see
+    _BOX_MXU_MAX_N): float data and a short enough axis that six
+    f32-exact passes over the dense band beat 2k VPU adds/element."""
+    return n <= _BOX_MXU_MAX_N and jnp.issubdtype(jnp.dtype(dtype),
+                                                  jnp.floating)
+
+
+def mxu_leading_box(volume: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Leading-axis banded box sum on the MXU:
+    out[o, ...] = sum_{i in [o-lo, o+hi]} volume[i, ...] (clipped).
+
+    HIGHEST-precision passes keep the result inside last-ulp distance of
+    the reduce_window lowering (measured 4.2e-7 max_rel at teddy —
+    benchmarks/ssd_mxu_probe.py; DEFAULT precision truncates to bf16
+    mantissas, ~1e-3, unusable for oracle-pinned math).
+    """
+    n = volume.shape[0]
+    i_idx = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    o_idx = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    band = ((i_idx >= o_idx - lo) & (i_idx <= o_idx + hi)
+            ).astype(volume.dtype)
+    return jnp.einsum("ih,i...->h...", band, volume,
+                      precision=lax.Precision.HIGHEST,
+                      preferred_element_type=volume.dtype)
+
+
 def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
     """Separable clipped box sum with the reference's half-open window.
 
@@ -105,16 +132,10 @@ def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
     """
     k = kernel_size
     for ax in axes:
-        n = volume.shape[ax]
-        if (ax == 0 and n <= _BOX_MXU_MAX_N and volume.ndim >= 2
-                and jnp.issubdtype(volume.dtype, jnp.floating)):
-            i_idx = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            o_idx = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            band = ((i_idx >= o_idx - k) & (i_idx < o_idx + k)
-                    ).astype(volume.dtype)
-            volume = jnp.einsum("ih,i...->h...", band, volume,
-                                precision=lax.Precision.HIGHEST,
-                                preferred_element_type=volume.dtype)
+        if (ax == 0 and volume.ndim >= 2
+                and mxu_leading_box_ok(volume.shape[0], volume.dtype)):
+            # Half-open [i-k, i+k) window: lo = k, hi = k - 1.
+            volume = mxu_leading_box(volume, k, k - 1)
             continue
         window = [1] * volume.ndim
         padding = [(0, 0)] * volume.ndim

@@ -58,9 +58,17 @@ def _box_sum_sym(x: jnp.ndarray, radius: int, axes=(0, 1)) -> jnp.ndarray:
 
     Out-of-image taps contribute zero (additive identity), which is the
     window-clipping semantic once sums are normalized by the in-image
-    tap count.
+    tap count.  The leading axis of float arrays rides the MXU as a
+    banded contraction where it is short enough (ops/cost.py:
+    mxu_leading_box — same measured win as the SSD box pass).
     """
+    from .cost import mxu_leading_box, mxu_leading_box_ok
+
     for ax in axes:
+        if (ax == 0 and x.ndim >= 2
+                and mxu_leading_box_ok(x.shape[0], x.dtype)):
+            x = mxu_leading_box(x, radius, radius)
+            continue
         window = [1] * x.ndim
         padding = [(0, 0)] * x.ndim
         window[ax] = 2 * radius + 1
