@@ -71,14 +71,23 @@ def main():
     record("flat_census_sgm_median", flat)
 
     for levels in args.levels:
-        for band_radius in (4, 6, 8):
-            for bks in (1, 3, 5):
+        for band_radius in (4, 8, 16, 24):
+            for bks in (1, 5):
                 pipe = PyramidPipeline(d, levels=levels,
                                        band_radius=band_radius,
                                        band_kernel_size=bks)
                 rates = [bad_pixel(pipe._estimate(l, r), gt, occl)
                          for l, r, gt, occl in scenes]
                 record(f"pyramid{levels}_r{band_radius}_bks{bks}", rates)
+        # Stronger coarse penalties at the winning band config: the
+        # coarse level is where unrecoverable misses originate, and it
+        # tolerates more smoothing than the flat pipeline's defaults.
+        pipe = PyramidPipeline(d, levels=levels, band_radius=24,
+                               band_kernel_size=5,
+                               penalty1=0.2, penalty2=0.4)
+        rates = [bad_pixel(pipe._estimate(l, r), gt, occl)
+                 for l, r, gt, occl in scenes]
+        record(f"pyramid{levels}_r24_bks5_p2x", rates)
 
     payload = {"size": args.size, "scenes": args.scenes,
                "results": results}

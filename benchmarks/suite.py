@@ -395,23 +395,22 @@ def build_benchmarks():
     # full resolution).
     from stereomatch_tpu.pyramid import PyramidPipeline
 
-    def pyramid_bench(levels, max_disparity, pair, band_radius=4,
-                      band_kernel_size=1):
-        pipe = PyramidPipeline(max_disparity, levels=levels,
-                               band_radius=band_radius,
-                               band_kernel_size=band_kernel_size)
+    def pyramid_bench(levels, max_disparity, pair, **kwargs):
+        pipe = PyramidPipeline(max_disparity, levels=levels, **kwargs)
 
         def body(carry):
             l, r = carry
             return feedback(l, pipe._estimate(l, r)), r
         return body, pair
 
+    # Defaults are the round-3 sweep winners (band_radius=24,
+    # band_kernel_size=5 — pyramid1 2.28% -> 1.09% bad-pixel, pyramid2
+    # 3.70% -> 0.71%; benchmarks/pyramid_sweep_out.json); the "tuned"
+    # row adds the recommended stronger coarse penalties (0.89% at
+    # pyramid1).
     benches["pipeline_pyramid1_teddy_d128"] = pyramid_bench(1, d2, (l2, r2))
-    # Accuracy-tuned band config (benchmarks/pyramid_sweep.py: bad-pixel
-    # 2.28% -> 1.81% at pyramid1): wider band is free (full-D masked
-    # scan); the windowed Hamming costs per-plane box sums.
     benches["pipeline_pyramid1_tuned_teddy_d128"] = pyramid_bench(
-        1, d2, (l2, r2), band_radius=8, band_kernel_size=5)
+        1, d2, (l2, r2), penalty1=0.2, penalty2=0.4)
     benches["pipeline_pyramid2_teddy_d128"] = pyramid_bench(2, d2, (l2, r2))
 
     # Temporal tracked-frame steady state (temporal.py): census band

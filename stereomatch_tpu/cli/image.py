@@ -70,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "then refine a narrow per-pixel band up to "
                              "full resolution (~8x less volume work per "
                              "level; overrides -cm/-am/-dm).")
-    parser.add_argument("--band-radius", type=int, default=4, metavar="R",
+    parser.add_argument("--band-radius", type=int, default=24, metavar="R",
                         help="Half-width of the per-pixel refinement band "
                              "in --pyramid mode.")
     parser.add_argument("--refine", action="store_true",

@@ -290,7 +290,7 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
                   backend=args.backend, cost_dtype=jnp.dtype(args.dtype),
                   pyramid_levels=args.pyramid,
                   band_radius=(args.band_radius if args.band_radius is not None
-                               else 4),
+                               else 24),
                   median=args.refine, subpixel=args.refine,
                   lr_check=args.lr_check, lr_mode=args.lr_mode,
                   weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
@@ -416,7 +416,7 @@ def main(argv=None) -> int:
             return 2 if "divisible" in err else 1
         temporal_mesh = _pick_temporal_mesh(height, scale=2 ** args.pyramid)
     if args.pyramid > 0:
-        band = args.band_radius if args.band_radius is not None else 4
+        band = args.band_radius if args.band_radius is not None else 24
         if temporal_mesh is not None:
             import jax.numpy as jnp
 

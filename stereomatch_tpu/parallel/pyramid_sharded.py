@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import shard_map
+from jax import lax, shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.disparity import winner_takes_all
@@ -43,20 +43,36 @@ from .sharded import (_local_census, _median3x3_rows,
 
 
 def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
-                  window_size, axis_name, subpixel=False,
-                  return_best_cost=False):
+                  window_size, axis_name, band_kernel_size=1,
+                  subpixel=False, return_best_cost=False):
     """Band refinement under row sharding: census needs ±window//2 image
-    rows; the scan itself is row-local.  Halo-row outputs (computed from
-    zero-filled anchors) are cropped away."""
-    h = window_size // 2
+    rows, and the windowed-Hamming option (band_kernel_size > 1) another
+    ±k//2 rows of ham planes on top; the scan itself is row-local.
+    Halo-row outputs (computed from zero-filled anchors) are cropped
+    away.  Rows past the TRUE image edge (ppermute zero fill at ring
+    ends) are flagged via ``row_valid`` so the box pass treats them as
+    the single-chip zero padding — interior tile-halo rows carry real
+    exchanged data and stay live.
+    """
+    h = window_size // 2 + band_kernel_size // 2
+    hl = left.shape[1]
     lpad = halo.pad_with_halos(left, h, h, axis=1, axis_name=axis_name)
     rpad = halo.pad_with_halos(right, h, h, axis=1, axis_name=axis_name)
     ppad = jnp.pad(predicted, ((0, 0), (h, h), (0, 0)))
+    if band_kernel_size > 1:
+        idx = lax.axis_index(axis_name)
+        n_tiles = lax.axis_size(axis_name)
+        rows = jnp.arange(hl + 2 * h) + idx * hl - h
+        row_valid = (rows >= 0) & (rows < n_tiles * hl)
+    else:
+        row_valid = None
 
     def one(lp, rp, pp):
         out = band_refine_census(lp, rp, pp, band_radius=band_radius,
                                  max_disparity=max_disparity,
-                                 window_size=window_size, subpixel=subpixel,
+                                 window_size=window_size,
+                                 band_kernel_size=band_kernel_size,
+                                 row_valid=row_valid, subpixel=subpixel,
                                  return_best_cost=return_best_cost)
         if return_best_cost:
             disp, best = out
@@ -68,8 +84,9 @@ def _band_sharded(left, right, predicted, *, band_radius, max_disparity,
 
 def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                                   levels: int = 1,
-                                  band_radius: int = 4,
+                                  band_radius: int = 24,
                                   window_size: int = 5,
+                                  band_kernel_size: int = 5,
                                   cost_dtype=jnp.float32,
                                   penalty1: float = 0.1,
                                   penalty2: float = 0.2,
@@ -137,6 +154,7 @@ def make_pyramid_sharded_estimate(mesh, *, max_disparity: int,
                                  band_radius=band_radius,
                                  max_disparity=d_level,
                                  window_size=window_size,
+                                 band_kernel_size=band_kernel_size,
                                  axis_name=TILE_AXIS,
                                  subpixel=subpixel and level == 0)
             if median:

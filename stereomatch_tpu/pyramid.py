@@ -20,6 +20,15 @@ Accuracy trade-off: structures thinner than 2^levels pixels can vanish
 at the coarse level and a band of +-r cannot recover a miss larger than
 r; tests pin the synthetic-scene regression (tests/test_pyramid.py) and
 ``stm-eval --configs`` quantifies it on real data.
+
+Because the band scan iterates the FULL disparity axis with masking
+(the gather-free formulation), a wider band is accuracy for free — the
+round-3 sweep (benchmarks/pyramid_sweep.py) moved the defaults to
+band_radius=24 + band_kernel_size=5 (windowed Hamming), taking the
+pyramid1 bad-pixel rate from 2.28% to 1.09% on the occlusion-aware
+suite (flat census+SGM: 0.56%); stronger coarse penalties
+(penalty1=0.2, penalty2=0.4) reach 0.89% / 0.71% at levels 1 / 2 —
+recommended when the pyramid is the primary mode rather than a preview.
 """
 
 from __future__ import annotations
@@ -55,6 +64,7 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
                        max_disparity: int,
                        window_size: int = 5,
                        band_kernel_size: int = 1,
+                       row_valid=None,
                        subpixel: bool = False,
                        return_best_cost: bool = False) -> jnp.ndarray:
     """Re-score disparities in [predicted - r, predicted + r] per pixel.
@@ -120,6 +130,13 @@ def band_refine_census(left: jnp.ndarray, right: jnp.ndarray,
             # biasing that fringe conservatively.
             worst = jnp.int32(window_size * window_size)
             filt = jnp.where(x >= d, ham, worst)
+            if row_valid is not None:
+                # Sharded callers hand rows padded past the TRUE image
+                # edge (ppermute zero fill): those must contribute the
+                # single-chip box's zero padding, not the worst-cost
+                # fringe fill.  Interior tile-halo rows are real image
+                # rows and stay live.
+                filt = jnp.where(row_valid[:, None], filt, 0)
             filt = lax.reduce_window(
                 filt, jnp.int32(0), lax.add,
                 window_dimensions=(2 * k2 + 1, 1), window_strides=(1, 1),
@@ -196,8 +213,8 @@ class PyramidPipeline:
     """
 
     def __init__(self, max_disparity: int, *, levels: int = 1,
-                 band_radius: int = 4, window_size: int = 5,
-                 band_kernel_size: int = 1,
+                 band_radius: int = 24, window_size: int = 5,
+                 band_kernel_size: int = 5,
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  cost_dtype=jnp.float32,
                  median: bool = True,

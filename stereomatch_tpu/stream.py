@@ -173,7 +173,7 @@ class StreamingEstimator:
                  cvf_radius: int = 8, cvf_eps: float = 1e-4,
                  backend: str = "auto", mesh=None,
                  sgm_mode: str = "exact", overlap: int = 64,
-                 pyramid_levels: int = 0, band_radius: int = 4,
+                 pyramid_levels: int = 0, band_radius: int = 24,
                  pyramid_median: bool = True,
                  median: bool = False, subpixel: bool = False,
                  lr_check: bool = False, lr_mode: str = "volume",
