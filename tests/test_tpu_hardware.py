@@ -238,3 +238,73 @@ def test_wmf_and_volume_lr_on_hardware(fixtures):
     # rationale for the re-indexed argmin at aggregation ties.
     assert (out_wmf != ref_wmf).mean() < 0.005
     assert (out_r != ref_r).mean() < 0.005
+
+
+def test_natural_horizontal_on_hardware(fixtures):
+    """Natural vs transposed horizontal mode on the real Mosaic lowering,
+    including a ragged W (58 = 3 chunks of 16 + guarded tail at cw=16,
+    or 7x8+2 at cw=8): identical WTA, last-ulp aggregation."""
+    from .conftest import synthetic_stereo_pair
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    from stereomatch_tpu.ops.sgm_pallas import semiglobal_aggregate_pallas
+
+    left, right, _ = synthetic_stereo_pair(48, 58, 32, seed=5)
+    vol = ssd_cost_volume(left, right, max_disparity=32, kernel_size=3)
+    nat = semiglobal_aggregate_pallas(vol, left, horizontal="natural")
+    tra = semiglobal_aggregate_pallas(vol, left, horizontal="transposed")
+    a, b = np.asarray(nat), np.asarray(tra)
+    fin = np.isfinite(b)
+    assert np.array_equal(fin, np.isfinite(a))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=2e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(winner_takes_all(nat)),
+                                  np.asarray(winner_takes_all(tra)))
+
+
+def test_mxu_box_parity_on_hardware(fixtures):
+    """The MXU banded-matmul box pass (HIGHEST precision) against the
+    reduce_window lowering on real hardware — the f32 SSD volumes must
+    agree inside the oracle tolerance, and the integer chain must stay
+    bit-exact (it never routes through the MXU)."""
+    import jax.numpy as jnp
+    from stereomatch_tpu.ops import cost as cost_mod
+    from .conftest import synthetic_stereo_pair
+
+    left, right, _ = synthetic_stereo_pair(40, 64, 16, seed=9)
+    f32 = np.asarray(cost_mod.ssd_cost_volume(left, right,
+                                              max_disparity=16,
+                                              kernel_size=5))
+    # Force the reduce_window path by raising the gate past H.
+    old = cost_mod._BOX_MXU_MAX_N
+    try:
+        cost_mod._BOX_MXU_MAX_N = 0
+        ref = np.asarray(cost_mod.ssd_cost_volume.__wrapped__(
+            jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+            kernel_size=5))
+    finally:
+        cost_mod._BOX_MXU_MAX_N = old
+    fin = np.isfinite(ref)
+    assert np.array_equal(fin, np.isfinite(f32))
+    np.testing.assert_allclose(f32[fin], ref[fin], rtol=2e-6, atol=2e-5)
+
+    lu = (left * 255).astype(np.uint8)
+    ru = (right * 255).astype(np.uint8)
+    iv = np.asarray(cost_mod.ssd_cost_volume(lu, ru, max_disparity=16,
+                                             kernel_size=5,
+                                             cost_dtype=np.int32))
+    assert iv.dtype == np.int32
+
+
+def test_zncc_plane_formulation_on_hardware(fixtures):
+    """The restructured ZNCC (prefix-difference planes + one volume box)
+    compiled for real: finite range [0, 2], +inf placement, and the d=0
+    self-match near zero."""
+    from stereomatch_tpu.ops.cost import zncc_cost_volume
+    from .conftest import synthetic_stereo_pair
+
+    left, _, _ = synthetic_stereo_pair(48, 64, 16, seed=4)
+    vol = np.asarray(zncc_cost_volume(left, left, max_disparity=16,
+                                      kernel_size=5))
+    m = ~np.isinf(vol)
+    assert vol[m].min() >= -1e-3 and vol[m].max() <= 2 + 1e-3
+    np.testing.assert_allclose(vol[:, :, 0], 0.0, atol=2e-3)
