@@ -116,7 +116,8 @@ def mxu_leading_box(volume: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
                       preferred_element_type=volume.dtype)
 
 
-def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
+def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple,
+             use_mxu: bool = True) -> jnp.ndarray:
     """Separable clipped box sum with the reference's half-open window.
 
     The reference window along an axis is [i - k, i + k) — 2k taps
@@ -129,10 +130,18 @@ def _box_sum(volume: jnp.ndarray, kernel_size: int, axes: tuple) -> jnp.ndarray:
     (see _BOX_MXU_MAX_N); everything else — trailing axes, integer
     dtypes (bit-exactness), long axes — is one ``reduce_window``
     (O(k) adds/element, additive-identity padding).
+
+    ``use_mxu=False`` pins reduce_window on every axis: the SSD/SAD
+    chain uses it because the MXU pass, while faster standalone (0.86
+    vs 1.27 ms at teddy D=128), made the full SSD+SGM+WTA PIPELINE
+    slower (3.89 vs 3.30 ms — the dot operand/result materializations
+    collide with SGM's traffic where reduce_window fuses its diff²
+    producer; benchmarks/pipeline_ab_r3_out.json).  ZNCC and CVF keep
+    the MXU pass — their pipelines measured faster with it.
     """
     k = kernel_size
     for ax in axes:
-        if (ax == 0 and volume.ndim >= 2
+        if (use_mxu and ax == 0 and volume.ndim >= 2
                 and mxu_leading_box_ok(volume.shape[0], volume.dtype)):
             # Half-open [i-k, i+k) window: lo = k, hi = k - 1.
             volume = mxu_leading_box(volume, k, k - 1)
@@ -174,7 +183,8 @@ def _diff_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     valid = (w_idx >= d_idx + disparity_offset)[None, :, :]
     term = jnp.where(valid, term, jnp.zeros((), compute_dtype))
 
-    cost = _box_sum(term, kernel_size, axes=(0, 1))
+    # use_mxu=False: the MXU pass loses IN-PIPELINE (see _box_sum).
+    cost = _box_sum(term, kernel_size, axes=(0, 1), use_mxu=False)
 
     cost = jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
     return cost
@@ -470,7 +480,7 @@ def census_hamming_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
     compute_dtype = _compute_dtype(left.dtype, cost_dtype)
     cost = jnp.where(valid, ham, 0).astype(compute_dtype)
     if kernel_size > 1:
-        cost = _box_sum(cost, kernel_size, axes=(0, 1))
+        cost = _box_sum(cost, kernel_size, axes=(0, 1), use_mxu=False)
     return jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
 
 
