@@ -133,11 +133,19 @@ def _traffic_models():
     }
 
 
+# v5e HBM spec: no copy can move bytes faster than the part's 819 GB/s.
+# Probes reading ABOVE it are measurement noise (the relay's timing
+# jitter shrinking a marginal), not speed — they are clamped out of the
+# max, the mirror image of round-2's single under-reading probe.
+_HBM_SPEC_GBPS = 819.0
+
+
 def measure_hbm_bandwidth(chain_k=8, repeats=5):
-    """Achievable HBM GB/s: the MAX over independent copy probes, so no
-    op can measure above 100% of roofline from a single probe's bad day
-    (round 2's lone jnp.roll probe under-read the bandwidth by ~35% and
-    put WTA at an impossible 115% of "roofline").
+    """Achievable HBM GB/s: the MAX over independent copy probes (each
+    clamped to the part spec), so no op can measure above 100% of
+    roofline from a single probe's bad day in either direction (round
+    2's lone jnp.roll probe under-read by ~35% and put WTA at an
+    impossible 115%; a later pallas-copy probe noise-read 1300 GB/s).
 
     Probes (all 64 MB working sets — the regime the suite's volumes live
     in; see benchmarks/vpu_probe.py for the size sweep):
@@ -150,6 +158,7 @@ def measure_hbm_bandwidth(chain_k=8, repeats=5):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    chain_k = max(chain_k, 32)             # ~6 ms of marginal signal
     n = 16 * 1024 * 1024                   # 64 MB of f32
     x = jax.device_put(np.arange(n, dtype=np.float32).reshape(4096, 4096))
     gbytes = 2 * n * 4 / 1e9
@@ -181,7 +190,7 @@ def measure_hbm_bandwidth(chain_k=8, repeats=5):
         probes["pallas_copy"] = (gbytes / (ms / 1e3) if ms > 0
                                  else float("nan"))
 
-    valid = [v for v in probes.values() if v == v]
+    valid = [min(v, _HBM_SPEC_GBPS) for v in probes.values() if v == v]
     return (max(valid) if valid else float("nan")), probes
 
 
