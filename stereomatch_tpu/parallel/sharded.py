@@ -364,9 +364,33 @@ def _local_horizontal_sweep(vol, img, p1, p2, reverse):
 
 
 def _pallas_local_horizontal(vol, img, p1, p2, interpret, vma):
-    """Horizontal-family sweeps: tile-local on the transposed block (the
-    scan axis W is never sharded by the row-tiled pipeline)."""
-    def horizontal(v, im):
+    """Horizontal-family sweeps: tile-local (the scan axis W is never
+    sharded by the row-tiled pipeline).
+
+    Natural-layout sweep where a legal column chunking exists (round 3:
+    no per-rank volume transposes; bit-identical to the transposed form
+    here because this path keeps the horizontal partial separate — the
+    per-column recurrence and the base+val accumulation are the same
+    ops in the same order), else the transposed form.
+    """
+    hl, w, d = vol.shape[1:]
+    chunk = sgm_pallas._pick_hsweep_chunk(
+        hl, w, d, 16 if vol.dtype == jnp.bfloat16 else 8)
+
+    if chunk is not None:
+        def horizontal(v, im):
+            pmf = sgm_pallas._p2_map_horizontal(im, p1, p2, reverse=False)
+            pmr = sgm_pallas._p2_map_horizontal(im, p1, p2, reverse=True)
+            part = sgm_pallas._hsweep_pass_natural(
+                v, pmf, None, penalty1=p1, reverse=False, chunk=chunk,
+                interpret=interpret, out_vma=vma)
+            return sgm_pallas._hsweep_pass_natural(
+                v, pmr, part, penalty1=p1, reverse=True, chunk=chunk,
+                interpret=interpret, out_vma=vma)
+
+        return jax.vmap(horizontal)(vol, img)
+
+    def horizontal_t(v, im):
         pmf = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=False)
         pmr = sgm_pallas._p2_maps(im, p1, p2, (0,), reverse=True)
         part = sgm_pallas._sweep_pass(v, pmf, None, families=(0,),
@@ -376,8 +400,8 @@ def _pallas_local_horizontal(vol, img, p1, p2, interpret, vma):
                                       penalty1=p1, reverse=True,
                                       interpret=interpret, out_vma=vma)
 
-    out_t = jax.vmap(horizontal)(jnp.swapaxes(vol, 1, 2),
-                                 jnp.swapaxes(img, 1, 2))
+    out_t = jax.vmap(horizontal_t)(jnp.swapaxes(vol, 1, 2),
+                                   jnp.swapaxes(img, 1, 2))
     return jnp.swapaxes(out_t, 1, 2)
 
 
