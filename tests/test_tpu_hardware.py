@@ -81,9 +81,15 @@ def test_tiled2d_pallas_on_hardware(fixtures):
 
 def test_wgrid_sweep_on_hardware(fixtures, monkeypatch):
     """The W-on-grid sweep (HD VMEM mode) compiled by real Mosaic at toy
-    shape via forced budgets — bit-matches the full-width kernel."""
+    shape via forced budgets — bit-matches the full-width kernel.
+
+    horizontal="transposed" on BOTH sides: the zeroed VMEM budget also
+    disables the natural horizontal mode, and this test pins the row
+    kernels' W-on-grid chunking, not the horizontal-mode choice."""
     from stereomatch_tpu.ops import sgm_pallas
-    _, left, _, vol, agg, _ = fixtures
+    _, left, _, vol, _, _ = fixtures
+    ref = np.asarray(sgm_pallas.semiglobal_aggregate_pallas(
+        vol, left, horizontal="transposed"))
     monkeypatch.setattr(sgm_pallas, "_VMEM_BUDGET_BYTES", 0)
     # Budget math uses padded (8, 128) VMEM tiles — size the forced cap
     # with the same model or no chunk count fits (D=32 pads 4x).
@@ -92,8 +98,8 @@ def test_wgrid_sweep_on_hardware(fixtures, monkeypatch):
                         3 * row_bytes + 10 * (row_bytes // 2))
     assert sgm_pallas._pick_wgrid_chunks(vol.shape[1], vol.shape[2], 3) == 2
     out = np.asarray(sgm_pallas.semiglobal_aggregate_pallas.__wrapped__(
-        vol, left))
-    np.testing.assert_array_equal(out, np.asarray(agg))
+        vol, left, horizontal="transposed"))
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_wgrid_chunk_carry_on_hardware(fixtures, monkeypatch):
