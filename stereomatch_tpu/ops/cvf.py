@@ -92,11 +92,14 @@ def _linear_model(mean_p, mean_i, corr_ip, corr_ii, eps):
 def _filter_stats(p32, i32, radius, eps, assume_finite):
     """First guided-filter stage: per-window linear model (a, b).
 
-    All volume-shaped statistics ride ONE reduce_window pair on a
-    D-axis-stacked array (the ZNCC idiom, ops/cost.py::_zncc_stack):
-    windows span only (H, W), so lanes stay independent and the stacked
-    sums are bit-identical to separate box calls, but XLA materializes
-    one intermediate instead of five and fuses one producer.
+    Every volume-shaped statistic gets its OWN box call.  Rounds 1-2
+    stacked them on the D axis to "save materializations" (the old ZNCC
+    idiom), but the round-3 SSD lesson measured the opposite: XLA fuses
+    each elementwise producer (``guide * p0`` etc.) straight INTO its
+    ``reduce_window``, while a ``concatenate`` materializes every
+    operand first — separate calls are bit-identical (windows span only
+    (H, W); lanes independent) and moved the teddy cvf stage from 7.57
+    to 5.03 ms (benchmarks/cvf_ab_r3_out.json).
 
     Returns (a, b, finite, box, count): ``finite`` is the validity mask
     (None when assume_finite); ``count`` is the normalizer the second
@@ -110,10 +113,8 @@ def _filter_stats(p32, i32, radius, eps, assume_finite):
         finite = None
         ones = jnp.ones(p32.shape[:2], jnp.float32)
         count = box(ones)[:, :, None]                      # [H, W, 1]
-        sums = box(jnp.concatenate([p32, guide * p32], axis=2))
-        mean_p, corr_ip = jnp.split(sums, 2, axis=2)
-        mean_p = mean_p / count
-        corr_ip = corr_ip / count
+        mean_p = box(p32) / count
+        corr_ip = box(guide * p32) / count
         # Guide-only stats are [H, W] — negligible beside the volume.
         mean_i = (box(i32) / count[:, :, 0])[:, :, None]
         corr_ii = (box(i32 * i32) / count[:, :, 0])[:, :, None]
@@ -121,17 +122,13 @@ def _filter_stats(p32, i32, radius, eps, assume_finite):
         finite = jnp.isfinite(p32)
         valid = finite.astype(jnp.float32)                 # [H, W, D]
         p0 = jnp.where(finite, p32, 0.0)
-        sums = box(jnp.concatenate(
-            [valid, p0, guide * valid, guide * p0, guide * guide * valid],
-            axis=2))
-        n, sp, si, sip, sii = jnp.split(sums, 5, axis=2)
-        count = jnp.maximum(n, 1.0)                        # guard 0/0 —
+        count = jnp.maximum(box(valid), 1.0)               # guard 0/0 —
         # zero-valid windows exist only deep inside the invalid wedge,
         # whose cells are restored to +inf by the caller anyway.
-        mean_p = sp / count
-        mean_i = si / count
-        corr_ip = sip / count
-        corr_ii = sii / count
+        mean_p = box(p0) / count
+        mean_i = box(guide * valid) / count
+        corr_ip = box(guide * p0) / count
+        corr_ii = box(guide * guide * valid) / count
 
     a, b = _linear_model(mean_p, mean_i, corr_ip, corr_ii, eps)
     return a, b, finite, box, count
@@ -164,10 +161,8 @@ def _filter_body_fast(volume, guide, radius, eps, assume_finite,
         p_low = _resize2d(p32, lh, lw)
         finite = None
         a, b, _, box, count = _filter_stats(p_low, i_low, low_r, eps, True)
-        sums = box(jnp.concatenate([a, b], axis=2))
-        a_bar, b_bar = jnp.split(sums, 2, axis=2)
-        a_bar = a_bar / count
-        b_bar = b_bar / count
+        a_bar = box(a) / count
+        b_bar = box(b) / count
     else:
         finite = jnp.isfinite(p32)
         valid = finite.astype(jnp.float32)
@@ -182,17 +177,13 @@ def _filter_body_fast(volume, guide, radius, eps, assume_finite,
         p_low, v_low = low[:, :, :ndisp], low[:, :, ndisp:]
         box = functools.partial(_box_sum_sym, radius=low_r)
         g_low = i_low[:, :, None]
-        sums = box(jnp.concatenate(
-            [v_low, p_low, g_low * v_low, g_low * p_low,
-             g_low * g_low * v_low], axis=2))
-        n, sp, si, sip, sii = jnp.split(sums, 5, axis=2)
-        count = jnp.maximum(n, jnp.float32(1e-6))
-        a, b = _linear_model(sp / count, si / count, sip / count,
-                             sii / count, eps)
-        sums2 = box(jnp.concatenate([a * v_low, b * v_low], axis=2))
-        a_bar, b_bar = jnp.split(sums2, 2, axis=2)
-        a_bar = a_bar / count
-        b_bar = b_bar / count
+        count = jnp.maximum(box(v_low), jnp.float32(1e-6))
+        a, b = _linear_model(box(p_low) / count,
+                             box(g_low * v_low) / count,
+                             box(g_low * p_low) / count,
+                             box(g_low * g_low * v_low) / count, eps)
+        a_bar = box(a * v_low) / count
+        b_bar = box(b * v_low) / count
 
     a_full = _resize2d(a_bar, height, width)
     b_full = _resize2d(b_bar, height, width)
@@ -227,14 +218,11 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1):
     # volumes this is the plain box mean of the standard algorithm.
     # ``count`` from stage 1 IS stage 2's normalizer (same box(valid)).
     if finite is None:
-        sums = box(jnp.concatenate([a, b], axis=2))
-        a_bar, b_bar = jnp.split(sums, 2, axis=2)
-        q = (a_bar / count) * i32[:, :, None] + b_bar / count
+        q = (box(a) / count) * i32[:, :, None] + box(b) / count
     else:
         valid = finite.astype(jnp.float32)
-        sums = box(jnp.concatenate([a * valid, b * valid], axis=2))
-        a_bar, b_bar = jnp.split(sums, 2, axis=2)
-        q = (a_bar / count) * i32[:, :, None] + b_bar / count
+        q = ((box(a * valid) / count) * i32[:, :, None]
+             + box(b * valid) / count)
         q = jnp.where(finite, q, jnp.float32(jnp.inf))
     return q.astype(volume.dtype)
 
