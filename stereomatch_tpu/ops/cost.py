@@ -717,20 +717,29 @@ def zncc_cost_from_padded(left_padded: jnp.ndarray,
     summand_valid = (valid if row_valid is None
                      else valid & row_valid[:, None, None])
 
-    stack = _zncc_stack(left_f, shifted, summand_valid)      # [6, Hp, W, D]
-    # Halo rows contribute where provided; the remainder of the (k, k-1)
-    # H-window is zero padding, the summands' additive identity.  The
-    # window *count* plane clips the same way, so normalization at the
-    # true image border matches the unsharded kernel.
-    sums = lax.reduce_window(
-        stack,
-        jnp.zeros((), stack.dtype),
-        lax.add,
-        window_dimensions=(1, 2 * k, 2 * k, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (k - pad_before, (k - 1) - pad_after),
-                 (k, k - 1), (0, 0)),
-    )
+    # Each of the six summand planes gets its OWN reduce_window so XLA
+    # fuses the elementwise producer into the box pass (the round-3 CVF
+    # lesson — a stacked concatenate materializes every operand first;
+    # separate calls are bit-identical since windows never span the
+    # statistic axis).  Halo rows contribute where provided; the
+    # remainder of the (k, k-1) H-window is zero padding, the summands'
+    # additive identity.  The window *count* plane clips the same way,
+    # so normalization at the true image border matches the unsharded
+    # kernel.
+    v = jnp.broadcast_to(summand_valid, shifted.shape).astype(jnp.float32)
+    l3 = left_f[:, :, None] * v
+
+    def box(plane):
+        return lax.reduce_window(
+            plane, jnp.zeros((), plane.dtype), lax.add,
+            window_dimensions=(2 * k, 2 * k, 1),
+            window_strides=(1, 1, 1),
+            padding=((k - pad_before, (k - 1) - pad_after),
+                     (k, k - 1), (0, 0)))
+
+    sums = (box(v), box(l3), box(l3 * left_f[:, :, None]),
+            box(shifted), box(shifted * shifted),
+            box(left_f[:, :, None] * shifted))
     return _zncc_combine(sums, valid, cost_dtype, eps)
 
 
