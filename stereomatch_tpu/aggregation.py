@@ -85,7 +85,7 @@ class CostFilter:
     def __init__(self, radius: int = 8, eps: float = 1e-4,
                  subsample: int = 1,
                  penalty1: float = None, penalty2: float = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", wedge_offset=None):
         """
         Args:
             radius: box window half-size (support (2*radius+1)^2; the
@@ -95,11 +95,19 @@ class CostFilter:
             subsample: > 1 = Fast Guided Filter (statistics on an
               s x-downsampled grid; approximate, box work / s^2).
             penalty1/penalty2/backend: ignored (registry compatibility).
+            wedge_offset: declare the volume's invalid set to be exactly
+              the standard wedge ``x < d + wedge_offset`` — the masked
+              guide statistics then collapse to plane algebra (~28%
+              faster at teddy; ops/cvf.py::_filter_body_wedge).  Every
+              registry cost family writes exactly this wedge, so
+              cli_common.create_pipeline passes 0; leave None for
+              volumes with arbitrary +inf patterns.
         """
         del penalty1, penalty2, backend
         self.radius = radius
         self.eps = eps
         self.subsample = subsample
+        self.wedge_offset = wedge_offset
 
     def __call__(self, cost_volume, left_image,
                  sga_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -115,7 +123,10 @@ class CostFilter:
             raise validation.DTypeError(
                 "cost-volume filtering computes windowed means, a float "
                 f"quantity; got cost volume dtype {cost_volume.dtype}")
+        wedge = (None if self.wedge_offset is None
+                 else int(self.wedge_offset))
         return guided_filter_aggregate(cost_volume, left_image,
                                        radius=int(self.radius),
                                        eps=float(self.eps),
-                                       subsample=int(self.subsample))
+                                       subsample=int(self.subsample),
+                                       wedge_offset=wedge)

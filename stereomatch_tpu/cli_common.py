@@ -92,6 +92,13 @@ def create_pipeline(cost_method: str, disp_method: str,
         if aggregation_cls is CostFilter:
             kwargs.update(radius=cvf_radius, eps=cvf_eps,
                           subsample=cvf_subsample)
+            # Every registry cost family writes +inf at exactly the
+            # wedge x < d (disparity_offset is 0 through this factory),
+            # so the filter may take the wedge-structured fast path
+            # (ops/cvf.py::_filter_body_wedge; ~28% faster at teddy).
+            # The subsampled fast path keeps its own statistics.
+            if cvf_subsample == 1:
+                kwargs.update(wedge_offset=0)
         aggregation = aggregation_cls(**kwargs)
 
     disparity_cls = DISPARITY_METHODS[disp_method]

@@ -53,7 +53,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _box_sum_sym(x: jnp.ndarray, radius: int, axes=(0, 1)) -> jnp.ndarray:
+def _box_sum_sym(x: jnp.ndarray, radius: int, axes=(0, 1),
+                 use_mxu=None) -> jnp.ndarray:
     """Separable clipped box sum over a symmetric (2r+1) window.
 
     Out-of-image taps contribute zero (additive identity), which is the
@@ -61,12 +62,22 @@ def _box_sum_sym(x: jnp.ndarray, radius: int, axes=(0, 1)) -> jnp.ndarray:
     tap count.  The leading axis of float arrays rides the MXU as a
     banded contraction where it is short enough (ops/cost.py:
     mxu_leading_box — same measured win as the SSD box pass).
+
+    ``use_mxu`` pins the leading-axis lowering explicitly.  The sharded
+    callers MUST pass the decision computed from the GLOBAL image height
+    (``mxu_leading_box_ok(global_H, f32)``): deciding from the local
+    padded tile height can put the tile and the full image on opposite
+    sides of the threshold, silently breaking the documented bit-exact
+    sharded parity by the einsum-vs-reduce_window rounding delta
+    (~4e-7 rel — enough to flip WTA ties).  ``None`` (single-chip)
+    decides from ``x``'s own leading length, which IS the global one.
     """
     from .cost import mxu_leading_box, mxu_leading_box_ok
 
+    if use_mxu is None:
+        use_mxu = x.ndim >= 2 and mxu_leading_box_ok(x.shape[0], x.dtype)
     for ax in axes:
-        if (ax == 0 and x.ndim >= 2
-                and mxu_leading_box_ok(x.shape[0], x.dtype)):
+        if use_mxu and ax == 0 and x.ndim >= 2:
             x = mxu_leading_box(x, radius, radius)
             continue
         window = [1] * x.ndim
@@ -89,7 +100,107 @@ def _linear_model(mean_p, mean_i, corr_ip, corr_ii, eps):
     return a, b
 
 
-def _filter_stats(p32, i32, radius, eps, assume_finite):
+def _prefix_planes_w(plane: jnp.ndarray, radius: int):
+    """Shifted W-prefix planes of an [H, W] plane.
+
+    Returns (hi, lo, p) with ``p[y, k] = sum_{x < k} plane[y, x]`` (the
+    zero-prepended prefix, [H, W+1]), ``hi[y, x] = p[y, min(x+r+1, W)]``
+    and ``lo[y, x] = p[y, max(x-r, 0)]`` — so ``hi - lo`` is the clipped
+    symmetric W box sum.  Planes are [H, W]-sized: cheap next to the
+    volume (the point of the wedge path below).
+    """
+    h, w = plane.shape
+    p = jnp.concatenate([jnp.zeros((h, 1), plane.dtype),
+                         jnp.cumsum(plane, axis=1)], axis=1)
+    hi = jnp.pad(p, ((0, 0), (0, radius)),
+                 mode="edge")[:, radius + 1:radius + 1 + w]
+    lo = jnp.pad(p, ((0, 0), (radius, 0)), mode="edge")[:, :w]
+    return hi, lo, p
+
+
+def _filter_body_wedge(volume, guide, radius, eps, wedge_offset,
+                       use_mxu=None):
+    """Masked guided filter when the invalid set is the STATIC wedge
+    ``x < d + wedge_offset`` (the standard SSD/SAD invalid structure,
+    ssd.cu:58-60) — same masked-mean semantics as ``_filter_body`` with
+    ``finite = (x >= d + offset)``, restructured around the wedge being
+    independent of the row:
+
+    * ``box(valid)`` collapses to the closed form
+      ``countH[y] * cntW[x, d]`` (no volume passes);
+    * ``box(guide * valid)`` and ``box(guide^2 * valid)`` collapse to
+      elementwise reconstructions from [H, W] prefix planes of
+      ``boxH(guide)`` — the clipped window's masked lower bound
+      ``max(x - r, d + offset)`` is either the d-independent shifted
+      plane or the x-independent prefix column, selected by one
+      ``where`` (the ZNCC plane-algebra trick, ops/cost.py);
+    * only 4 genuine volume statistics remain (p0, g*p0, a, b — 8
+      separable box passes instead of 14).
+
+    Measured at teddy 450x375 D=128 r=8: 4.92 -> 3.56 ms
+    (benchmarks/cvf_probe_r4_out.json; the prefix-difference/cumsum
+    box — VERDICT r3's integral-image suggestion — measured 17-30 ms
+    there: XLA:TPU materializes every log-depth cumsum pass, rejected).
+
+    Exactness: same masked means, different association — within
+    ~2e-6 rel of ``_filter_body`` (probe check), NOT bit-identical.
+    """
+    h, w = guide.shape
+    d = volume.shape[2]
+    r = radius
+    box = functools.partial(_box_sum_sym, radius=r, use_mxu=use_mxu)
+
+    x_id = lax.broadcasted_iota(jnp.int32, (w, d), 0)
+    d_id = lax.broadcasted_iota(jnp.int32, (w, d), 1) + wedge_offset
+    valid_wd = x_id >= d_id                                  # [W, D]
+
+    p32 = volume.astype(jnp.float32)
+    i32 = guide.astype(jnp.float32)
+    g = i32[:, :, None]
+    p0 = jnp.where(valid_wd[None], p32, 0.0)
+
+    s_p = box(p0)                                            # 2 vol passes
+    s_gp = box(g * p0)                                       # 2 vol passes
+
+    # Guide statistics from [H, W] planes + elementwise reconstruction.
+    g1 = _box_sum_sym(i32, r, axes=(0,), use_mxu=use_mxu)
+    g2 = _box_sum_sym(i32 * i32, r, axes=(0,), use_mxu=use_mxu)
+    hi1, lo1, p1 = _prefix_planes_w(g1, r)
+    hi2, lo2, p2 = _prefix_planes_w(g2, r)
+    # Pd[y, dd] = P[y, clip(dd + offset, 0, W)]: contiguous prefix
+    # columns (edge-pad if offset + D overruns) — a static slice, not a
+    # gather (XLA:TPU lowers arbitrary gathers to scalar loops).
+    lo_col = max(0, min(wedge_offset, w))
+    overrun = max(0, lo_col + d - (w + 1))
+    p1e = jnp.pad(p1, ((0, 0), (0, overrun)), mode="edge")
+    p2e = jnp.pad(p2, ((0, 0), (0, overrun)), mode="edge")
+    pd1 = lax.slice_in_dim(p1e, lo_col, lo_col + d, axis=1)  # [H, D]
+    pd2 = lax.slice_in_dim(p2e, lo_col, lo_col + d, axis=1)
+    cond = (x_id - r) >= d_id                                # [W, D]
+    s_g = hi1[:, :, None] - jnp.where(cond[None], lo1[:, :, None],
+                                      pd1[:, None, :])
+    s_gg = hi2[:, :, None] - jnp.where(cond[None], lo2[:, :, None],
+                                       pd2[:, None, :])
+
+    y_id = jnp.arange(h)
+    count_h = (jnp.minimum(y_id + r, h - 1)
+               - jnp.maximum(y_id - r, 0) + 1).astype(jnp.float32)
+    cnt_w = jnp.maximum(
+        jnp.minimum(x_id + r, w - 1)
+        - jnp.maximum(jnp.maximum(x_id - r, 0), d_id) + 1, 0
+    ).astype(jnp.float32)                                    # [W, D]
+    count = jnp.maximum(count_h[:, None, None] * cnt_w[None], 1.0)
+
+    a, b = _linear_model(s_p / count, s_g / count, s_gp / count,
+                         s_gg / count, eps)
+    a0 = jnp.where(valid_wd[None], a, 0.0)
+    b0 = jnp.where(valid_wd[None], b, 0.0)
+    q = (box(a0) / count) * g + box(b0) / count              # 4 vol passes
+    return jnp.where(valid_wd[None], q,
+                     jnp.float32(jnp.inf)).astype(volume.dtype)
+
+
+def _filter_stats(p32, i32, radius, eps, assume_finite, use_mxu=None):
     """First guided-filter stage: per-window linear model (a, b).
 
     Every volume-shaped statistic gets its OWN box call.  Rounds 1-2
@@ -106,7 +217,7 @@ def _filter_stats(p32, i32, radius, eps, assume_finite):
     stage reuses (stage 2's window-count statistic is the same
     ``box(valid)`` — no recompute).
     """
-    box = functools.partial(_box_sum_sym, radius=radius)
+    box = functools.partial(_box_sum_sym, radius=radius, use_mxu=use_mxu)
     guide = i32[:, :, None]
 
     if assume_finite:
@@ -193,7 +304,8 @@ def _filter_body_fast(volume, guide, radius, eps, assume_finite,
     return q.astype(volume.dtype)
 
 
-def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1):
+def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1,
+                 wedge_offset=None, use_mxu=None):
     # Trace-time checks shared by both entry points (the CLIs take bare
     # int/float flags; fail with a clear message, not a reduce_window
     # shape error or an inf/NaN division at runtime).
@@ -204,13 +316,25 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1):
                          "the variance of constant-guide windows)")
     if subsample < 1:
         raise ValueError(f"subsample must be >= 1, got {subsample}")
+    if wedge_offset is not None:
+        if assume_finite:
+            raise ValueError("wedge_offset and assume_finite are mutually "
+                             "exclusive (a wedge volume is not finite)")
+        if subsample > 1:
+            raise ValueError("wedge_offset does not compose with the "
+                             "subsampled fast path (use one or the other)")
+        if wedge_offset < 0:
+            raise ValueError(f"wedge_offset must be >= 0, got "
+                             f"{wedge_offset}")
+        return _filter_body_wedge(volume, guide, radius, eps,
+                                  int(wedge_offset), use_mxu=use_mxu)
     if subsample > 1:
         return _filter_body_fast(volume, guide, radius, eps,
                                  assume_finite, subsample)
     p32 = volume.astype(jnp.float32)
     i32 = guide.astype(jnp.float32)
     a, b, finite, box, count = _filter_stats(p32, i32, radius, eps,
-                                             assume_finite)
+                                             assume_finite, use_mxu=use_mxu)
 
     # Second stage: each output pixel averages the linear models of every
     # window that contains it.  Under masking only windows centered at a
@@ -229,11 +353,14 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1):
 
 @functools.partial(jax.jit,
                    static_argnames=("radius", "eps", "assume_finite",
-                                    "subsample"))
+                                    "subsample", "wedge_offset",
+                                    "use_mxu"))
 def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
                             *, radius: int = 8, eps: float = 1e-4,
                             assume_finite: bool = False,
-                            subsample: int = 1) -> jnp.ndarray:
+                            subsample: int = 1,
+                            wedge_offset=None,
+                            use_mxu=None) -> jnp.ndarray:
     """Edge-aware local aggregation: guided-filter each disparity slice.
 
     Args:
@@ -252,6 +379,14 @@ def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
           statistics on an s x-downsampled grid (box arithmetic shrinks
           by s^2; the model still applies against the full-res guide).
           Approximate; 1 (default) is the exact filter.
+        wedge_offset: when the caller KNOWS the volume's only invalid
+          entries are the standard wedge ``x < d + wedge_offset``
+          (SSD/SAD/Birchfield volumes — the cost producer's
+          disparity_offset), pass it here: the three masked guide
+          statistics collapse from volume box passes to [H, W]
+          prefix-plane algebra (4.92 -> 3.56 ms at teddy, see
+          _filter_body_wedge).  Same masked-mean semantics to ~2e-6
+          rel; the volume's actual +inf pattern MUST equal the wedge.
     """
     if cost_volume.ndim != 3:
         raise ValueError(f"cost_volume must be [H, W, D], got "
@@ -260,14 +395,16 @@ def guided_filter_aggregate(cost_volume: jnp.ndarray, guide: jnp.ndarray,
         raise ValueError(f"guide {guide.shape} does not match volume "
                          f"spatial dims {cost_volume.shape[:2]}")
     return _filter_body(cost_volume, guide, int(radius), float(eps),
-                        bool(assume_finite), int(subsample))
+                        bool(assume_finite), int(subsample),
+                        wedge_offset=wedge_offset, use_mxu=use_mxu)
 
 
 def guided_filter_from_padded(volume_padded: jnp.ndarray,
                               guide_padded: jnp.ndarray,
                               pad_before: int, pad_after: int,
                               *, radius: int = 8, eps: float = 1e-4,
-                              assume_finite: bool = False) -> jnp.ndarray:
+                              assume_finite: bool = False,
+                              use_mxu=None) -> jnp.ndarray:
     """Row-sharded body: filter a tile carrying halo rows, crop the halo.
 
     Both filter stages are box means, so the output at row y depends on
@@ -284,8 +421,12 @@ def guided_filter_from_padded(volume_padded: jnp.ndarray,
     ring-end zero fill does not guarantee — the sharded layer therefore
     always uses the masked path and poisons out-of-image halo rows to
     +inf instead.
+
+    ``use_mxu`` must carry the GLOBAL-geometry lowering decision
+    (``mxu_leading_box_ok(global_H, f32)``), not be left to the local
+    padded tile height — see _box_sum_sym.
     """
     out = _filter_body(volume_padded, guide_padded, int(radius),
-                       float(eps), bool(assume_finite))
+                       float(eps), bool(assume_finite), use_mxu=use_mxu)
     height = out.shape[0] - pad_before - pad_after
     return lax.dynamic_slice_in_dim(out, pad_before, height, axis=0)

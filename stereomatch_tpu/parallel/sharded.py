@@ -155,8 +155,17 @@ def _local_cvf(vol, guide, *, radius, eps, axis_name, n_tiles):
     oob = halo.out_of_image_mask(axis_name, n_tiles, h_local, h)
     vpad = jnp.where(oob[None, :, None, None],
                      jnp.asarray(jnp.inf, vpad.dtype), vpad)
+    # The MXU-vs-reduce_window lowering decision must come from the
+    # GLOBAL image height (exactly n_tiles * h_local here — estimate()
+    # rejects non-divisible heights), never the local padded tile
+    # height: the two can straddle the _BOX_MXU_MAX_N threshold, and
+    # the lowerings differ by ~4e-7 rel — enough to flip WTA ties and
+    # break the documented bit-exact sharded parity.
+    from ..ops.cost import mxu_leading_box_ok
+    use_mxu = mxu_leading_box_ok(n_tiles * h_local, jnp.float32)
     fn = functools.partial(guided_filter_from_padded, pad_before=h,
-                           pad_after=h, radius=radius, eps=eps)
+                           pad_after=h, radius=radius, eps=eps,
+                           use_mxu=use_mxu)
     return jax.vmap(fn)(vpad, gpad)
 
 

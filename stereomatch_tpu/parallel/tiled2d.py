@@ -517,8 +517,13 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                                             w_loc, ov)[None, :])
             ext = jnp.where(oob[None, :, :, None],
                             jnp.asarray(jnp.inf, ext.dtype), ext)
+            # Lowering decision from the GLOBAL height (h_loc * n_tile),
+            # not the extended tile height — see ops/cvf.py::_box_sum_sym.
+            from ..ops.cost import mxu_leading_box_ok
+            use_mxu = mxu_leading_box_ok(h_loc * n_tile, jnp.float32)
             agg = jax.vmap(lambda v, g: guided_filter_aggregate(
-                v, g, radius=cvf_radius, eps=cvf_eps))(ext, img_e)
+                v, g, radius=cvf_radius, eps=cvf_eps,
+                use_mxu=use_mxu))(ext, img_e)
             agg = agg[:, ov:ov + h_loc, ov:ov + w_loc]
         else:
             agg = vol

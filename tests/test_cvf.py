@@ -44,6 +44,86 @@ def test_matches_oracle_with_inf_wedge(masked_volume):
     np.testing.assert_allclose(out[m], ref[m], rtol=2e-4, atol=2e-5)
 
 
+def test_wedge_path_matches_oracle(masked_volume):
+    """The wedge-structured fast path (ops/cvf.py::_filter_body_wedge)
+    computes the SAME masked means as the generic path when the volume's
+    invalid set is exactly the wedge x < d — different association
+    (prefix-plane algebra), so allclose rather than bit-equal."""
+    vol, left = masked_volume
+    out = np.asarray(guided_filter_aggregate(vol, left, radius=2,
+                                             wedge_offset=0))
+    ref = _gf_oracle(vol, left, radius=2, eps=1e-4)
+    assert np.array_equal(np.isinf(out), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def test_wedge_path_close_to_masked_path(masked_volume):
+    vol, left = masked_volume
+    fast = np.asarray(guided_filter_aggregate(vol, left, radius=3,
+                                              wedge_offset=0))
+    slow = np.asarray(guided_filter_aggregate(vol, left, radius=3))
+    assert np.array_equal(np.isinf(fast), np.isinf(slow))
+    m = np.isfinite(slow)
+    np.testing.assert_allclose(fast[m], slow[m], rtol=1e-4, atol=1e-6)
+
+
+def test_wedge_path_nonzero_offset():
+    """wedge_offset must track the cost producer's disparity_offset."""
+    from stereomatch_tpu.ops.cost import ssd_cost_volume
+    rng = np.random.default_rng(7)
+    left = rng.random((12, 20), np.float32)
+    right = rng.random((12, 20), np.float32)
+    vol = np.asarray(ssd_cost_volume.__wrapped__(
+        left, right, max_disparity=6, kernel_size=2, disparity_offset=3))
+    fast = np.asarray(guided_filter_aggregate(vol, left, radius=2,
+                                              wedge_offset=3))
+    slow = np.asarray(guided_filter_aggregate(vol, left, radius=2))
+    assert np.array_equal(np.isinf(fast), np.isinf(slow))
+    m = np.isfinite(slow)
+    np.testing.assert_allclose(fast[m], slow[m], rtol=1e-4, atol=1e-6)
+
+
+def test_wedge_path_bf16_roundtrip(masked_volume):
+    vol, left = masked_volume
+    out16 = guided_filter_aggregate(jnp.asarray(vol, jnp.bfloat16), left,
+                                    radius=2, wedge_offset=0)
+    assert out16.dtype == jnp.bfloat16
+    out32 = np.asarray(guided_filter_aggregate(vol, left, radius=2,
+                                               wedge_offset=0))
+    m = np.isfinite(out32)
+    np.testing.assert_allclose(np.asarray(out16, np.float32)[m], out32[m],
+                               rtol=0.02, atol=0.01)
+
+
+def test_wedge_path_validation(masked_volume):
+    vol, left = masked_volume
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        guided_filter_aggregate(vol, left, wedge_offset=0,
+                                assume_finite=True)
+    with pytest.raises(ValueError, match="subsampled"):
+        guided_filter_aggregate(vol, left, wedge_offset=0, subsample=2)
+    with pytest.raises(ValueError, match="wedge_offset must be"):
+        guided_filter_aggregate(vol, left, wedge_offset=-1)
+
+
+def test_registry_pipeline_cvf_uses_wedge_path():
+    """create_pipeline wires wedge_offset=0 (every registry cost writes
+    exactly the wedge); result must track the generic-path pipeline."""
+    from stereomatch_tpu.cli_common import create_pipeline
+    from stereomatch_tpu.cost import SSD
+    left, right, _ = synthetic_stereo_pair(24, 32, D, seed=2)
+    pipe = create_pipeline("ssd", "wta", "cvf", max_disparity=D)
+    assert pipe.aggregation.wedge_offset == 0
+    vol = SSD(D, kernel_size=7)(left, right)
+    ref = np.asarray(WinnerTakesAll()(
+        guided_filter_aggregate(vol, left)))
+    out = np.asarray(pipe.estimate(left, right))
+    # Same masked means up to association: identical WTA picks away
+    # from near-ties; allow a small tie-flip fraction.
+    assert (out == ref).mean() > 0.98
+
+
 def test_matches_oracle_all_finite():
     rng = np.random.default_rng(3)
     vol = rng.random((9, 11, 5), np.float32)
