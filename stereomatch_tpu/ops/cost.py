@@ -601,10 +601,23 @@ def zncc_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
         raise ValueError("zncc cost requires a float cost_dtype "
                          f"(got {cost_dtype})")
     k = kernel_size
-    if left.shape[1] <= k:
-        # Degenerate width (every window spans the whole image): the
-        # static prefix re-indexing below assumes W > k; the stacked
-        # formulation is fine at this scale.
+    # disparity_offset may be traced (disp-sharded blocks derive it from
+    # the device's axis index) — use it in the degenerate-geometry guard
+    # only when concrete.  Traced offsets come from the disparity
+    # partitioner whose blocks always satisfy offset + block <= D <= W,
+    # and dynamic_slice clamps a traced start anyway; the slice-SIZE
+    # overrun (max_disparity alone exceeding the [H, W+1] prefix plane)
+    # is still caught with offset treated as 0.
+    _off = (int(disparity_offset)
+            if not isinstance(disparity_offset, jax.core.Tracer) else 0)
+    if (left.shape[1] <= k
+            or left.shape[1] + 1 < _off + max_disparity):
+        # Degenerate geometries: width so small every window spans the
+        # whole image (the static prefix re-indexing assumes W > k), or
+        # a disparity range overrunning the [H, W+1] prefix plane
+        # (disparity_offset + D > W + 1 would make the at_d slice throw).
+        # The stacked formulation is fine at these scales — such volumes
+        # are mostly the invalid wedge anyway.
         left_f = left.astype(jnp.float32)
         right_f = right.astype(jnp.float32)
         shifted = shifted_right_stack(right_f, max_disparity,

@@ -1031,6 +1031,11 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
     reuses the row-sweep kernel on a swapaxes'd volume; "auto" picks
     natural whenever a usable column chunking exists and fits VMEM.
     """
+    if horizontal not in ("auto", "natural", "transposed"):
+        # Validate up front: a typo ("natual") must not silently fall
+        # through to the transposed path.
+        raise ValueError(f"unknown horizontal mode {horizontal!r}; "
+                         "expected 'auto', 'natural' or 'transposed'")
     storage = (jnp.bfloat16 if cost_volume.dtype == jnp.bfloat16
                else jnp.float32)
     cost = cost_volume.astype(storage)

@@ -392,7 +392,16 @@ def test_sharded_sad(pair, mesh):
 
 def test_sharded_ncc(pair, mesh):
     """Sharded ZNCC: row halos + the per-row window-count mask must
-    reproduce the single-chip normalization at the true image edges."""
+    reproduce the single-chip normalization at the true image edges.
+
+    Contract: identical WTA picks away from cost near-ties, NOT
+    bit-equal volumes — the single-chip path is the round-3 prefix-plane
+    formulation while the sharded body keeps the six reduce_window
+    statistics (docs/parity.md "sharded ZNCC numerics"), so costs agree
+    only to ~1e-5 and a WTA pick can flip where two disparities tie to
+    that level.  On this fixture the agreement happens to be exact, but
+    the assertion allows the documented tie-flip margin so the test
+    pins the contract rather than one seed's luck."""
     from stereomatch_tpu.cost import NCC
     left, right = pair
     vol = NCC(D, kernel_size=3)(left, right)
@@ -401,7 +410,8 @@ def test_sharded_ncc(pair, mesh):
                            aggregation=None, reducer="wta")
     out = np.asarray(pipe.estimate(np.stack([left] * 2),
                                    np.stack([right] * 2)))
-    np.testing.assert_array_equal(out[0], ref)
+    assert (out[0] == ref).mean() > 0.995
+    np.testing.assert_array_equal(out[0], out[1])
 
 
 def test_tiled2d_ncc(pair):

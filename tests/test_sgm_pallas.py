@@ -275,3 +275,13 @@ def test_natural_horizontal_unsupported_raises(monkeypatch):
     with pytest.raises(ValueError, match="natural horizontal"):
         semiglobal_aggregate_pallas.__wrapped__(
             vol, left, interpret=True, horizontal="natural")
+
+
+def test_unknown_horizontal_mode_raises():
+    """A typo ("natual") must raise, not silently take the transposed
+    path (ADVICE r3)."""
+    left, right, _ = synthetic_stereo_pair(16, 32, 8, seed=3)
+    vol = ssd_cost_volume(left, right, max_disparity=8, kernel_size=3)
+    with pytest.raises(ValueError, match="unknown horizontal"):
+        semiglobal_aggregate_pallas.__wrapped__(
+            vol, left, interpret=True, horizontal="natual")
