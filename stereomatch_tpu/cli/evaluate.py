@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic-size", default="96x128x32",
                         metavar="HxWxD",
                         help="Geometry of --synthetic scenes.")
+    parser.add_argument("--synthetic-texture", default="noise",
+                        choices=("noise", "textured"),
+                        help="Surface model for --synthetic scenes: "
+                             "'noise' (smoothed random; the guide image "
+                             "carries no edge structure) or 'textured' "
+                             "(per-surface base intensities + smooth "
+                             "interiors — the regime guide-aware stages "
+                             "like cvf/wmf are built for).")
     parser.add_argument("--format", choices=("middlebury", "kitti"),
                         default="middlebury",
                         help="Dataset layout: folder-per-scene Middlebury "
@@ -88,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "8-bit datasets, 0.1 for --synthetic scenes "
                              "([0, 1] intensity — sigma 10 there would "
                              "degenerate the filter to a plain median).")
+    parser.add_argument("--fgs-lambda", type=float, default=16.0,
+                        help="+fgs configs: smoothing strength of the "
+                             "confidence-weighted fast global smoother.")
+    parser.add_argument("--fgs-sigma", type=float, default=None,
+                        help="+fgs affinity bandwidth in guide intensity "
+                             "units. Default: 8 (gray levels) for real "
+                             "8-bit datasets, 0.08 for --synthetic "
+                             "scenes.")
     parser.add_argument("--census-window", type=int, default=5,
                         help="census configs: code window (odd; >5 packs "
                              "several int32 words).")
@@ -111,11 +127,13 @@ def parse_configs(spec):
     ``+wmf`` applies the guide-weighted median (edge-preserving; the
     affinity bandwidth follows --wmf-sigma, whose default adapts to the
     dataset's intensity scale) before the refine stages.
+    ``+fgs`` applies the confidence-weighted fast global smoother
+    (--fgs-lambda / --fgs-sigma; sigma's default adapts like wmf's).
     """
     configs = []
     for item in spec.split(","):
         head, *mods = item.strip().split("+")
-        bad = set(mods) - {"refine", "speckle", "wmf"}
+        bad = set(mods) - {"refine", "speckle", "wmf", "fgs"}
         if bad:
             raise ValueError(f"Unknown config modifiers: {sorted(bad)}")
         mods = frozenset(mods)
@@ -130,11 +148,11 @@ def parse_configs(spec):
                     f"Bad config spec: {item!r} (pyramidN takes no "
                     f":cost/:disp parts)")
             int(parts[0][len("pyramid"):] or "1")   # validate early
-            if "wmf" in mods:
+            if mods & {"wmf", "fgs"}:
                 # Would silently no-op but still label the row "-wmf".
                 raise ValueError(
-                    "pyramidN does not support +wmf (the band stage has "
-                    "no full cost volume / bin range)")
+                    "pyramidN does not support +wmf/+fgs (the band stage "
+                    "has no full cost volume / bin range)")
             configs.append((parts[0], None, None, mods))
         elif len(parts) == 2:
             configs.append((parts[0], parts[1], None, mods))
@@ -185,8 +203,8 @@ def main(argv=None) -> int:
         h, w, d = (int(v) for v in args.synthetic_size.split("x"))
         items = []
         for i in range(args.synthetic):
-            left, right, gt, occ = stereo_pair_occluded(h, w, d,
-                                                        seed=100 + i)
+            left, right, gt, occ = stereo_pair_occluded(
+                h, w, d, seed=100 + i, texture=args.synthetic_texture)
             items.append({
                 "stereo_name": f"synthetic{i:02d}",
                 "left": left, "right": right,
@@ -248,6 +266,8 @@ def main(argv=None) -> int:
     # bandwidth; real datasets are 8-bit-range grayscale.
     wmf_sigma = (args.wmf_sigma if args.wmf_sigma is not None
                  else (0.1 if args.synthetic else 10.0))
+    fgs_sigma = (args.fgs_sigma if args.fgs_sigma is not None
+                 else (0.08 if args.synthetic else 8.0))
     rows = []
     for cost_m, disp_m, aggr_m, mods in configs:
         refined = "refine" in mods
@@ -273,6 +293,8 @@ def main(argv=None) -> int:
             name += f"-{args.dtype}"
         if "wmf" in mods:
             name += "-wmf"
+        if "fgs" in mods:
+            name += "-fgs"
         if refined:
             name += "-refine"
         if "speckle" in mods:
@@ -316,10 +338,13 @@ def main(argv=None) -> int:
                 conf = np.load(conf_file) if args.confidence else None
             else:
                 use_wmf = "wmf" in mods      # pyramid+wmf rejected at parse
-                if use_wmf:
+                use_fgs = "fgs" in mods
+                if use_wmf or use_fgs:
                     predicted = pipeline.estimate_refined(
                         left, right, subpixel=refined, median=refined,
-                        weighted_median=True, wmf_sigma=wmf_sigma)
+                        weighted_median=use_wmf, wmf_sigma=wmf_sigma,
+                        fgs_lambda=(args.fgs_lambda if use_fgs else None),
+                        fgs_sigma=fgs_sigma)
                 elif refined:
                     predicted = pipeline.estimate_refined(left, right)
                 else:

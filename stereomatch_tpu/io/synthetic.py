@@ -26,6 +26,45 @@ def smooth_texture(rng, height: int, width: int) -> np.ndarray:
     return texture
 
 
+def patterned_texture(rng, height: int, width: int,
+                      base: float = 0.5) -> np.ndarray:
+    """Piecewise-smooth, real-image-like surface texture in [0, 1].
+
+    Unlike :func:`smooth_texture` (smoothed noise — featureful for
+    matching but edge-free for guidance), this models what guide-aware
+    stages (CVF/WMF/FGS) actually exploit in real imagery: a per-surface
+    ``base`` intensity (so depth boundaries between surfaces coincide
+    with intensity edges), a smooth illumination gradient, two crossed
+    low-amplitude sinusoidal gratings (orientation biased off-vertical so
+    intensity varies along the epipolar x axis — matchability), and
+    low-amplitude high-frequency detail.  Interiors stay smooth at
+    guide-affinity scale while remaining matchable.
+    """
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    gx = float(rng.uniform(-0.15, 0.15))
+    gy = float(rng.uniform(-0.15, 0.15))
+    grad = gx * xx / max(width, 1) + gy * yy / max(height, 1)
+    out = np.float32(base) + grad
+    theta = float(rng.uniform(-0.6, 0.6))
+    for dt in (0.0, np.pi / 2):
+        freq = float(rng.uniform(0.25, 0.7))
+        phase = float(rng.uniform(0, 2 * np.pi))
+        out = out + np.float32(0.05) * np.sin(
+            freq * (np.cos(theta + dt) * xx + np.sin(theta + dt) * yy)
+            + phase).astype(np.float32)
+    out = out + 0.025 * rng.standard_normal(
+        (height, width)).astype(np.float32)
+    return np.clip(out, 0.02, 0.98).astype(np.float32)
+
+
+def _surface_levels(rng, n: int):
+    """n well-separated base intensities in shuffled order, so every
+    surface boundary is an intensity edge of >= ~0.2."""
+    levels = np.linspace(0.12, 0.9, max(n, 2)).astype(np.float32)
+    rng.shuffle(levels)
+    return [float(v) for v in levels[:n]]
+
+
 def stereo_pair(height: int, width: int, max_disparity: int, seed: int = 7):
     """Flat-warp scene: every left pixel has a perfect right match.
 
@@ -58,7 +97,8 @@ def stereo_pair(height: int, width: int, max_disparity: int, seed: int = 7):
 
 
 def stereo_pair_occluded(height: int, width: int, max_disparity: int,
-                         seed: int = 7, n_boxes: int = 3):
+                         seed: int = 7, n_boxes: int = 3,
+                         texture: str = "noise"):
     """Occlusion-aware scene: layered right-view compositing.
 
     Two depth layers are modeled physically: textured foreground boxes
@@ -67,27 +107,45 @@ def stereo_pair_occluded(height: int, width: int, max_disparity: int,
     right-view correspondence is covered by a nearer box have *no*
     matching right content — true occlusions, with an exact mask.
 
+    ``texture`` selects the surface model: "noise" (smoothed random —
+    the round-1/2 scenes; matchable but the guide image carries no
+    usable edge structure, so guide-aware stages measure at a
+    disadvantage) or "textured" (:func:`patterned_texture` — per-surface
+    base intensities + smooth interiors, the regime CVF/WMF/FGS are
+    built for; same occlusion model either way).
+
     Returns (left, right, gt_disparity, occluded) — occluded[y, x] True
     where the left pixel is invisible to the right camera (matching there
     is unsolvable; evaluate bad-pixel on ~occluded, and use the mask as
     ground truth for left-right-consistency tests).
     """
+    if texture not in ("noise", "textured"):
+        raise ValueError(f"unknown texture model {texture!r}; expected "
+                         "'noise' or 'textured'")
     rng = np.random.default_rng(seed)
     d_bg = max(max_disparity // 8, 1)
-    strip = smooth_texture(rng, height, width + max_disparity)
+    if texture == "textured":
+        levels = _surface_levels(rng, n_boxes + 1)
+        strip = patterned_texture(rng, height, width + max_disparity,
+                                  base=levels[0])
+        surface = lambda h, w, i: patterned_texture(rng, h, w,
+                                                    base=levels[i + 1])
+    else:
+        strip = smooth_texture(rng, height, width + max_disparity)
+        surface = lambda h, w, i: smooth_texture(rng, h, w)
 
     # RIGHT view: background + boxes painted nearest-last.
     right = strip[:, max_disparity:].copy()
     d_right = np.full((height, width), d_bg, np.int32)
     boxes = []
-    for _ in range(n_boxes):
+    for i in range(n_boxes):
         r0 = int(rng.integers(0, max(height - 8, 1)))
         c0 = int(rng.integers(0, max(width - 8, 1)))
         bh = int(rng.integers(height // 6 + 1, height // 2 + 2))
         bw = int(rng.integers(width // 6 + 1, width // 2 + 2))
         bh, bw = min(bh, height - r0), min(bw, width - c0)
         d_f = int(rng.integers(d_bg + 1, max_disparity - 1))
-        boxes.append((d_f, r0, c0, bh, bw, smooth_texture(rng, bh, bw)))
+        boxes.append((d_f, r0, c0, bh, bw, surface(bh, bw, i)))
     boxes.sort(key=lambda b: b[0])          # nearest (largest d) last
     for d_f, r0, c0, bh, bw, tex in boxes:
         right[r0:r0 + bh, c0:c0 + bw] = tex

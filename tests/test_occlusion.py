@@ -98,3 +98,56 @@ def test_occlusion_fill_repairs_occluded_regions(scene):
     smoothed = np.asarray(median_filter_3x3(filled))
     valid = _masks(gt, occ)
     assert np.mean((np.abs(smoothed - gt) > 1)[valid]) < 0.08
+
+
+def test_textured_surface_model():
+    """The "textured" surface model (round 4): same occlusion physics,
+    but surfaces carry distinct base intensities with smooth interiors —
+    the regime guide-aware stages are built for.  Pin (a) the warp
+    identity on unoccluded pixels, (b) that depth boundaries are
+    intensity edges, and (c) that the guide-aware CVF beats its
+    guide-blind ablation here (the claim benchmarks/textured_eval.json
+    exists to support), where on noise scenes it does not."""
+    import numpy as np
+    from stereomatch_tpu.io.synthetic import stereo_pair_occluded
+    from stereomatch_tpu.cost import Census
+    from stereomatch_tpu.disparity_reduce import WinnerTakesAll
+    from stereomatch_tpu.ops.cvf import guided_filter_aggregate
+
+    def bad_pct(texture, guided):
+        total_bad, total_px = 0, 0
+        for seed in (100, 101, 102):
+            left, right, gt, occ = stereo_pair_occluded(
+                64, 96, 16, seed=seed, texture=texture)
+            # (a) warp identity where visible and in-range.
+            xs = np.arange(96)[None, :]
+            vis = ~occ & (xs - gt >= 0)
+            sampled = np.take_along_axis(
+                right, np.clip(xs - gt, 0, 95), axis=1)
+            np.testing.assert_allclose(left[vis], sampled[vis], atol=1e-6)
+            vol = np.asarray(Census(16)(left, right)).astype(np.float32)
+            eps = 1e-4 if guided else 1e6    # 1e6 = guide-blind ablation
+            agg = guided_filter_aggregate(vol, left, radius=4, eps=eps)
+            disp = np.asarray(WinnerTakesAll()(agg))
+            m = ~occ
+            total_bad += (np.abs(disp - gt)[m] > 1).sum()
+            total_px += m.sum()
+        return 100.0 * total_bad / total_px
+
+    # (c): guided < blind on textured scenes.
+    assert bad_pct("textured", True) < bad_pct("textured", False)
+
+    # (b): boundary pixels carry intensity contrast. Spot-check one scene.
+    left, _, gt, occ = stereo_pair_occluded(64, 96, 16, seed=100,
+                                            texture="textured")
+    edge = (np.abs(np.diff(gt.astype(np.float32), axis=1)) > 0)[:, :-1]
+    jump = np.abs(np.diff(left, axis=1))[:, :-1]
+    interior = ~edge
+    assert jump[edge].mean() > 3 * jump[interior].mean()
+
+
+def test_textured_rejects_unknown_model():
+    import pytest
+    from stereomatch_tpu.io.synthetic import stereo_pair_occluded
+    with pytest.raises(ValueError, match="texture model"):
+        stereo_pair_occluded(32, 48, 8, texture="marble")
