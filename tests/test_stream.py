@@ -140,3 +140,41 @@ def test_stream_fgs_matches_pipeline():
         lr_mode="volume", fgs_lambda=64.0, fgs_sigma=0.05))
     np.testing.assert_allclose(out[0], ref, atol=1e-3)
     np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_stream_depth_and_narrowed_fetch(y4m_stream):
+    """Round 4: run() narrows int32 disparities to uint8 for the fetch
+    (the relay fetch is 99% of video wall clock — benchmarks/video.py
+    stage split) and widens back on the host; deeper in-flight windows
+    yield identical frames in order."""
+    path, left, right, _ = y4m_stream
+    _, ref = _run(path, batch=4, aggregation="sgm", reducer="wta")
+    for depth in (1, 3):
+        est, outs = _run(path, batch=4, depth=depth,
+                         aggregation="sgm", reducer="wta")
+        assert len(outs) == len(ref)
+        for (g0, d0), (g1, d1) in zip(ref, outs):
+            assert d1.dtype == np.int32            # contract unchanged
+            np.testing.assert_array_equal(d0, d1)
+        split = est.stats.stage_ms_per_frame()
+        assert set(split) == {"decode", "dispatch", "fetch", "other",
+                              "total"}
+        assert split["total"] > 0
+
+
+def test_stream_narrow_helper_dtypes():
+    import jax.numpy as jnp
+    est = StreamingEstimator(D, batch=1, kernel_size=3)
+    out = est._narrow_for_fetch(jnp.zeros((2, 4, 4), jnp.int32))
+    assert out.dtype == jnp.uint8                 # D = 16 <= 256
+    big = StreamingEstimator(512, batch=1, kernel_size=3)
+    out = big._narrow_for_fetch(jnp.zeros((2, 4, 4), jnp.int32))
+    assert out.dtype == jnp.uint16
+    f32 = est._narrow_for_fetch(jnp.zeros((2, 4, 4), jnp.float32))
+    assert f32.dtype == jnp.float32               # refined passthrough
+
+
+def test_stream_depth_validation():
+    import pytest
+    with pytest.raises(ValueError, match="depth"):
+        StreamingEstimator(D, batch=2, depth=0)
