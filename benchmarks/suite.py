@@ -75,6 +75,7 @@ def _traffic_models():
         # the volume (the implementation's intermediate box-filter planes
         # are what %SoL charges it for, exactly like SGM's 4 passes)
         "cvf_450x375_d128": 2 * v2,
+        "cvf_masked_generic_450x375_d128": 2 * v2,
         # fast (subsampled) cvf: read + write + two low-res resample
         # passes over the volume
         "cvf_fast_s2_450x375_d128": 3 * v2,
@@ -315,9 +316,30 @@ def build_benchmarks():
         return body, (vol2, l2)
 
     benches["sgm_450x375_d128"] = vol_bench(lambda v, img: aggregate(v, img))
-    benches["cvf_450x375_d128"] = vol_bench(
+    # The cvf row measures the stage as the pipeline actually runs it:
+    # a volume whose invalid entries are the standard +inf wedge
+    # (x < d, every registry cost family) filtered through the
+    # wedge-structured path (cli_common passes wedge_offset=0).  The
+    # generic row keeps the arbitrary-+inf masked path honest.
+    wedge_np = np.asarray(vol2).copy()
+    xw, dw = np.meshgrid(np.arange(w2), np.arange(d2), indexing="ij")
+    wedge_np[:, xw < dw] = np.inf
+    vol2_wedge = jax.device_put(wedge_np)
+
+    def wedge_vol_bench(fn):
+        def body(carry):
+            v, img = carry
+            out = fn(v, img)
+            probe = jnp.where(jnp.isfinite(out[:, :, 0]),
+                              out[:, :, 0].astype(jnp.float32), 0.0)
+            return v + jnp.float32(1e-12) * probe[:, :, None], img
+        return body, (vol2_wedge, l2)
+
+    benches["cvf_450x375_d128"] = wedge_vol_bench(
+        lambda v, img: guided_filter_aggregate(v, img, wedge_offset=0))
+    benches["cvf_masked_generic_450x375_d128"] = wedge_vol_bench(
         lambda v, img: guided_filter_aggregate(v, img))
-    benches["cvf_fast_s2_450x375_d128"] = vol_bench(
+    benches["cvf_fast_s2_450x375_d128"] = wedge_vol_bench(
         lambda v, img: guided_filter_aggregate(v, img, subsample=2))
     benches["wta_450x375_d128"] = vol_bench(
         lambda v, img: winner_takes_all(v))
@@ -374,7 +396,10 @@ def build_benchmarks():
     def pipe_census_cvf_body(carry):
         l, r = carry
         vol = census_hamming_cost_volume(l, r, max_disparity=d2)
-        disp = winner_takes_all(guided_filter_aggregate(vol, l))
+        # wedge_offset=0 as cli_common.create_pipeline wires it (census
+        # writes +inf at exactly the x < d wedge).
+        disp = winner_takes_all(guided_filter_aggregate(vol, l,
+                                                        wedge_offset=0))
         return feedback(l, disp), r
 
     benches["pipeline_census_cvf_teddy_d128"] = (pipe_census_cvf_body,
