@@ -28,6 +28,15 @@ def warn_if_backend_init_stalls(seconds: float = 30.0):
     import sys
     import threading
 
+    # Host-backend runs can't stall in device discovery — don't arm a
+    # timer whose late false-positive fire pollutes captured output
+    # (CLI tests run mains in-process; their timers outlive the call).
+    # Only the PRIMARY platform matters: "axon,cpu" still tries the
+    # relay first and can hang there.
+    platforms = str(jax.config.jax_platforms or "")
+    if platforms.split(",")[0].strip() == "cpu":
+        return None
+
     def check():
         import jax._src.xla_bridge as xb
         if not xb._backends:

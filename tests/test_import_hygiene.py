@@ -60,3 +60,22 @@ def test_backend_stall_watchdog_fires_and_stays_quiet():
     assert out.returncode == 0, out.stderr
     assert out.stderr.count("still initializing") == 1, out.stderr
     assert "END" in out.stdout
+
+
+def test_backend_stall_watchdog_skips_forced_cpu():
+    """With the host backend force-selected (what every in-process CLI
+    test does), the watchdog must not arm at all — its late daemon-timer
+    fire was polluting captured test output (round 4)."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from stereomatch_tpu.utils.backend import "
+        "warn_if_backend_init_stalls\n"
+        "print('timer:', warn_if_backend_init_stalls(0.1))\n"
+        "import time; time.sleep(0.4)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "timer: None" in out.stdout
+    assert "still initializing" not in out.stderr
