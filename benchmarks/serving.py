@@ -153,6 +153,10 @@ def main():
     parser.add_argument("--pipeline-depth", type=int, default=2,
                         help="stm-serve worker fetch/dispatch overlap "
                              "(1 = synchronous, the pre-pipelining path)")
+    parser.add_argument("--no-adaptive-batch", action="store_true",
+                        help="pass --no-adaptive-batch to the server "
+                             "(pins the configured batch; the A/B "
+                             "baseline for the round-4 adaptive cap)")
     parser.add_argument("--json", default=None)
     args = parser.parse_args()
 
@@ -166,6 +170,8 @@ def main():
     for depth in depths:
         extra = ["--dtype", args.dtype, "--backend", args.backend,
                  "--pipeline-depth", str(depth)]
+        if args.no_adaptive_batch:
+            extra.append("--no-adaptive-batch")
         for linger in lingers:
             for batch in (int(b) for b in args.batches.split(",")):
                 name = f"batch{batch}"
