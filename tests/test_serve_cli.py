@@ -627,3 +627,39 @@ def test_serve_fgs_matches_local_pipeline():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_adaptive_batch_degrades_and_restores():
+    """_Batcher._adapt halves the effective cap when rolling queue time
+    per frame exceeds 2x device time (8-batch hysteresis) and restores
+    it as the queue drains (round 4 — the r03 batch-2/linger-0 cliff
+    killer).  Unit-level: drive the EMAs directly."""
+    from stereomatch_tpu.cli.serve import build_parser, _Batcher
+
+    args = build_parser().parse_args(
+        ["32", "--port", "0", "--batch", "8", "--backend", "xla"])
+    b = _Batcher.__new__(_Batcher)        # no worker threads
+    b.args = args
+    b.max_batch = 8
+    b.eff_batch = 8
+    b.adaptive = True
+    b._q_ema = None
+    b._d_ema = None
+    b._adapt_n = 0
+
+    # Queue >> device: two rounds of 8 batches -> cap halves twice.
+    for _ in range(16):
+        b._adapt(4, batch_queue_s=4.0, batch_device_s=0.4)
+    assert b.eff_batch == 2
+
+    # Queue drains: cap restores toward the configured batch.
+    for _ in range(32):
+        b._adapt(4, batch_queue_s=0.01, batch_device_s=0.4)
+    assert b.eff_batch == 8
+
+    # Disabled: nothing moves.
+    b.adaptive = False
+    b._adapt_n = 0
+    for _ in range(16):
+        b._adapt(4, batch_queue_s=9.0, batch_device_s=0.1)
+    assert b.eff_batch == 8
