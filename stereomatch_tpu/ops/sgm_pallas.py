@@ -831,10 +831,25 @@ def _pick_rows_per_step(height: int, width: int, max_disp: int,
     return 1
 
 
-def _fits_full_width(width: int, max_disp: int, n_fam: int) -> bool:
-    """Whether full-width row blocks + carries fit the VMEM budget."""
-    row_bytes = _row_vmem_bytes(width, max_disp)
-    return (n_fam + 2 + 6) * row_bytes <= _VMEM_BUDGET_BYTES
+def _fits_full_width(width: int, max_disp: int, n_fam: int,
+                     storage_itemsize: int = 4) -> bool:
+    """Whether full-width row blocks + carries fit the VMEM budget.
+
+    The f32 charge — (n_fam + 2) persistent f32 rows (carry + mask/
+    overhead) plus 6 double-buffered streamed rows (cost/acc/out x2) —
+    is calibrated by round-4 chip evidence (hd_fullwidth_probe_r4 + the
+    follow-up OOM): at HD f32 the ACCUMULATING reverse pass's scoped
+    VMEM measures 19.5 MB against the 16 MB limit (the forward pass
+    alone compiles — probe a pass with an acc operand before trusting a
+    fit), so f32 HD correctly stays on the W-on-grid mode.  The six
+    streamed rows scale with the STORAGE dtype, which is what lets bf16
+    HD (1024x1280 D=256) run full-width: measured on chip, it compiles
+    through the full 8-path aggregation and runs ~2-5% faster than its
+    wgrid fallback (32.4 vs 33.3 ms).
+    """
+    row_f32 = _row_vmem_bytes(width, max_disp)
+    row_store = row_f32 * storage_itemsize // 4
+    return ((n_fam + 2) * row_f32 + 6 * row_store) <= _VMEM_BUDGET_BYTES
 
 
 def _pick_wgrid_chunks(width: int, max_disp: int, n_fam: int):
@@ -909,7 +924,8 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
     """
     height, width, max_disp = cost.shape
     n_fam = len(families)
-    if n_fam > 1 and not _fits_full_width(width, max_disp, n_fam):
+    if n_fam > 1 and not _fits_full_width(width, max_disp, n_fam,
+                                          cost.dtype.itemsize):
         n_wchunks = _pick_wgrid_chunks(width, max_disp, n_fam)
         if n_wchunks is not None:
             return _sweep_pass_wgrid(cost, p2map, partial,
@@ -968,14 +984,15 @@ def _sweep_pass(cost, p2map, partial, *, families, penalty1: float,
     )(*args)
 
 
-def _family_groups(width: int, max_disp: int):
+def _family_groups(width: int, max_disp: int,
+                   storage_itemsize: int = 4):
     """Advance all 3 row-direction families per pass when possible: with
     full-width blocks when they fit VMEM, else with the W-on-grid sweep
     (chunked blocks, full-width carry).  Only when even the carry alone
     breaks the cap does it fall back to one family per pass (3x the HBM
     traffic)."""
     n_fam = len(_FAMILY_SHIFTS)
-    if _fits_full_width(width, max_disp, n_fam) \
+    if _fits_full_width(width, max_disp, n_fam, storage_itemsize) \
             or _pick_wgrid_chunks(width, max_disp, n_fam) is not None:
         return (_FAMILY_SHIFTS,)
     return tuple((s,) for s in _FAMILY_SHIFTS)
@@ -990,7 +1007,7 @@ def _maybe_pad_rows(cost, image, n_fam):
     outputs are bit-identical to the unpadded kernel.  Returns
     (cost, image, real_height)."""
     height, width, max_disp = cost.shape
-    if not _fits_full_width(width, max_disp, n_fam):
+    if not _fits_full_width(width, max_disp, n_fam, cost.dtype.itemsize):
         return cost, image, height          # wgrid/fallback: per-row grid
     target = -(-height // 8) * 8
     if target == height:
@@ -1057,7 +1074,8 @@ def semiglobal_aggregate_pallas(cost_volume: jnp.ndarray,
     # Row-direction families (vertical + diagonals): forward then reverse,
     # accumulated in place.  The scan axis may be zero-padded for larger
     # row blocks (identity rows — see _maybe_pad_rows).
-    groups = _family_groups(*cost.shape[1:])
+    groups = _family_groups(*cost.shape[1:],
+                            storage_itemsize=jnp.dtype(storage).itemsize)
     cost_v, image_v, height = _maybe_pad_rows(cost, image, len(groups[0]))
     partial = None
     for shifts in groups:
