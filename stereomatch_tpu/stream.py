@@ -152,8 +152,10 @@ def _build_frame_fn(max_disparity: int, cost: str, kernel_size: Optional[int],
                    else semiglobal_aggregate)
             vol = agg(vol, left, penalty1=penalty1, penalty2=penalty2)
         elif aggregation == "cvf":
+            # wedge_offset=0 as in cli_common.create_pipeline: every cost
+            # family above writes +inf at exactly the x < d wedge.
             vol = guided_filter_aggregate(vol, left, radius=cvf_radius,
-                                          eps=cvf_eps)
+                                          eps=cvf_eps, wedge_offset=0)
         elif aggregation is not None:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if reducer == "wta":
@@ -337,14 +339,36 @@ class StreamingEstimator:
         """Drive a capture (read_next() protocol) to completion.
 
         Yields (gray_left [H, W], disparity [H, W] int32) per frame, in
-        order, while keeping one batch in flight.
+        order, keeping up to ``depth`` batches in flight.  Result
+        fetches run on ONE background thread (round 4): on relay
+        transports the device->host fetch is the serial bound (the
+        stage split in benchmarks/video.py), and in a single thread it
+        also serializes against decode + dispatch; a fetcher thread
+        overlaps them, so steady-state ms/frame approaches
+        max(fetch, decode + dispatch) instead of their sum.  Frame
+        order, values, and the yielded dtype are unchanged
+        (``np.asarray`` releases the GIL during the transfer).
         """
+        from concurrent.futures import ThreadPoolExecutor
         self.stats = StreamStats()
         self.stats._start = time.perf_counter()
+        fetcher = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="stm-fetch")
         pending: List[Tuple[List[np.ndarray], object]] = []
         lefts_buf: List[np.ndarray] = []
         rights_buf: List[np.ndarray] = []
         done = False
+        try:
+            yield from self._run_loop(capture, max_frames, fetcher,
+                                      pending, lefts_buf, rights_buf, done)
+        finally:
+            # Consumer may abandon the generator early (stm-video 'q');
+            # don't leave a non-daemon fetch thread pinning exit.
+            fetcher.shutdown(wait=False, cancel_futures=True)
+            self.stats.seconds = time.perf_counter() - self.stats._start
+
+    def _run_loop(self, capture, max_frames, fetcher, pending,
+                  lefts_buf, rights_buf, done):
         while not done:
             t = time.perf_counter()
             ok, img = capture.read_next()
@@ -375,23 +399,23 @@ class StreamingEstimator:
                 self.stats.dispatch_s += time.perf_counter() - t
                 if pad:
                     out = out[:self.batch - pad]
-                pending.append((lefts_buf, out))
+                pending.append((lefts_buf, fetcher.submit(np.asarray, out)))
                 self.stats.batches += 1
                 lefts_buf, rights_buf = [], []
-                # Keep at most ``depth`` batches in flight; fetch (block
-                # on) the oldest beyond that.
+                # Keep at most ``depth`` batches in flight; block on the
+                # oldest fetch beyond that (stats count only the BLOCKED
+                # portion — the overlapped transfer time is the win).
                 while len(pending) >= self.depth:
-                    ready_lefts, ready_out = pending.pop(0)
+                    ready_lefts, fut = pending.pop(0)
                     t = time.perf_counter()
-                    host = _widen_host(np.asarray(ready_out))
+                    host = _widen_host(fut.result())
                     self.stats.fetch_s += time.perf_counter() - t
                     for i, disp in enumerate(host):
                         yield ready_lefts[i], disp
 
-        for ready_lefts, ready_out in pending:
+        for ready_lefts, fut in pending:
             t = time.perf_counter()
-            host = _widen_host(np.asarray(ready_out))
+            host = _widen_host(fut.result())
             self.stats.fetch_s += time.perf_counter() - t
             for i, disp in enumerate(host):
                 yield ready_lefts[i], disp
-        self.stats.seconds = time.perf_counter() - self.stats._start
