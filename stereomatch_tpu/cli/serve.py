@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch", type=int, default=1, metavar="N",
                         help="Coalesce up to N concurrent requests into "
                              "one batched device call (1 = no batching).")
+    parser.add_argument("--fetch-workers", type=int, default=4,
+                        help="Completion threads fetching batch results "
+                             "concurrently (capped at pipeline-depth - "
+                             "1).  Relay-style transports charge a "
+                             "~50-100 ms round trip PER FETCH; one "
+                             "fetcher serializes them, which is what "
+                             "actually collapsed small-batch serving "
+                             "(see docs/serving.md round 4).  Raise "
+                             "--pipeline-depth to feed more workers.")
     parser.add_argument("--no-adaptive-batch", dest="adaptive_batch",
                         action="store_false", default=True,
                         help="Disable the automatic micro-batch degrade/"
@@ -288,19 +297,61 @@ class _Batcher:
         # again cost 3.4x throughput (the r03 batch-2/linger-0 cliff).
         self.eff_batch = self.max_batch
         self.adaptive = bool(getattr(args, "adaptive_batch", True))
+        self._direct_lock = threading.Lock()   # eff_batch == 1 fast path
         self._q_ema = None               # rolling queue s/frame
         self._d_ema = None               # rolling device s/frame
         self._adapt_n = 0
         self.depth = max(getattr(args, "pipeline_depth", 1), 1)
         if self.depth > 1:
             self._inflight = queue.Queue(maxsize=self.depth - 1)
-            threading.Thread(target=self._completion_loop, daemon=True,
-                             name="stm-serve-completion").start()
+            # Round 4: MULTIPLE completion threads.  The r03/r04 serving
+            # cliff's real mechanism (measured, serving_v5e_r04.json
+            # postmortem): each device->host result fetch costs a
+            # ~50-100 ms relay round trip, and a single completion
+            # thread serializes them — small (degraded or linger-0)
+            # batches then collapse to 1/fetch_rtt throughput, while the
+            # UNBATCHED path incidentally overlapped fetches across its
+            # 16 handler threads.  np.asarray releases the GIL during
+            # the transfer, so concurrent fetch workers genuinely
+            # overlap; results stay per-job (batches may finish out of
+            # order — each request waits on its own event).
+            workers = max(1, min(getattr(args, "fetch_workers", 4),
+                                 self.depth - 1))
+            for i in range(workers):
+                threading.Thread(target=self._completion_loop, daemon=True,
+                                 name=f"stm-serve-completion-{i}").start()
         threading.Thread(target=self._loop, daemon=True,
                          name="stm-serve-batcher").start()
 
     def estimate(self, left, right, refine: bool, speckle: bool = False):
         job = _Job(left, right, refine, speckle)
+        if self.eff_batch == 1 and not self.args.mesh:
+            # Degraded-to-1 fast path (round 4): batches of one gain
+            # nothing from the worker/completion funnel, which caps
+            # concurrent result fetches at fetch-workers — and on relay
+            # transports each fetch is a long round trip, so fetch
+            # concurrency IS the throughput (the unbatched server's
+            # 16 handler threads measured ~4x the funnel at the same
+            # size-1 work).  Dispatch serialized under a lock; the
+            # FETCH happens here, in the calling handler thread, one
+            # per in-flight request.  The adaptive EMAs keep updating,
+            # so batching re-engages when the queue pressure that
+            # degraded it clears.
+            import numpy as np
+            fn, _ = self._fn(job)
+            t0 = job.t0
+            with self._direct_lock:
+                now = time.monotonic()
+                self.queue_s += now - t0
+                out = _narrow_for_fetch(fn(job.left[None], job.right[None]),
+                                        self.args.max_disparity)
+            host = np.asarray(out)[0]
+            batch_device_s = time.monotonic() - now
+            self.device_s += batch_device_s
+            self.batches += 1
+            self.batched_frames += 1
+            self._adapt(1, now - t0, batch_device_s)
+            return host
         self.queue.put(job)
         if not job.done.wait(timeout=self.args.request_timeout_s):
             # The worker may still complete the job later; this request
@@ -396,12 +447,18 @@ class _Batcher:
                     weighted_median=a.wmf, wmf_sigma=a.wmf_sigma,
                     fgs_lambda=a.fgs, fgs_sigma=a.fgs_sigma,
                     speckle=speckle, speckle_fill="background")
-            # Transport narrowing happens once, in _dispatch, for both
-            # the single-chip and mesh paths.
-            self._fns[refine, speckle] = (jax.jit(
-                lambda l, r: lax.map(lambda p: frame_fn(*p),
-                                     (l.astype(jnp.float32),
-                                      r.astype(jnp.float32)))), 1)
+            # Transport narrowing is FUSED into the jitted program
+            # (round 4): every extra device call is a relay round trip,
+            # and the separate narrow dispatch + device_puts measured
+            # ~15% of the per-batch wall at size-1 batches
+            # (the mesh path keeps its external narrow in _dispatch).
+            def batched(l, r, frame_fn=frame_fn):
+                out = lax.map(lambda p: frame_fn(*p),
+                              (l.astype(jnp.float32),
+                               r.astype(jnp.float32)))
+                return _narrow_for_fetch(out, a.max_disparity)
+
+            self._fns[refine, speckle] = (jax.jit(batched), 1)
         return self._fns[refine, speckle]
 
     @staticmethod
@@ -449,9 +506,13 @@ class _Batcher:
             rights = [j.right for j in chunk] + [chunk[-1].right] * pad
             # Upload in the request dtype (uint8 frames: 4x fewer bytes
             # over the transport), widen to float32 inside the program.
+            # Host arrays go straight into the call — explicit
+            # device_puts were separate relay round trips.  The narrow
+            # is fused inside the single-chip program; for the mesh
+            # path (still int32 out) it applies here, and it is a
+            # no-op on already-narrow outputs.
             outs.append(_narrow_for_fetch(
-                fn(jax.device_put(np.stack(lefts)),
-                   jax.device_put(np.stack(rights))),
+                fn(np.stack(lefts), np.stack(rights)),
                 self.args.max_disparity))
         return (now, batch_queue_s, outs)
 
