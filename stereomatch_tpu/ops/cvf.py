@@ -326,6 +326,19 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1,
         if wedge_offset < 0:
             raise ValueError(f"wedge_offset must be >= 0, got "
                              f"{wedge_offset}")
+        # The fused Pallas kernel (ops/cvf_pallas.py) streams the volume
+        # once instead of 8 box passes: 3.55 -> 2.50 ms at teddy —
+        # faster than the SGM stage, finally earning CVF's low-latency
+        # positioning.  TPU-only (Mosaic), radius >= 1, and gated to
+        # geometries whose working set fits VMEM (HD falls back).
+        import jax as _jax
+        from .cvf_pallas import fused_wedge_fits, guided_filter_wedge_pallas
+        h, w = guide.shape
+        if (_jax.default_backend() == "tpu" and radius >= 1
+                and fused_wedge_fits(h, w, volume.shape[2], radius)):
+            return guided_filter_wedge_pallas(
+                volume, guide, radius=radius, eps=eps,
+                wedge_offset=int(wedge_offset))
         return _filter_body_wedge(volume, guide, radius, eps,
                                   int(wedge_offset), use_mxu=use_mxu)
     if subsample > 1:

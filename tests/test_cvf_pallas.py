@@ -1,0 +1,83 @@
+"""Fused wedge-CVF Pallas kernel (ops/cvf_pallas.py).
+
+Oracle chain: the XLA wedge path (ops/cvf.py::_filter_body_wedge) is
+the trusted form (itself pinned to the masked oracle in test_cvf.py);
+the fused kernel must match it in interpret mode across geometries,
+radii, offsets and storage dtypes — same masked means, different
+summation association, so allclose rather than bit-equal.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereomatch_tpu.ops.cvf import guided_filter_aggregate
+from stereomatch_tpu.ops.cvf_pallas import (fused_wedge_fits,
+                                            guided_filter_wedge_pallas)
+
+
+def _wedge_volume(rng, h, w, d, off=0):
+    vol = rng.random((h, w, d), np.float32)
+    x, dd = np.meshgrid(np.arange(w), np.arange(d), indexing="ij")
+    vol[:, x < dd + off] = np.inf
+    return vol
+
+
+@pytest.mark.parametrize("h,w,d,r,off", [
+    (20, 30, 12, 3, 0),
+    (17, 25, 8, 2, 3),      # nonzero disparity offset
+    (33, 41, 16, 8, 0),     # radius > image-fraction
+    (12, 40, 16, 1, 0),     # minimum radius
+    (24, 26, 5, 4, 0),      # ragged width / non-pow2 D
+])
+def test_matches_xla_wedge_path(h, w, d, r, off):
+    rng = np.random.default_rng(h + w)
+    vol = _wedge_volume(rng, h, w, d, off)
+    g = rng.random((h, w), np.float32)
+    ref = np.asarray(guided_filter_aggregate(vol, g, radius=r,
+                                             wedge_offset=off))
+    got = np.asarray(guided_filter_wedge_pallas(vol, g, radius=r,
+                                                wedge_offset=off,
+                                                interpret=True))
+    assert np.array_equal(np.isinf(got), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_storage_roundtrip():
+    rng = np.random.default_rng(4)
+    vol = _wedge_volume(rng, 18, 28, 8)
+    g = rng.random((18, 28), np.float32)
+    out16 = guided_filter_wedge_pallas(jnp.asarray(vol, jnp.bfloat16), g,
+                                       radius=2, interpret=True)
+    assert out16.dtype == jnp.bfloat16
+    out32 = np.asarray(guided_filter_wedge_pallas(vol, g, radius=2,
+                                                  interpret=True))
+    m = np.isfinite(out32)
+    np.testing.assert_allclose(np.asarray(out16, np.float32)[m], out32[m],
+                               rtol=0.02, atol=0.01)
+
+
+def test_vmem_gate_and_radius_validation():
+    assert fused_wedge_fits(375, 450, 128, 8)        # teddy: fused
+    assert not fused_wedge_fits(1024, 1280, 256, 8)  # HD: XLA fallback
+    rng = np.random.default_rng(0)
+    vol = _wedge_volume(rng, 8, 12, 4)
+    g = rng.random((8, 12), np.float32)
+    with pytest.raises(ValueError, match="radius"):
+        guided_filter_wedge_pallas(vol, g, radius=0, interpret=True)
+
+
+def test_wta_agreement_on_distinct_volume():
+    """Integer-robust contract: identical WTA picks on a volume whose
+    aggregated costs don't near-tie."""
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    rng = np.random.default_rng(9)
+    vol = _wedge_volume(rng, 30, 44, 16)
+    g = rng.random((30, 44), np.float32)
+    ref = np.asarray(winner_takes_all(
+        guided_filter_aggregate(vol, g, radius=4, wedge_offset=0)))
+    got = np.asarray(winner_takes_all(
+        guided_filter_wedge_pallas(vol, g, radius=4, interpret=True)))
+    assert (got == ref).mean() > 0.995

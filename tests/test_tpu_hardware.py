@@ -314,3 +314,29 @@ def test_zncc_plane_formulation_on_hardware(fixtures):
     m = ~np.isinf(vol)
     assert vol[m].min() >= -1e-3 and vol[m].max() <= 2 + 1e-3
     np.testing.assert_allclose(vol[:, :, 0], 0.0, atol=2e-3)
+
+
+def test_fused_wedge_cvf_on_hardware(fixtures):
+    """The fused wedge-CVF Pallas kernel (round 4) compiles through
+    Mosaic on the chip and tracks the XLA wedge path: near-identical
+    values (association-level) and matching WTA picks away from ties.
+    This is the kernel guided_filter_aggregate dispatches to on TPU for
+    registry pipelines at teddy-class geometries."""
+    import jax
+    from stereomatch_tpu.ops import cvf as cvf_mod
+    from stereomatch_tpu.ops.cvf_pallas import guided_filter_wedge_pallas
+    from stereomatch_tpu.ops.disparity import winner_takes_all
+    D, left, right, vol, _, _ = fixtures
+    # The public API dispatches to the fused kernel on TPU, so the
+    # reference must invoke the XLA wedge body directly.
+    ref_vol = jax.jit(lambda v, g: cvf_mod._filter_body_wedge(
+        v, g, 4, 1e-4, 0))(vol, left)
+    got_vol = guided_filter_wedge_pallas(vol, left, radius=4)
+    ref = np.asarray(ref_vol)
+    got = np.asarray(got_vol)
+    assert np.array_equal(np.isinf(got), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-5)
+    dr = np.asarray(winner_takes_all(ref_vol))
+    dg = np.asarray(winner_takes_all(got_vol))
+    assert (dr == dg).mean() > 0.995
