@@ -103,7 +103,9 @@ def _calibration_gbps(repeats=3):
     for _ in range(2):                   # one retry: a stalled window can
         ms = marginal_ms(body, x, chain_k=8, repeats=repeats)
         if ms > 0:                       # make the marginal go negative
-            return round(2 * x.nbytes / (ms * 1e-3) / 1e9, 1)
+            # Clamp to the v5e HBM part spec: noise has over-read the
+            # marginal in both directions (suite.py does the same).
+            return round(min(2 * x.nbytes / (ms * 1e-3) / 1e9, 819.0), 1)
     return float("nan")
 
 
