@@ -379,6 +379,14 @@ class _Batcher:
                     raise job.error
             b *= 2
         self.batches, self.batched_frames = batches, frames
+        # Warmup batches carry COMPILE time: letting them seed the
+        # adaptive EMAs inflates device-time and deflates queue-time, so
+        # the degrade trigger (queue > 2x device) can stay suppressed
+        # for the entire measurement window (seen in the r04 pass-6
+        # sweep: ratio 3.7 with eff_batch still at the configured size).
+        self._q_ema = None
+        self._d_ema = None
+        self._adapt_n = 0
 
     # -- worker side ----------------------------------------------------
 
