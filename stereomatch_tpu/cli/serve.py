@@ -114,15 +114,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch", type=int, default=1, metavar="N",
                         help="Coalesce up to N concurrent requests into "
                              "one batched device call (1 = no batching).")
-    parser.add_argument("--fetch-workers", type=int, default=4,
-                        help="Completion threads fetching batch results "
-                             "concurrently (capped at pipeline-depth - "
-                             "1).  Relay-style transports charge a "
-                             "~50-100 ms round trip PER FETCH; one "
-                             "fetcher serializes them, which is what "
-                             "actually collapsed small-batch serving "
-                             "(see docs/serving.md round 4).  Raise "
-                             "--pipeline-depth to feed more workers.")
+    parser.add_argument("--dispatch-workers", type=int, default=None,
+                        metavar="N",
+                        help="Worker threads that each carry one batch "
+                             "through its FULL device round trip "
+                             "(upload + dispatch + result fetch) "
+                             "concurrently (default 4).  Relay-style "
+                             "transports charge a ~50-100 ms round trip "
+                             "per dispatch AND per fetch; a single "
+                             "batcher thread serializes them, which is "
+                             "what collapsed small-batch serving in "
+                             "rounds 3-4 (docs/serving.md).  Each worker "
+                             "holds at most one in-flight batch, so N "
+                             "also bounds device-resident batches.")
+    parser.add_argument("--fetch-workers", type=int, default=None,
+                        help="Deprecated alias for --dispatch-workers "
+                             "(round 4's completion-thread pool; the "
+                             "round-5 dispatch pool subsumes it).")
     parser.add_argument("--no-adaptive-batch", dest="adaptive_batch",
                         action="store_false", default=True,
                         help="Disable the automatic micro-batch degrade/"
@@ -142,11 +150,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "implies request batching).")
     parser.add_argument("--pipeline-depth", type=int, default=2,
                         metavar="N",
-                        help="With batching: overlap the host fetch of a "
-                             "batch with dispatching the next, keeping up "
-                             "to N batches in flight (1 = synchronous). "
-                             "Identical results; hides the per-batch "
-                             "transport round trip under load.")
+                        help="1 = fully synchronous batcher (gather, "
+                             "dispatch, fetch one batch at a time); > 1 "
+                             "(default) = concurrent batches via the "
+                             "--dispatch-workers pool.  Identical "
+                             "results either way.")
     parser.add_argument("--request-timeout-s", type=float, default=600.0,
                         help="With batching: how long a request waits on "
                              "the device worker before failing with 500 "
@@ -262,16 +270,21 @@ class _Batcher:
     speckle suppression, so batched and unbatched responses are
     identical and a speckled request costs no extra device round trip.
 
-    With ``--pipeline-depth`` > 1 the host fetch moves to a completion
-    thread: the worker dispatches batch N (upload + queue the XLA
-    program — asynchronous) and immediately starts gathering batch N+1
-    while N's result crosses the transport.  On relay-style PJRT
-    transports each host round trip costs ~40 ms each way, so
-    overlapping fetch with the next upload/dispatch roughly doubles
-    saturated throughput.  A bounded hand-off queue (depth − 1 batches
-    beyond the one being fetched) backpressures the worker so device
-    memory stays bounded.  Results per key still complete in arrival
-    order — the hand-off queue is FIFO.
+    With ``--pipeline-depth`` > 1 (the default) formed batches hand off
+    to a pool of ``--dispatch-workers`` threads, each carrying ONE batch
+    through its full device round trip — upload + dispatch + result
+    fetch — before taking the next.  On relay-style PJRT transports the
+    dispatch and the fetch each cost a ~50-100 ms round trip, and
+    round 4 proved (serving_v5e_r04.json postmortem) that any stage
+    funneled through a single thread collapses small-batch throughput
+    to 1/RTT while the UNBATCHED path accidentally overlapped round
+    trips across its 16 HTTP handler threads (~4x at identical work).
+    The pool makes that overlap deliberate: N workers = N concurrent
+    round trips, for dispatch and fetch alike.  A maxsize-1 hand-off
+    queue backpressures the gatherer, so at most N + 1 batches are
+    device-resident.  Batches may complete in any order relative to
+    each other — each request waits on its own per-job event, so
+    completion order is irrelevant to correctness.
     """
 
     def __init__(self, args):
@@ -298,28 +311,37 @@ class _Batcher:
         self.eff_batch = self.max_batch
         self.adaptive = bool(getattr(args, "adaptive_batch", True))
         self._direct_lock = threading.Lock()   # eff_batch == 1 fast path
+        self._direct_pool = None         # lazy: fetch-with-timeout pool
         self._q_ema = None               # rolling queue s/frame
         self._d_ema = None               # rolling device s/frame
         self._adapt_n = 0
+        # Counters above are bumped from concurrent dispatch workers and
+        # handler threads; += on attributes is not atomic under the GIL.
+        self._stats_lock = threading.Lock()
+        self._fn_lock = threading.Lock()   # one compile per key
+        self.inflight = 0                # batches inside dispatch->fetch
         self.depth = max(getattr(args, "pipeline_depth", 1), 1)
         if self.depth > 1:
-            self._inflight = queue.Queue(maxsize=self.depth - 1)
-            # Round 4: MULTIPLE completion threads.  The r03/r04 serving
-            # cliff's real mechanism (measured, serving_v5e_r04.json
-            # postmortem): each device->host result fetch costs a
-            # ~50-100 ms relay round trip, and a single completion
-            # thread serializes them — small (degraded or linger-0)
-            # batches then collapse to 1/fetch_rtt throughput, while the
-            # UNBATCHED path incidentally overlapped fetches across its
-            # 16 handler threads.  np.asarray releases the GIL during
-            # the transfer, so concurrent fetch workers genuinely
-            # overlap; results stay per-job (batches may finish out of
-            # order — each request waits on its own event).
-            workers = max(1, min(getattr(args, "fetch_workers", 4),
-                                 self.depth - 1))
-            for i in range(workers):
-                threading.Thread(target=self._completion_loop, daemon=True,
-                                 name=f"stm-serve-completion-{i}").start()
+            # Round 5: a DISPATCH-WORKER pool.  Round 4's completion
+            # threads overlapped result fetches but still funneled every
+            # dispatch (upload + program queue — itself a relay round
+            # trip) through the one batcher thread, which kept the
+            # small-batch linger-0 corner at ~1/dispatch_rtt.  Here each
+            # worker owns a batch end to end: np.stack + fn() dispatch +
+            # np.asarray fetch, all of which release the GIL during
+            # transport, so N workers genuinely run N concurrent round
+            # trips.  The maxsize-1 hand-off bounds device-resident
+            # batches at workers + 1.
+            workers = getattr(args, "dispatch_workers", None)
+            if workers is None:
+                workers = getattr(args, "fetch_workers", None)  # alias
+            self.workers = max(1, workers if workers is not None else 4)
+            self._dispatch_q = queue.Queue(maxsize=1)
+            for i in range(self.workers):
+                threading.Thread(target=self._dispatch_loop, daemon=True,
+                                 name=f"stm-serve-dispatch-{i}").start()
+        else:
+            self.workers = 0
         threading.Thread(target=self._loop, daemon=True,
                          name="stm-serve-batcher").start()
 
@@ -336,20 +358,48 @@ class _Batcher:
             # FETCH happens here, in the calling handler thread, one
             # per in-flight request.  The adaptive EMAs keep updating,
             # so batching re-engages when the queue pressure that
-            # degraded it clears.
+            # degraded it clears.  The funnel path's request-timeout
+            # contract holds here too: the dispatch lock is acquired
+            # with a deadline and the host fetch runs in a pooled
+            # future, so a hung relay fetch surfaces a 500 instead of
+            # pinning every handler thread (ADVICE r4).
             import numpy as np
             fn, _ = self._fn(job)
             t0 = job.t0
-            with self._direct_lock:
+            deadline = t0 + self.args.request_timeout_s
+            if not self._direct_lock.acquire(
+                    timeout=max(deadline - time.monotonic(), 0.0)):
+                raise RuntimeError(
+                    f"device work did not complete within "
+                    f"{self.args.request_timeout_s:g}s")
+            try:
                 now = time.monotonic()
-                self.queue_s += now - t0
+                with self._stats_lock:
+                    self.queue_s += now - t0
                 out = _narrow_for_fetch(fn(job.left[None], job.right[None]),
                                         self.args.max_disparity)
-            host = np.asarray(out)[0]
+            finally:
+                self._direct_lock.release()
+            if self._direct_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                with self._stats_lock:
+                    if self._direct_pool is None:
+                        self._direct_pool = ThreadPoolExecutor(
+                            max_workers=32,
+                            thread_name_prefix="stm-serve-direct-fetch")
+            fut = self._direct_pool.submit(np.asarray, out)
+            try:
+                host = fut.result(
+                    timeout=max(deadline - time.monotonic(), 0.0))[0]
+            except TimeoutError:
+                raise RuntimeError(
+                    f"device work did not complete within "
+                    f"{self.args.request_timeout_s:g}s") from None
             batch_device_s = time.monotonic() - now
-            self.device_s += batch_device_s
-            self.batches += 1
-            self.batched_frames += 1
+            with self._stats_lock:
+                self.device_s += batch_device_s
+                self.batches += 1
+                self.batched_frames += 1
             self._adapt(1, now - t0, batch_device_s)
             return host
         self.queue.put(job)
@@ -500,8 +550,10 @@ class _Batcher:
         import numpy as np
         now = time.monotonic()
         batch_queue_s = sum(now - j.t0 for j in group)
-        self.queue_s += batch_queue_s
-        fn, multiple = self._fn(group[0])
+        with self._stats_lock:
+            self.queue_s += batch_queue_s
+        with self._fn_lock:       # one compile per key across workers
+            fn, multiple = self._fn(group[0])
         outs = []
         i = 0
         for size in self._chunk_sizes(len(group), multiple,
@@ -509,7 +561,8 @@ class _Batcher:
             chunk = group[i:i + size]
             i += size
             pad = size - len(chunk)
-            self.padded_frames += pad
+            with self._stats_lock:
+                self.padded_frames += pad
             lefts = [j.left for j in chunk] + [chunk[-1].left] * pad
             rights = [j.right for j in chunk] + [chunk[-1].right] * pad
             # Upload in the request dtype (uint8 frames: 4x fewer bytes
@@ -533,7 +586,8 @@ class _Batcher:
             t_disp, batch_queue_s, outs = out
             host = np.concatenate([np.asarray(o) for o in outs])
             batch_device_s = time.monotonic() - t_disp
-            self.device_s += batch_device_s
+            with self._stats_lock:
+                self.device_s += batch_device_s
             self._adapt(len(group), batch_queue_s, batch_device_s)
             for job, disp in zip(group, host):
                 job.result = disp
@@ -541,8 +595,9 @@ class _Batcher:
             for job in group:
                 job.error = exc
         finally:
-            self.batches += 1
-            self.batched_frames += len(group)
+            with self._stats_lock:
+                self.batches += 1
+                self.batched_frames += len(group)
             for job in group:
                 job.done.set()
 
@@ -563,19 +618,23 @@ class _Batcher:
         q = batch_queue_s / n_frames
         d = batch_device_s / n_frames
         alpha = 0.25
-        self._q_ema = q if self._q_ema is None else \
-            (1 - alpha) * self._q_ema + alpha * q
-        self._d_ema = d if self._d_ema is None else \
-            (1 - alpha) * self._d_ema + alpha * d
-        self._adapt_n += 1
-        if self._adapt_n < 8:
-            return
-        self._adapt_n = 0
-        if self._q_ema > 2.0 * self._d_ema and self.eff_batch > 1:
-            self.eff_batch //= 2
-        elif (self._q_ema < 0.5 * self._d_ema
-              and self.eff_batch < self.max_batch):
-            self.eff_batch *= 2
+        with self._stats_lock:
+            self._q_ema = q if self._q_ema is None else \
+                (1 - alpha) * self._q_ema + alpha * q
+            self._d_ema = d if self._d_ema is None else \
+                (1 - alpha) * self._d_ema + alpha * d
+            self._adapt_n += 1
+            if self._adapt_n < 8:
+                return
+            self._adapt_n = 0
+            if self._q_ema > 2.0 * self._d_ema and self.eff_batch > 1:
+                self.eff_batch //= 2
+            elif (self._q_ema < 0.5 * self._d_ema
+                  and self.eff_batch < self.max_batch):
+                # Clamp: a non-power-of-two --batch (e.g. 6) degrades
+                # 6 -> 3 -> 1; doubling back up must stop AT the
+                # configured cap, not sail past it (ADVICE r4, medium).
+                self.eff_batch = min(self.eff_batch * 2, self.max_batch)
 
     def _run(self, group):
         """Synchronous dispatch + fetch (warmup and --pipeline-depth 1)."""
@@ -585,10 +644,27 @@ class _Batcher:
             out = exc
         self._finish(group, out)
 
-    def _completion_loop(self):
+    def _dispatch_loop(self):
+        """One worker = one batch's full device round trip at a time.
+
+        Dispatch (np.stack + upload + program queue) and fetch
+        (np.asarray) both release the GIL while the transport works, so
+        N workers overlap N round trips — the property the unbatched
+        path had by accident with its handler threads and the funnel
+        lacked (docs/serving.md rounds 3-5)."""
         while True:
-            group, out = self._inflight.get()
-            self._finish(group, out)
+            group = self._dispatch_q.get()
+            with self._stats_lock:
+                self.inflight += 1
+            try:
+                try:
+                    out = self._dispatch(group)
+                except Exception as exc:          # noqa: BLE001 — fan out
+                    out = exc
+                self._finish(group, out)
+            finally:
+                with self._stats_lock:
+                    self.inflight -= 1
 
     def _gather(self, parked):
         """Form the next batch: oldest request leads; same-key requests
@@ -629,13 +705,10 @@ class _Batcher:
             if self.depth <= 1:
                 self._run(group)
                 continue
-            try:
-                out = self._dispatch(group)
-            except Exception as exc:              # noqa: BLE001 — fan out
-                out = exc
-            # Blocks when depth - 1 batches are already in flight:
-            # backpressure bounds device-resident batches.
-            self._inflight.put((group, out))
+            # Blocks when every dispatch worker is busy and one batch
+            # is already waiting: backpressure bounds device-resident
+            # batches at workers + 1 while the backlog coalesces.
+            self._dispatch_q.put(group)
 
 
 class _State:
@@ -761,6 +834,8 @@ def _make_handler(state: _State):
                     "batched_frames": b.batched_frames,
                     "padded_frames": b.padded_frames,
                     "effective_batch": b.eff_batch,
+                    "dispatch_workers": b.workers,
+                    "in_flight_dispatches": b.inflight,
                     "device_ms_per_frame": round(
                         b.device_s / max(b.batched_frames, 1) * 1e3, 2),
                     "queue_ms_per_frame": round(

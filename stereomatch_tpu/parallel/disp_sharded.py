@@ -96,6 +96,18 @@ def make_disp_sharded_wta(mesh: Mesh, *, max_disparity: int,
         elif cost == "ncc":
             # Full image per chip: window statistics are exactness-safe,
             # and the validity mask threads the global disparity_offset.
+            # zncc's degenerate-geometry guard treats a TRACED offset as
+            # 0 (ops/cost.py), relying on this partitioner's invariant
+            # offset + block <= max_disparity <= W + 1; assert it here
+            # at trace time (shapes are static) so a violating geometry
+            # fails loudly instead of silently reading clamped prefix
+            # columns (ADVICE r4).
+            if max_disparity > left.shape[1] + 1:
+                raise ValueError(
+                    f"disparity-sharded ncc needs max_disparity "
+                    f"{max_disparity} <= W + 1 = {left.shape[1] + 1} "
+                    "(the traced per-chip offset would overrun the "
+                    "[H, W+1] prefix plane)")
             vol = zncc_cost_volume(left, right, max_disparity=block,
                                    kernel_size=kernel_size,
                                    cost_dtype=cost_dtype,

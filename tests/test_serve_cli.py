@@ -646,6 +646,7 @@ def test_adaptive_batch_degrades_and_restores():
     b._q_ema = None
     b._d_ema = None
     b._adapt_n = 0
+    b._stats_lock = threading.Lock()
 
     # Queue >> device: two rounds of 8 batches -> cap halves twice.
     for _ in range(16):
@@ -663,3 +664,33 @@ def test_adaptive_batch_degrades_and_restores():
     for _ in range(16):
         b._adapt(4, batch_queue_s=9.0, batch_device_s=0.1)
     assert b.eff_batch == 8
+
+
+def test_adaptive_batch_restore_clamps_non_pow2_cap():
+    """A non-power-of-two --batch (6) degrades 6 -> 3 -> 1; the restore
+    path must double back up to EXACTLY the configured cap, never past
+    it (ADVICE r4 medium: unclamped doubling reached 8 > 6)."""
+    from stereomatch_tpu.cli.serve import build_parser, _Batcher
+
+    args = build_parser().parse_args(
+        ["32", "--port", "0", "--batch", "6", "--backend", "xla"])
+    b = _Batcher.__new__(_Batcher)        # no worker threads
+    b.args = args
+    b.max_batch = 6
+    b.eff_batch = 6
+    b.adaptive = True
+    b._q_ema = None
+    b._d_ema = None
+    b._adapt_n = 0
+    b._stats_lock = threading.Lock()
+
+    for _ in range(24):
+        b._adapt(4, batch_queue_s=4.0, batch_device_s=0.4)
+    assert b.eff_batch == 1
+
+    seen = [b.eff_batch]
+    for _ in range(40):
+        b._adapt(4, batch_queue_s=0.01, batch_device_s=0.4)
+        seen.append(b.eff_batch)
+    assert b.eff_batch == 6
+    assert max(seen) == 6, f"cap overshot the configured batch: {seen}"
