@@ -521,6 +521,49 @@ def _zncc_combine(sums: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid, cost.astype(cost_dtype), _inf_value(cost_dtype))
 
 
+def pairwise_sum_last(v: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic-association sum along the last axis.
+
+    Zero-pads to a power of two and folds the axis in half repeatedly
+    with ELEMENTWISE adds.  Unlike ``jnp.sum`` (a reduce op whose tree
+    XLA may pick differently per fusion context / shape — observed
+    1-14 ulp scalar drift between the single-chip and shard_map
+    lowerings of the very same [1, H] reduce), an explicit add chain is
+    IEEE-fixed: XLA never reassociates floating-point adds it didn't
+    create.  The association depends only on the axis LENGTH, so a row
+    band computes bit-identical per-row sums to the full image.
+    log2(n) passes over a halving array — negligible against any
+    volume-sized work.
+    """
+    n = v.shape[-1]
+    p = 1 << max((n - 1).bit_length(), 0)
+    if p != n:
+        pad = [(0, 0)] * (v.ndim - 1) + [(0, p - n)]
+        v = jnp.pad(v, pad)
+    while v.shape[-1] > 1:
+        half = v.shape[-1] // 2
+        v = v[..., :half] + v[..., half:]
+    return v[..., 0]
+
+
+def stable_image_mean(img: jnp.ndarray) -> jnp.ndarray:
+    """Global mean with a sharding-stable association.
+
+    A plain ``jnp.mean`` over [H, W] lets XLA pick the reduction tree,
+    which changes with sharding and even with fusion context — a
+    row-sharded caller could never reproduce the scalar bit-for-bit.
+    Both stages therefore use ``pairwise_sum_last``'s fixed add chain:
+    per-row sums (chain depends on W alone, so a row band computes the
+    identical values) then the [H] vector (each chip re-reduces the
+    all-gathered copy with the identical chain).  zncc centering uses
+    this so the sharded prefix path can match the single-chip volume
+    exactly (tests/test_parallel.py::test_sharded_ncc pins it).
+    """
+    row_sums = pairwise_sum_last(img.astype(jnp.float32))        # [H]
+    total = pairwise_sum_last(row_sums)
+    return total / (img.shape[0] * img.shape[1])
+
+
 def _rowboxed_prefix(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     """[H, W+1] row-box-summed column prefix of a plane.
 
@@ -534,7 +577,13 @@ def _rowboxed_prefix(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     prefix = jnp.concatenate(
         [jnp.zeros((height, 1), img.dtype), jnp.cumsum(img, axis=1)],
         axis=1)
-    return _box_sum(prefix, kernel_size, axes=(0,))
+    # use_mxu=False is load-bearing for the sharded bit-parity: the
+    # banded-einsum lowering of SMALL 2-D planes is not halo-stable
+    # (the dot's K-blocking phase shifts with the padded height — a
+    # 1.5e-5 drift measured on prefix planes), while reduce_window and
+    # the volume-shaped einsum both are.  The prefix planes are tiny
+    # against the volume, so this costs nothing.
+    return _box_sum(prefix, kernel_size, axes=(0,), use_mxu=False)
 
 
 def _window_ends(plane: jnp.ndarray, kernel_size: int):
@@ -631,8 +680,10 @@ def zncc_cost_volume(left: jnp.ndarray, right: jnp.ndarray, *,
         return _zncc_combine(sums, valid, cost_dtype, eps)
     left_c = left.astype(jnp.float32)
     right_c = right.astype(jnp.float32)
-    left_c = left_c - jnp.mean(left_c)
-    right_c = right_c - jnp.mean(right_c)
+    # Sharding-stable mean association (see stable_image_mean) so the
+    # row-sharded prefix path can reproduce these scalars bit-for-bit.
+    left_c = left_c - stable_image_mean(left_c)
+    right_c = right_c - stable_image_mean(right_c)
     height, width = left_c.shape
 
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
@@ -701,16 +752,39 @@ def zncc_cost_from_padded(left_padded: jnp.ndarray,
                           max_disparity: int, kernel_size: int = 7,
                           cost_dtype=jnp.float32,
                           eps: float = 1e-6,
-                          row_valid=None) -> jnp.ndarray:
+                          row_valid=None,
+                          left_mean=None, right_mean=None,
+                          use_mxu=None) -> jnp.ndarray:
     """ZNCC band cost with explicit row halos (see ssd_cost_from_padded).
 
-    Unlike the SSD/SAD band costs — where a zero-filled halo row at the
-    true image edge is the summand's additive identity — ZNCC's window
-    *count* statistic must not count such rows, or edge windows would be
-    normalized over a larger support than the single-chip clipped window.
-    ``row_valid`` ([padded_height] bool, True for rows inside the real
-    image) masks them out; None means all padded rows are real data
-    (interior tiles / full halos).
+    Round 5: this is the single-chip prefix-plane formulation
+    (zncc_cost_volume) run on the padded tile and cropped — NOT a
+    separate reduce_window body — so the sharded volume is bit-equal to
+    the unsharded one (the round-4 parity gap this closes).  The pieces
+    that make that exact:
+
+    * Every cross-row operation in the prefix path is a [r-k, r+k) row
+      box; on the padded tile the same 2k-tap window reads real halo
+      rows where the single-chip box read in-image rows and exact zeros
+      where it read padding (out-of-image halo rows are zeroed below),
+      so each window sums identical values in identical order.
+    * Centering must subtract the SAME global-mean scalar the
+      single-chip path computes; callers under a mesh pass
+      ``left_mean``/``right_mean`` (per stable_image_mean: all-gather
+      the per-row sums, re-reduce the identical [H] vector per chip).
+      None falls back to a tile-local mean over the real rows —
+      mathematically equivalent (ZNCC is shift-invariant) but only
+      bit-equal when the tile IS the whole image.
+    * The window *count* comes from a row box over ``row_valid``
+      ([padded_height] bool, True inside the real image): both paths
+      then hold identical small-integer floats, matching the
+      single-chip closed form.  None means all padded rows are real
+      data (interior tiles / full halos).
+    * ``use_mxu`` must carry the GLOBAL-geometry lowering decision
+      (``mxu_leading_box_ok(global_H, f32)``), like
+      guided_filter_from_padded — the local padded height can straddle
+      the threshold and the two lowerings differ by ~4e-7.  None
+      decides from the local height (standalone use).
     """
     cost_dtype = jnp.dtype(cost_dtype)
     if not jnp.issubdtype(cost_dtype, jnp.floating):
@@ -719,41 +793,105 @@ def zncc_cost_from_padded(left_padded: jnp.ndarray,
     k = kernel_size
     if pad_before > k or pad_after > k - 1:
         raise ValueError("halos wider than the window change the semantics")
+    hp, width = left_padded.shape
+    height = hp - pad_before - pad_after
+    if width <= k or width + 1 < max_disparity:
+        # The prefix re-indexing needs W > k and D <= W + 1 (the
+        # single-chip path falls back to a stacked formulation at these
+        # degenerate scales; sharded callers always pass full-width
+        # tiles, so just reject).
+        raise ValueError(
+            f"zncc_cost_from_padded needs width > kernel_size and "
+            f"max_disparity <= width + 1 (got W={width}, k={k}, "
+            f"D={max_disparity})")
     left_f = left_padded.astype(jnp.float32)
     right_f = right_padded.astype(jnp.float32)
 
-    shifted = shifted_right_stack(right_f, max_disparity)    # [Hp, W, D]
-    width = left_padded.shape[1]
+    rows_real = (jnp.ones((hp,), jnp.float32) if row_valid is None
+                 else row_valid.astype(jnp.float32))
+    if left_mean is None:
+        denom = jnp.maximum(jnp.sum(rows_real) * width, 1.0)
+        left_mean = jnp.sum(jnp.sum(left_f, axis=1) * rows_real) / denom
+        right_mean = jnp.sum(jnp.sum(right_f, axis=1) * rows_real) / denom
+    # Center, then zero the out-of-image halo rows so they behave
+    # exactly like the single-chip box pass's zero padding (centering
+    # first would leave them at -mean, poisoning edge windows).
+    rmask = rows_real[:, None] > 0
+    left_c = jnp.where(rmask, left_f - left_mean, 0.0)
+    right_c = jnp.where(rmask, right_f - right_mean, 0.0)
+
     w_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 0)
     d_idx = lax.broadcasted_iota(jnp.int32, (width, max_disparity), 1)
     valid = (w_idx >= d_idx)[None, :, :]
-    summand_valid = (valid if row_valid is None
-                     else valid & row_valid[:, None, None])
 
-    # Each of the six summand planes gets its OWN reduce_window so XLA
-    # fuses the elementwise producer into the box pass (the round-3 CVF
-    # lesson — a stacked concatenate materializes every operand first;
-    # separate calls are bit-identical since windows never span the
-    # statistic axis).  Halo rows contribute where provided; the
-    # remainder of the (k, k-1) H-window is zero padding, the summands'
-    # additive identity.  The window *count* plane clips the same way,
-    # so normalization at the true image border matches the unsharded
-    # kernel.
-    v = jnp.broadcast_to(summand_valid, shifted.shape).astype(jnp.float32)
-    l3 = left_f[:, :, None] * v
+    def row_box(x):
+        """[i-k, i+k) row box via reduce_window (halo-stable for 2-D
+        planes where the banded einsum is not — see _rowboxed_prefix)."""
+        window = [1] * x.ndim
+        padding = [(0, 0)] * x.ndim
+        window[0] = 2 * k
+        padding[0] = (k, k - 1)
+        return lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
+                                 window_dimensions=tuple(window),
+                                 window_strides=(1,) * x.ndim,
+                                 padding=tuple(padding))
 
-    def box(plane):
-        return lax.reduce_window(
-            plane, jnp.zeros((), plane.dtype), lax.add,
-            window_dimensions=(2 * k, 2 * k, 1),
-            window_strides=(1, 1, 1),
-            padding=((k - pad_before, (k - 1) - pad_after),
-                     (k, k - 1), (0, 0)))
+    def lead_box(x):
+        """Volume row box with the single-chip lowering choice (the
+        volume-shaped banded einsum measured halo-stable, unlike the
+        2-D plane one)."""
+        if use_mxu is True or (use_mxu is None
+                               and mxu_leading_box_ok(hp, x.dtype)):
+            return mxu_leading_box(x, k, k - 1)
+        return row_box(x)
 
-    sums = (box(v), box(l3), box(l3 * left_f[:, :, None]),
-            box(shifted), box(shifted * shifted),
-            box(left_f[:, :, None] * shifted))
-    return _zncc_combine(sums, valid, cost_dtype, eps)
+    # Window support count: rows from a box over the validity row
+    # vector (identical small integers to the single-chip closed form),
+    # columns closed-form as single-chip.
+    rows_n = row_box(rows_real)                                 # [Hp]
+    cols_n = jnp.maximum(jnp.minimum(w_idx + k, width)
+                         - jnp.maximum(w_idx - k, d_idx), 0
+                         ).astype(jnp.float32)
+    n = rows_n[:, None, None] * cols_n[None]
+
+    cmask = ((w_idx - k) >= d_idx)[None, :, :]
+
+    def left_stat(img):
+        prefix = jnp.concatenate(
+            [jnp.zeros((hp, 1), img.dtype), jnp.cumsum(img, axis=1)],
+            axis=1)
+        rbs = row_box(prefix)                                   # [Hp, W+1]
+        upper, lower = _window_ends(rbs, k)
+        at_d = rbs[:, :max_disparity]                           # offset 0
+        return upper[:, :, None] - jnp.where(cmask, lower[:, :, None],
+                                             at_d[:, None, :])
+
+    s_l = left_stat(left_c)
+    s_ll = left_stat(left_c * left_c)
+
+    def right_stat(img):
+        prefix = jnp.concatenate(
+            [jnp.zeros((hp, 1), img.dtype), jnp.cumsum(img, axis=1)],
+            axis=1)
+        g = _shifted_plane_stack(row_box(prefix), max_disparity, 0)
+        upper = jnp.concatenate(
+            [g[:, k:], jnp.broadcast_to(g[:, -1:],
+                                        (hp, k - 1, max_disparity))],
+            axis=1)
+        lower = jnp.concatenate(
+            [jnp.zeros((hp, k, max_disparity), g.dtype),
+             g[:, :width - k]], axis=1)
+        return upper - lower
+
+    s_r = right_stat(right_c)
+    s_rr = right_stat(right_c * right_c)
+
+    shifted = shifted_right_stack(right_c, max_disparity)    # [Hp, W, D]
+    s_lr = _box_sum(lead_box(left_c[:, :, None] * shifted), k, axes=(1,))
+
+    cost = _zncc_combine((n, s_l, s_ll, s_r, s_rr, s_lr), valid,
+                         cost_dtype, eps)
+    return lax.dynamic_slice_in_dim(cost, pad_before, height, axis=0)
 
 
 def ssd_texture_cost_volume(left_texture, right_texture, *,

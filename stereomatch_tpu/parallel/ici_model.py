@@ -122,6 +122,38 @@ def ici_traffic_model(*, height, width, disp, tiles, kernel=7, overlap=48,
     return rows
 
 
+def select_exact_schedule(*, tiles, batch, vmap_eff=0.585):
+    """Wavefront vs naive hand-off schedule for EXACT row-sharded SGM.
+
+    Both schedules produce bit-identical volumes; they differ in how the
+    serial carry chain is filled (parallel/sharded.py::_handoff_sweep vs
+    _handoff_sweep_naive):
+
+    * naive: ``tiles`` stages, every stage computing ALL local frames
+      vmapped — tiles*batch chunk computations, but each vmapped chunk
+      costs only ~``vmap_eff`` of a standalone one (the scan's per-step
+      overhead amortizes across the batch lanes);
+    * wavefront: ``tiles + batch - 1`` stages of ONE frame each.
+
+    Cost model (chunk units): naive = tiles * batch * vmap_eff,
+    wavefront = tiles + batch - 1.  ``vmap_eff`` = 0.585 is fitted from
+    the round-4 CPU-mesh measurement (exact_pipeline_ab_r4_out.json:
+    batch 2 naive 27.44 vs wavefront 29.23 ms; batch 4 wavefront 1.33x)
+    — the same data that exposed round 4's unconditional wavefront as a
+    batch-2 regression.  At batch 1 the two schedules are literally the
+    same computation; naive is returned for its simpler loop.
+    """
+    T, B = max(tiles, 1), max(batch, 1)
+    naive_cost = T * B * vmap_eff
+    wave_cost = T + B - 1
+    schedule = "wavefront" if wave_cost < naive_cost and B > 1 else "naive"
+    return schedule, {
+        "naive_chunk_units": round(naive_cost, 2),
+        "wavefront_chunk_units": wave_cost,
+        "tiles": T, "batch": B, "picked": schedule,
+    }
+
+
 def select_sgm_mode(*, height, width, disp, tiles, batch=1, overlap=64,
                     ici_gbps=45.0, hbm_gbps=675.0):
     """Pick the row-sharded SGM strategy from the model's predictions.

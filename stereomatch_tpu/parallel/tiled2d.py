@@ -448,7 +448,27 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
         row_valid = ~halo.out_of_image_mask(TILE_AXIS, n_tile, h_loc,
                                             k, k - 1)
 
-        def cost_one_padded(le, re):
+        if cost == "ncc":
+            # Bit-equal centering + row-box lowering need GLOBAL
+            # geometry (see _local_zncc in sharded.py): per-row sums
+            # all-gathered over the row-tile axis, every chip
+            # re-reducing the identical [H] vector, and the MXU
+            # decision from the global height.
+            from ..ops.cost import mxu_leading_box_ok, pairwise_sum_last
+            h_glob = n_tile * h_loc
+            w_glob = left_full.shape[2]
+            rs_l = jax.lax.all_gather(pairwise_sum_last(left_full),
+                                      TILE_AXIS, axis=1, tiled=True)
+            rs_r = jax.lax.all_gather(pairwise_sum_last(right_full),
+                                      TILE_AXIS, axis=1, tiled=True)
+            ncc_mean_l = pairwise_sum_last(rs_l) / (h_glob * w_glob)
+            ncc_mean_r = pairwise_sum_last(rs_r) / (h_glob * w_glob)
+            ncc_use_mxu = mxu_leading_box_ok(h_glob, jnp.float32)
+        else:
+            ncc_mean_l = ncc_mean_r = jnp.zeros((batch,), jnp.float32)
+            ncc_use_mxu = None
+
+        def cost_one_padded(le, re, ncc_ml, ncc_mr):
             if cost in ("ssd", "ssd-texture"):
                 vol = ssd_cost_from_padded(
                     le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
@@ -461,7 +481,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                 vol = zncc_cost_from_padded(
                     le[:-1], re[:-1], pad_before=k, pad_after=k - 1,
                     max_disparity=max_disparity, kernel_size=kernel_size,
-                    row_valid=row_valid)
+                    row_valid=row_valid, left_mean=ncc_ml,
+                    right_mean=ncc_mr, use_mxu=ncc_use_mxu)
             elif cost == "census":
                 # Census needs window//2 halo rows; slice them out of
                 # the k-row extension (zero fill at true image edges is
@@ -478,7 +499,8 @@ def make_tiled2d_estimate(mesh: Mesh, *, max_disparity: int,
                     max_disparity=max_disparity, kernel_size=kernel_size)
             return lax.dynamic_slice_in_dim(vol, w0, w_loc, axis=1)
 
-        vol = jax.vmap(cost_one_padded)(left_ext, right_ext)
+        vol = jax.vmap(cost_one_padded)(left_ext, right_ext,
+                                        ncc_mean_l, ncc_mean_r)
 
         if aggregation == "sgm":
             # 8-neighborhood halo extension of the volume + image, then

@@ -66,6 +66,35 @@ def test_sharded_sgm_wta_matches_single_chip(pair, mesh, sgm_mode):
         np.testing.assert_array_equal(out[b], ref)
 
 
+def test_exact_schedule_selection_and_parity(pair, mesh):
+    """Round 5: the ICI model picks the exact hand-off schedule by
+    (tiles, batch) — naive at small local batches (where round 4's
+    unconditional wavefront measured SLOWER, exact_pipeline_ab_r4), the
+    wavefront once the frame pipeline fills — and both schedules (and
+    auto) produce identical disparities."""
+    from stereomatch_tpu.parallel.ici_model import select_exact_schedule
+
+    # Calibrated picks: B=1 degenerate -> naive; B=2/T=4 -> naive (the
+    # measured r4 regression); B>=4 -> wavefront.
+    assert select_exact_schedule(tiles=4, batch=1)[0] == "naive"
+    assert select_exact_schedule(tiles=4, batch=2)[0] == "naive"
+    assert select_exact_schedule(tiles=4, batch=4)[0] == "wavefront"
+    assert select_exact_schedule(tiles=4, batch=8)[0] == "wavefront"
+
+    left, right = pair
+    ref = _reference(left, right, True, WinnerTakesAll())
+    outs = {}
+    for sched in ("wavefront", "naive", "auto"):
+        pipe = ShardedPipeline(mesh, D, kernel_size=3, aggregation="sgm",
+                               reducer="wta", sgm_mode="exact",
+                               sgm_schedule=sched, backend="xla")
+        outs[sched] = np.asarray(pipe.estimate(np.stack([left] * 2),
+                                               np.stack([right] * 2)))
+        np.testing.assert_array_equal(outs[sched][0], ref)
+    np.testing.assert_array_equal(outs["wavefront"], outs["naive"])
+    np.testing.assert_array_equal(outs["auto"], outs["naive"])
+
+
 def test_sharded_dp_matches_single_chip(pair, mesh):
     left, right = pair
     ref = _reference(left, right, True, DynamicProgramming())
@@ -391,27 +420,46 @@ def test_sharded_sad(pair, mesh):
 
 
 def test_sharded_ncc(pair, mesh):
-    """Sharded ZNCC: row halos + the per-row window-count mask must
-    reproduce the single-chip normalization at the true image edges.
+    """Sharded ZNCC is BIT-EQUAL to the single-chip volume (round 5).
 
-    Contract: identical WTA picks away from cost near-ties, NOT
-    bit-equal volumes — the single-chip path is the round-3 prefix-plane
-    formulation while the sharded body keeps the six reduce_window
-    statistics (docs/parity.md "sharded ZNCC numerics"), so costs agree
-    only to ~1e-5 and a WTA pick can flip where two disparities tie to
-    that level.  On this fixture the agreement happens to be exact, but
-    the assertion allows the documented tie-flip margin so the test
-    pins the contract rather than one seed's luck."""
+    The padded body now runs the single-chip prefix-plane formulation
+    on the haloed tile with the global centering means and the global
+    MXU lowering decision threaded in, so the volumes — not just the
+    WTA picks — must match exactly (the round-3/4 contract allowed
+    ~1e-5 divergence between the two formulations)."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
     from stereomatch_tpu.cost import NCC
+    from stereomatch_tpu.parallel.mesh import BATCH_AXIS, TILE_AXIS
+    from stereomatch_tpu.parallel.sharded import _local_zncc
+
     left, right = pair
-    vol = NCC(D, kernel_size=3)(left, right)
-    ref = np.asarray(WinnerTakesAll()(vol))
+    vol = np.asarray(NCC(D, kernel_size=3)(left, right))
+
+    n_tiles = mesh.shape[TILE_AXIS]
+    local = functools.partial(_local_zncc, max_disparity=D, kernel_size=3,
+                              cost_dtype=jnp.float32, axis_name=TILE_AXIS,
+                              n_tiles=n_tiles)
+    spec = P(BATCH_AXIS, TILE_AXIS)
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=P(BATCH_AXIS, TILE_AXIS, None, None)))
+    got = np.asarray(fn(jnp.asarray(np.stack([left] * 2)),
+                        jnp.asarray(np.stack([right] * 2))))
+    np.testing.assert_array_equal(got[0], vol)
+    np.testing.assert_array_equal(got[1], vol)
+
+    # End-to-end through the pipeline: WTA parity is now exact too.
+    ref = np.asarray(WinnerTakesAll()(jnp.asarray(vol)))
     pipe = ShardedPipeline(mesh, D, cost="ncc", kernel_size=3,
                            aggregation=None, reducer="wta")
     out = np.asarray(pipe.estimate(np.stack([left] * 2),
                                    np.stack([right] * 2)))
-    assert (out[0] == ref).mean() > 0.995
-    np.testing.assert_array_equal(out[0], out[1])
+    np.testing.assert_array_equal(out[0], ref)
+    np.testing.assert_array_equal(out[1], ref)
 
 
 def test_tiled2d_ncc(pair):
