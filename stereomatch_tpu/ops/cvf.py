@@ -335,7 +335,8 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1,
         from .cvf_pallas import fused_wedge_fits, guided_filter_wedge_pallas
         h, w = guide.shape
         if (_jax.default_backend() == "tpu" and radius >= 1
-                and fused_wedge_fits(h, w, volume.shape[2], radius)):
+                and fused_wedge_fits(h, w, volume.shape[2], radius,
+                                     volume.dtype.itemsize)):
             return guided_filter_wedge_pallas(
                 volume, guide, radius=radius, eps=eps,
                 wedge_offset=int(wedge_offset))

@@ -10,39 +10,48 @@ statistic in VMEM:
   (a, b) at row t+r) and a LAG set covers [t-2r-1, t-1] (producing
   a(t-r-1)); the stage-2 accumulators A2/B2 then advance by
   a0(t+r) - a0(t-r-1), keeping exactly the a-rows [t-r, t+r] the output
-  row t needs.  Per step the kernel reads three input-row views (rows
-  t+2r, t-1 — shared by the lead-subtract and lag-add — and t-2r-2).
+  row t needs.
 * **W boxes are unmasked roll chains**: the volume is pre-padded with
   ``rpad`` zero columns left and enough zero columns right that a
   doubling chain of ``pltpu.roll`` shifts computes the clipped
   symmetric box with no per-shift masks (wrap-around garbage lands
   only in never-read pad columns).  Measured on chip the chains are
   nearly free — sublane rolls + adds on resident rows; the kernel's
-  cost is per-step structural overhead, which is why the I/O below is
-  aggressively PACKED (every ref pays grid bookkeeping each step —
-  packing 21 refs to 13 measured 3.58 -> 2.46 ms alone): guide + four
-  prefix planes ride one [H', WP, 8] array, the two per-disparity
-  prefix columns one [H', 2, D] array, the three (x, d) tables one
-  [WP, 3D] constant, and paired statistics share roll chains stacked
-  on the lane axis.
+  cost is per-step structural overhead.
+* **Round 5: a VMEM ring buffer replaces most grid refs.**  Round 4
+  measured the delivered kernel at ~2.4x its own core loop and named
+  PER-REF grid bookkeeping as the driver (packing 21 refs to 13 was
+  worth 1.1 ms; the roll chains are ~free).  Each input row is now
+  read from HBM ONCE through a single fresh-row ref per array and
+  written into a ring of the last 4r+3 rows (``pl.ds`` dynamic slot =
+  row mod ring size); the lagging taps (rows t-1, t-2r-2 for the
+  running sums, t+r / t-r-1 / t for the model planes) read the ring
+  instead of carrying their own refs.  5 refs total (volume, packed
+  planes, per-disparity columns, constant table, output) vs round 4's
+  13 — and the volume crosses HBM once instead of three times.  A
+  ``rows_per_step`` knob amortizes the remaining per-step overhead
+  over k output rows per grid step (all intra-step offsets are Python
+  constants, so the unrolled sub-steps cost no dynamic control flow).
 * **All wedge quantities are closed-form or plane inputs**: validity
   and window counts depend only on (x, d) and the row index, and the
   masked guide statistics arrive as the same prefix planes the XLA
   wedge path uses (ops/cvf.py::_prefix_planes_w), reconstructed per
   row with one select.
 * **Warm-up costs no branches**: the grid starts 3r steps early and the
-  volume carries zero pad rows top and bottom; zero rows produce zero
-  statistics, so every running sum self-initializes, and the linear
-  models of rows outside the image are gated to zero (an out-of-image
-  row within r of the boundary has nonzero clipped p-statistics but
-  zero guide-plane rows — ungated, cov/(0+eps) explodes; gated, the
-  clipped stage-2 H-box semantics fall out exactly).  Early output
-  writes land on row 0 and are overwritten by the real step t = 0.
+  ring/sums zero-init at step 0; rows outside the image are zero (ring
+  slots never written stay zero, matching the old zero pad rows), and
+  the linear models of out-of-image rows are gated to zero (an
+  out-of-image row within r of the boundary has nonzero clipped
+  p-statistics but zero guide-plane rows — ungated, cov/(0+eps)
+  explodes; gated, the clipped stage-2 H-box semantics fall out
+  exactly).  Early output writes land on block 0 and are overwritten
+  by the real rows.
 
 Semantics match ``guided_filter_aggregate(..., wedge_offset=k)`` up to
 floating-point association (same masked means, different summation
 order); tests compare against the XLA wedge path and the shared
-oracle.  bf16 volumes stream in storage dtype and compute f32.
+oracle.  bf16 volumes stream in storage dtype (including the ring) and
+compute f32.
 """
 
 from __future__ import annotations
@@ -93,30 +102,45 @@ def _wbox_rolls(x, radius: int, width_padded: int):
 _PL_LANES = 8
 
 
-def _fused_wedge_kernel(p0add_ref, p0mid_ref, p0lag_ref,
-                        pl_add_ref, pl_lead_ref, pl_out_ref, pl_mid_ref,
-                        pl_lag_ref, pl_lagsub_ref,
-                        pd_lead_ref, pd_lag_ref,
-                        tab_ref,
-                        out_ref,
-                        slead_ref, slag_ref, s2_ref, *,
-                        radius: int, eps: float, height: int,
-                        width_padded: int, rpad: int, width: int):
-    """One grid step t (= program_id - 3r): advance lead/lag stat sums,
-    compute a0/b0 at rows t+r and t-r-1, advance A2/B2, emit row t.
+def _fused_wedge_ring_kernel(*refs,
+                             radius: int, eps: float, height: int,
+                             width_padded: int, rpad: int, width: int,
+                             rows_per_step: int, volume_ring: bool):
+    """Grid step i covers output rows t = i*k - 3r + j, j in [0, k).
 
-    (A single [4r+3, WP, 8] windowed plane ref would cut six refs to
-    one, but standard BlockSpec index maps are in BLOCK units —
-    overlapping windows need unblocked indexing, which this jax does
-    not expose — so the six single-row plane views below are the
-    next-best packing.)
+    Per sub-row: write the fresh input row (u = t + 2r) into the rings,
+    advance the lead/lag stat sums from ring taps, compute a0/b0 at
+    rows t+r and t-r-1, advance A2/B2, emit row t.
+
+    ``volume_ring`` selects where the volume's lagging taps come from: a
+    (4r+3)-row VMEM ring (one HBM read per row — but the ring is
+    volume-row-sized, too big for f32 teddy-class geometries next to
+    the ~16 MB VMEM: measured 17.85 MB scoped), or two extra HBM refs
+    at the mid/lag offsets (round 4's layout for those taps; the small
+    plane/pd arrays stay ringed either way).
     """
+    k = rows_per_step
+    if volume_ring:
+        (p0_ref, pl_ref, pd_ref, tab_ref, out_ref,
+         ring_p0, ring_pl, ring_pd, slead_ref, slag_ref, s2_ref) = refs
+        fresh_refs = mid_refs = lag_refs = None
+    else:
+        fresh_refs = refs[:k]
+        mid_refs = refs[k:2 * k]
+        lag_refs = refs[2 * k:3 * k]
+        (pl_ref, pd_ref, tab_ref, out_ref,
+         ring_pl, ring_pd, slead_ref, slag_ref, s2_ref) = refs[3 * k:]
+        ring_p0 = None
     i = pl.program_id(0)
     r = radius
-    t = i - 3 * r
+    ring_n = 4 * r + 3
 
     @pl.when(i == 0)
     def _init():
+        if ring_p0 is not None:
+            ring_p0[...] = jnp.zeros_like(ring_p0)
+        ring_pl[...] = jnp.zeros_like(ring_pl)
+        ring_pd[...] = jnp.zeros_like(ring_pd)
         slead_ref[...] = jnp.zeros_like(slead_ref)
         slag_ref[...] = jnp.zeros_like(slag_ref)
         s2_ref[...] = jnp.zeros_like(s2_ref)
@@ -127,18 +151,12 @@ def _fused_wedge_kernel(p0add_ref, p0mid_ref, p0lag_ref,
     cntw = tab[:, d:2 * d]
     condf = tab[:, 2 * d:]
 
-    def stat_rows(p_ref, g_col):
+    def stat_rows(p, g_col):
         # Both statistics ride ONE roll chain, stacked on the lane axis
         # ([WP, 2D]): sublane rolls never mix lanes.
-        p = p_ref[0].astype(jnp.float32)               # [WP, D]
+        p = p.astype(jnp.float32)                      # [WP, D]
         stacked = jnp.concatenate([p, g_col * p], axis=1)   # [WP, 2D]
         return _wbox_rolls(stacked, r, width_padded)
-
-    add_s = stat_rows(p0add_ref, pl_add_ref[0, :, 0:1])
-    mid_s = stat_rows(p0mid_ref, pl_mid_ref[0, :, 0:1])
-    lag_s = stat_rows(p0lag_ref, pl_lagsub_ref[0, :, 0:1])
-    slead_ref[0] = slead_ref[0] + add_s - mid_s
-    slag_ref[0] = slag_ref[0] + mid_s - lag_s
 
     def count_h(row):
         lo = jnp.maximum(row - r, 0)
@@ -166,31 +184,124 @@ def _fused_wedge_kernel(p0add_ref, p0mid_ref, p0lag_ref,
         gate = validf * rv
         return jnp.concatenate([a * gate, b * gate], axis=1)
 
-    ab_lead = ab_row(slead_ref[0], pl_lead_ref[0], pd_lead_ref[0], t + r)
-    ab_lag = ab_row(slag_ref[0], pl_lag_ref[0], pd_lag_ref[0], t - r - 1)
-    s2_ref[0] = s2_ref[0] + ab_lead - ab_lag
+    for j in range(k):
+        s = i * k + j                 # fresh padded row index (= u + r)
+        t = s - 3 * r                 # output row this sub-step emits
 
-    # Output row t: q = (boxW(A2) * g + boxW(B2)) / count; invalid
-    # cells restored to +inf.
-    boxed = _wbox_rolls(s2_ref[0], r, width_padded)
-    count_t = jnp.maximum(count_h(t) * cntw, 1.0)
-    g_t = pl_out_ref[0, :, 0:1]
-    q = (boxed[:, :d] * g_t + boxed[:, d:]) / count_t
-    q = jnp.where(validf > 0, q, jnp.float32(jnp.inf))
-    out_ref[0] = q[rpad:rpad + width].astype(out_ref.dtype)
+        # Ring slots: slot(u) = u mod ring_n with u = s - c; the +ring_n
+        # multiples keep lax.rem's operand non-negative.
+        def slot(c):
+            mult = -(-c // ring_n) * ring_n          # ceil to ring_n
+            return lax.rem(s + (mult - c), ring_n)
+
+        p_fresh = (p0_ref[j] if ring_p0 is not None
+                   else fresh_refs[j][0])              # [WP, D] storage
+        plf = pl_ref[j].astype(jnp.float32)            # [WP, 8]
+        pdf = pd_ref[j]                                # [2, D]
+        s_f = slot(r)                                  # u = t + 2r
+        if ring_p0 is not None:
+            ring_p0[pl.ds(s_f, 1)] = p_fresh[None]
+        ring_pl[pl.ds(s_f, 1)] = plf[None]
+        ring_pd[pl.ds(s_f, 1)] = pdf[None]
+
+        def tap_pl(c):
+            return ring_pl[pl.ds(slot(c), 1)][0]
+        if ring_p0 is not None:
+            p_mid = ring_p0[pl.ds(slot(3 * r + 1), 1)][0]   # u = t - 1
+            p_lag = ring_p0[pl.ds(slot(5 * r + 2), 1)][0]   # u = t-2r-2
+        else:
+            p_mid = mid_refs[j][0]
+            p_lag = lag_refs[j][0]
+        pl_mid = tap_pl(3 * r + 1)
+        pl_lag = tap_pl(5 * r + 2)
+
+        add_s = stat_rows(p_fresh, plf[:, 0:1])
+        mid_s = stat_rows(p_mid, pl_mid[:, 0:1])
+        lag_s = stat_rows(p_lag, pl_lag[:, 0:1])
+        slead_ref[0] = slead_ref[0] + add_s - mid_s
+        slag_ref[0] = slag_ref[0] + mid_s - lag_s
+
+        pd_lead = ring_pd[pl.ds(slot(2 * r), 1)][0]    # u = t + r
+        pd_lag = ring_pd[pl.ds(slot(4 * r + 1), 1)][0]  # u = t - r - 1
+        ab_lead = ab_row(slead_ref[0], tap_pl(2 * r), pd_lead, t + r)
+        ab_lag = ab_row(slag_ref[0], tap_pl(4 * r + 1), pd_lag, t - r - 1)
+        s2_ref[0] = s2_ref[0] + ab_lead - ab_lag
+
+        # Output row t: q = (boxW(A2) * g + boxW(B2)) / count; invalid
+        # cells restored to +inf.
+        boxed = _wbox_rolls(s2_ref[0], r, width_padded)
+        count_t = jnp.maximum(count_h(t) * cntw, 1.0)
+        g_t = tap_pl(3 * r)[:, 0:1]                    # u = t
+        q = (boxed[:, :d] * g_t + boxed[:, d:]) / count_t
+        q = jnp.where(validf > 0, q, jnp.float32(jnp.inf))
+        out_ref[j] = q[rpad:rpad + width].astype(out_ref.dtype)
 
 
 def _pad_to(n: int, mult: int) -> int:
     return -(-n // mult) * mult
 
 
+# Scoped-VMEM ceiling: the hardware limit is 16 MB; estimates carry the
+# terms calibrated against the compiler's scoped-allocation reports at
+# teddy (benchmarks/cvf_ring_probe_r5 runs): kernel temporaries are
+# ~5 MB PER UNROLLED SUB-STEP (the roll-chain/ab intermediates of
+# different j do not share stack slots — refs k=2 f32 reported 20.1 MB
+# vs k=1's ~10), and VMEM scratch is allocated UNPACKED (a bf16 volume
+# ring costs f32 bytes: ring bf16 k=1 reported 17.74 vs f32's 17.85).
+_VMEM_CEILING = 15 * 1024 * 1024
+
+
+def _ring_vmem_bytes(height: int, width: int, max_disp: int, radius: int,
+                     rows_per_step: int, itemsize: int,
+                     volume_ring: bool = True) -> int:
+    """Scoped-VMEM estimate for the kernel (see _VMEM_CEILING)."""
+    r = int(radius)
+    rpad = _pad_to(r, 8)
+    wp = _pad_to(rpad + width + 2 * r, 8)
+    d = max(max_disp, 128)              # lane padding
+    ring_n = 4 * r + 3
+    k = rows_per_step
+    vol_rows = 1 if volume_ring else 3          # fresh (+ mid/lag refs)
+    return ((ring_n * wp * d * 4 if volume_ring else 0)  # ring: unpacked
+            + ring_n * wp * _PL_LANES * 4       # plane ring
+            + ring_n * 2 * d * 4                # pd ring
+            + 3 * wp * 2 * d * 4                # running-sum scratch
+            + 2 * wp * 3 * d * 4                # constant table (dbl-buf)
+            + 2 * k * vol_rows * wp * d * itemsize  # volume blocks, dbl-buf
+            + 2 * k * wp * _PL_LANES * 4        # plane block
+            + 2 * k * width * d * itemsize      # output block
+            + k * 12 * wp * 2 * d * 4)          # temporaries, per sub-step
+
+
+def _pick_layout(height: int, width: int, max_disp: int,
+                 radius: int, itemsize: int):
+    """(volume_ring, rows_per_step) that fits the VMEM ceiling.
+
+    Auto stays at k = 1 — the only teddy-class configuration validated
+    on chip (benchmarks/cvf_ring_probe_r5: every k > 1 layout and every
+    teddy ring layout blew the 16 MB scoped-VMEM limit; temporaries
+    scale with the unroll).  The ring is preferred when it clearly
+    fits (small geometries: one HBM read of the volume instead of
+    three); k > 1 remains available through the explicit
+    ``rows_per_step`` argument for future probing."""
+    if _ring_vmem_bytes(height, width, max_disp, radius, 1,
+                        itemsize, True) <= _VMEM_CEILING:
+        return True, 1
+    return False, 1
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "eps",
-                                             "wedge_offset", "interpret"))
+                                             "wedge_offset", "interpret",
+                                             "rows_per_step",
+                                             "volume_ring"))
 def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
                                guide: jnp.ndarray, *,
                                radius: int = 8, eps: float = 1e-4,
                                wedge_offset: int = 0,
-                               interpret: bool = False) -> jnp.ndarray:
+                               interpret: bool = False,
+                               rows_per_step: int | None = None,
+                               volume_ring: bool | None = None
+                               ) -> jnp.ndarray:
     """Fused guided-filter aggregation for wedge volumes (see module
     docstring).  Drop-in for ``guided_filter_aggregate(...,
     wedge_offset=k)``; storage dtype preserved."""
@@ -201,6 +312,19 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
                          f"got {r}")
     off = int(wedge_offset)
     storage = cost_volume.dtype
+    if volume_ring is None and rows_per_step is None:
+        volume_ring, rows_per_step = _pick_layout(
+            height, width, max_disp, r, jnp.dtype(storage).itemsize)
+    elif volume_ring is None:
+        volume_ring = _ring_vmem_bytes(
+            height, width, max_disp, r, int(rows_per_step),
+            jnp.dtype(storage).itemsize, True) <= _VMEM_CEILING
+    elif rows_per_step is None:
+        rows_per_step = 1
+    k_rows = int(rows_per_step)
+    if (3 * r) % k_rows:
+        raise ValueError(f"rows_per_step {k_rows} must divide 3*radius "
+                         f"= {3 * r} (output-block alignment)")
 
     # ---- XLA preparation (plane passes + padded copies) -------------
     p32 = cost_volume.astype(jnp.float32)
@@ -214,14 +338,20 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
     # output slice stays sublane-aligned), right shelter >= 2r.
     rpad = _pad_to(r, 8)
     wp = _pad_to(rpad + width + 2 * r, 8)
-    # Row padding: warm-up reads back to t-2r-2 at t = -3r, ahead to
-    # t+2r at t = height-1.
-    top = 5 * r + 2
-    h_pad = height + top + 2 * r
-    del h_pad  # (implied by the pads below)
+    # Row padding: with the volume ring only the fresh tap reads HBM
+    # (u = t + 2r from t = -3r: top pad r); the 3-ref layout's lag tap
+    # reads back to u = t - 2r - 2 (top pad 5r + 2).
+    h_out = _pad_to(height, k_rows)
+    # Refs layout: lag tap reads back to u = t - 2r - 2 (top >= 5r + 2),
+    # rounded so the fresh planes BLOCK offset (top - r) stays a
+    # multiple of k (the per-row volume refs use stride-k index maps
+    # and need no alignment at all).
+    top = (r if volume_ring
+           else 5 * r + 2 + ((-(4 * r + 2)) % k_rows))
+    bottom = (h_out - height) + 2 * r + k_rows
 
     def pad_rows_cols(x):
-        return jnp.pad(x, ((top, 2 * r), (rpad, wp - rpad - width))
+        return jnp.pad(x, ((top, bottom), (rpad, wp - rpad - width))
                        + ((0, 0),) * (x.ndim - 2))
 
     p0p = pad_rows_cols(p0)
@@ -237,7 +367,7 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
                        + [jnp.zeros_like(i32)] * (_PL_LANES - 5), axis=-1)
     planes = pad_rows_cols(planes)                     # [H', WP, 8]
 
-    # Per-disparity prefix columns, packed [H', 1, 2D] (edge-clamped
+    # Per-disparity prefix columns, packed [H', 2, D] (edge-clamped
     # exactly like the XLA wedge path's contiguous slice).
     lo_col = max(0, min(off, width))
     overrun = max(0, lo_col + max_disp - (width + 1))
@@ -246,7 +376,7 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
     pd = jnp.stack(
         [lax.slice_in_dim(p1e, lo_col, lo_col + max_disp, axis=1),
          lax.slice_in_dim(p2e, lo_col, lo_col + max_disp, axis=1)], axis=1)
-    pd = jnp.pad(pd, ((top, 2 * r), (0, 0), (0, 0)))       # [H', 2, D]
+    pd = jnp.pad(pd, ((top, bottom), (0, 0), (0, 0)))      # [H', 2, D]
 
     # Constant (x, d) tables, packed [WP, 3D]: validity, clipped
     # W-window count, and the prefix-plane selector.
@@ -261,65 +391,77 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
     tab = jnp.concatenate([validf, cntw, condf], axis=1)
 
     # ---- pallas call ------------------------------------------------
-    n_steps = height + 3 * r
-    base = top - 3 * r          # padded row of original row t
-    row = lambda ofs: (lambda i: (i + ofs, 0, 0))
-    vol_spec = lambda ofs: pl.BlockSpec((1, wp, max_disp), row(ofs),
-                                        memory_space=pltpu.VMEM)
-    pl_spec = lambda ofs: pl.BlockSpec((1, wp, _PL_LANES), row(ofs),
-                                       memory_space=pltpu.VMEM)
-    pd_spec = lambda ofs: pl.BlockSpec((1, 2, max_disp), row(ofs),
-                                       memory_space=pltpu.VMEM)
+    n_steps = (h_out + 3 * r) // k_rows
+    warm = (3 * r) // k_rows
+    ring_n = 4 * r + 3
+    # Padded row of the fresh tap at grid step i is i*k + top - r; the
+    # 3-ref layout adds mid (u = t - 1) and lag (u = t - 2r - 2) refs.
+    fresh_ofs = (top - r) // k_rows
     kernel = functools.partial(
-        _fused_wedge_kernel, radius=r, eps=float(eps), height=height,
-        width_padded=wp, rpad=rpad, width=width)
+        _fused_wedge_ring_kernel, radius=r, eps=float(eps), height=height,
+        width_padded=wp, rpad=rpad, width=width, rows_per_step=k_rows,
+        volume_ring=volume_ring)
+    if volume_ring:
+        in_specs = [pl.BlockSpec(
+            (k_rows, wp, max_disp), lambda i: (i + fresh_ofs, 0, 0),
+            memory_space=pltpu.VMEM)]                      # fresh volume
+        operands = [p0p]
+    else:
+        # Per-row stride-k refs for each volume tap (fresh / mid / lag):
+        # a 1-row block whose index map advances k rows per grid step —
+        # index maps take any stride, so the tap offsets (which differ
+        # by 2r + 1, never k-aligned) need no alignment tricks.
+        row_spec = lambda c: pl.BlockSpec(
+            (1, wp, max_disp), lambda i, c=c: (i * k_rows + c, 0, 0),
+            memory_space=pltpu.VMEM)
+        consts = ([top - r + j for j in range(k_rows)]          # fresh
+                  + [top - 3 * r - 1 + j for j in range(k_rows)]  # mid
+                  + [top - 5 * r - 2 + j for j in range(k_rows)])  # lag
+        in_specs = [row_spec(c) for c in consts]
+        operands = [p0p] * (3 * k_rows)
+    in_specs += [
+        pl.BlockSpec((k_rows, wp, _PL_LANES),
+                     lambda i: (i + fresh_ofs, 0, 0),
+                     memory_space=pltpu.VMEM),             # fresh planes
+        pl.BlockSpec((k_rows, 2, max_disp),
+                     lambda i: (i + fresh_ofs, 0, 0),
+                     memory_space=pltpu.VMEM),             # fresh pd
+        pl.BlockSpec((wp, 3 * max_disp), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),             # constant table
+    ]
+    operands += [planes, pd, tab]
+    scratch = ([pltpu.VMEM((ring_n, wp, max_disp), storage)]
+               if volume_ring else [])
+    scratch += [
+        pltpu.VMEM((ring_n, wp, _PL_LANES), jnp.float32),  # plane ring
+        pltpu.VMEM((ring_n, 2, max_disp), jnp.float32),    # pd ring
+        pltpu.VMEM((1, wp, 2 * max_disp), jnp.float32),    # lead sums
+        pltpu.VMEM((1, wp, 2 * max_disp), jnp.float32),    # lag sums
+        pltpu.VMEM((1, wp, 2 * max_disp), jnp.float32),    # A2/B2
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            vol_spec(base + 2 * r),                      # lead add
-            vol_spec(base - 1),                          # shared mid
-            vol_spec(base - 2 * r - 2),                  # lag sub
-            pl_spec(base + 2 * r),                       # g for lead add
-            pl_spec(base + r),                           # lead a,b planes
-            pl_spec(base),                               # output g
-            pl_spec(base - 1),                           # g for mid
-            pl_spec(base - r - 1),                       # lag a,b planes
-            pl_spec(base - 2 * r - 2),                   # g for lag sub
-            pd_spec(base + r),
-            pd_spec(base - r - 1),
-            pl.BlockSpec((wp, 3 * max_disp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, width, max_disp),
-            lambda i: (jnp.maximum(i - 3 * r, 0), 0, 0),
+            (k_rows, width, max_disp),
+            lambda i: (jnp.maximum(i - warm, 0), 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((height, width, max_disp), storage),
-        scratch_shapes=[
-            pltpu.VMEM((1, wp, 2 * max_disp), jnp.float32),  # lead sums
-            pltpu.VMEM((1, wp, 2 * max_disp), jnp.float32),  # lag sums
-            pltpu.VMEM((1, wp, 2 * max_disp), jnp.float32),  # A2/B2
-        ],
+        out_shape=jax.ShapeDtypeStruct((h_out, width, max_disp), storage),
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(p0p, p0p, p0p, planes, planes, planes, planes, planes, planes,
-      pd, pd, tab)
-    return out
+    )(*operands)
+    return out[:height] if h_out != height else out
 
 
 def fused_wedge_fits(height: int, width: int, max_disp: int,
-                     radius: int) -> bool:
-    """VMEM gate for the fused kernel (12 MB working-set budget, same
-    convention as ops/sgm_pallas.py): three [WP, 2D] f32 running-sum
-    scratches, three double-buffered volume-row views, the packed
-    constant table and the output block.  HD-class geometries
-    (1024x1280 D=256: ~23 MB) fall back to the XLA wedge path."""
-    r = int(radius)
-    rpad = _pad_to(r, 8)
-    wp = _pad_to(rpad + width + 2 * r, 8)
-    d = max(max_disp, 128)              # lane padding
-    bytes_needed = (3 * wp * 2 * d * 4          # running-sum scratch
-                    + 6 * wp * d * 4            # vol views, double-buffered
-                    + wp * 3 * d * 4            # constant table
-                    + 2 * width * d * 4)        # output block
-    return bytes_needed <= 12 * 1024 * 1024
+                     radius: int, itemsize: int = 4) -> bool:
+    """VMEM gate for the fused kernel: True when EITHER layout (volume
+    ring, or the 3-ref volume fallback) fits the calibrated scoped-VMEM
+    ceiling.  HD-class geometries (1024x1280 D=256) fit neither
+    full-width and fall back to the XLA wedge path (or the W-chunked
+    HD kernel)."""
+    return (_ring_vmem_bytes(height, width, max_disp, radius, 1,
+                             itemsize, True) <= _VMEM_CEILING
+            or _ring_vmem_bytes(height, width, max_disp, radius, 1,
+                                itemsize, False) <= _VMEM_CEILING)

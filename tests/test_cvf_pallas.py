@@ -59,6 +59,44 @@ def test_bf16_storage_roundtrip():
                                rtol=0.02, atol=0.01)
 
 
+def test_volume_ring_and_refs_layouts_agree():
+    """The two volume-tap layouts (VMEM ring vs mid/lag HBM refs) run
+    identical arithmetic — bit-equal outputs."""
+    rng = np.random.default_rng(17)
+    vol = _wedge_volume(rng, 26, 34, 8)
+    g = rng.random((26, 34), np.float32)
+    ring = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=3, interpret=True, volume_ring=True))
+    refs = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=3, interpret=True, volume_ring=False))
+    np.testing.assert_array_equal(ring, refs)
+    # Stride-k per-row refs: k > 1 works in the refs layout too.
+    refs3 = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=3, interpret=True, volume_ring=False,
+        rows_per_step=3))
+    np.testing.assert_array_equal(ring, refs3)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_rows_per_step_equivalence(k):
+    """Every rows_per_step must produce the SAME result bit-for-bit —
+    the unrolled sub-steps run identical arithmetic in identical order,
+    only the grid bookkeeping amortizes.  Height chosen indivisible by
+    k to exercise the padded-output slice."""
+    rng = np.random.default_rng(21)
+    h, w, d, r = 27, 31, 8, 4                  # 3r = 12: k in {1,2,4} ok
+    vol = _wedge_volume(rng, h, w, d)
+    g = rng.random((h, w), np.float32)
+    base = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=r, interpret=True, rows_per_step=1))
+    got = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=r, interpret=True, rows_per_step=k))
+    np.testing.assert_array_equal(got, base)
+    with pytest.raises(ValueError, match="rows_per_step"):
+        guided_filter_wedge_pallas(vol, g, radius=r, interpret=True,
+                                   rows_per_step=5)
+
+
 def test_vmem_gate_and_radius_validation():
     assert fused_wedge_fits(375, 450, 128, 8)        # teddy: fused
     assert not fused_wedge_fits(1024, 1280, 256, 8)  # HD: XLA fallback
