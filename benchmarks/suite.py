@@ -97,6 +97,14 @@ def _traffic_models():
         # f32-volume unit) for the sub-pixel one-hot sweep
         "pipeline_census_bf16_refined_teddy": 5 * v2 // 2,
         "pipeline_hd_census_bf16_d256": 2 * v3,
+        # HD CVF (round 5): the fused kernel's working set cannot fit the
+        # 16 MB VMEM at W=1280/D=256 (benchmarks/cvf_ring_probe_r5), so
+        # this is the XLA wedge path's 8 box passes: ~8 volume
+        # read+writes, floor quoted as read+write like the teddy row.
+        "cvf_hd_1024x1280_d256": 2 * v3,
+        "cvf_hd_bf16_1024x1280_d256": v3,
+        "pipeline_hd_census_cvf_d256": 4 * v3,
+        "pipeline_hd_census_cvf_bf16_d256": 2 * v3,
         # pyramid: full census pipeline on a volume 8x smaller per level
         # (4 volume-sized transfers); the band stages are VPU-bound
         # streaming scans whose HBM traffic is only images/codes/maps
@@ -560,6 +568,41 @@ def build_benchmarks():
 
         benches["pipeline_hd_census_bf16_d256"] = (hd_census_bf16_body,
                                                    (l3, r3))
+
+        # HD CVF rows (round 5, VERDICT r4 weak #4): the production
+        # geometry for the "fastest full-quality config" claim.  The
+        # stage row holds a wedge HD volume as carry; the pipeline rows
+        # run census + CVF + WTA like the teddy flagship.
+        wedge_hd = np.asarray(
+            rng.random((h3, w3, d3), np.float32), np.float32)
+        xw3, dw3 = np.meshgrid(np.arange(w3), np.arange(d3),
+                               indexing="ij")
+        wedge_hd[:, xw3 < dw3] = np.inf
+        for dt, nm in ((jnp.float32, ""), (jnp.bfloat16, "_bf16")):
+            vol3 = jax.device_put(jnp.asarray(wedge_hd, dt))
+
+            def cvf_hd_body(carry, dt=dt):
+                v, img = carry
+                out = guided_filter_aggregate(v, img, wedge_offset=0)
+                probe = jnp.where(jnp.isfinite(out[:, :, 0]),
+                                  out[:, :, 0].astype(jnp.float32), 0.0)
+                return v + jnp.asarray(1e-12, dt) * probe[:, :, None].astype(
+                    dt), img
+
+            benches[f"cvf_hd{nm}_1024x1280_d256"] = (cvf_hd_body,
+                                                     (vol3, l3))
+
+            def hd_census_cvf_body(carry, dt=dt):
+                l, r = carry
+                vol = census_hamming_cost_volume(l, r, max_disparity=d3,
+                                                 cost_dtype=dt)
+                agg = guided_filter_aggregate(vol, l, wedge_offset=0)
+                disp = winner_takes_all(agg)
+                return feedback(l, disp), r
+
+            benches[f"pipeline_hd_census_cvf{nm}_d256"] = (
+                hd_census_cvf_body, (l3, r3))
+        del wedge_hd
         benches["pipeline_pyramid2_hd_d256"] = pyramid_bench(2, d3, (l3, r3))
         benches["temporal_track_hd_d256"] = temporal_bench(d3, (l3, r3))
     return benches

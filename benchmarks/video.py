@@ -44,7 +44,8 @@ def _write_sequence(path, height, width, max_disparity, n_frames):
     return sbs
 
 
-def bench_config(y4m_path, sbs, batch, max_disparity, config, depth=2):
+def bench_config(y4m_path, sbs, batch, max_disparity, config, depth=2,
+                 fetch_workers=4):
     import jax.numpy as jnp
     from stereomatch_tpu.io.capture import Y4MCapture
     from stereomatch_tpu.stream import StreamingEstimator
@@ -53,7 +54,7 @@ def bench_config(y4m_path, sbs, batch, max_disparity, config, depth=2):
         if config == "census-bf16" else dict(cost="ssd",
                                              cost_dtype=jnp.float32)
     est = StreamingEstimator(max_disparity, batch=batch, depth=depth,
-                             **kwargs)
+                             fetch_workers=fetch_workers, **kwargs)
 
     # Warm the compile outside the timed window: one full batch through
     # estimate_batch, fetched (the first Pallas compile on a fresh
@@ -98,6 +99,12 @@ def main():
                              "(2 = overlap one batch, the old behavior; "
                              "raise against transports whose fetch round "
                              "trip exceeds a batch's compute)")
+    parser.add_argument("--fetch-workers", default="4",
+                        help="comma-separated result-fetch pool sizes to "
+                             "sweep (round 5: overlapping relay round "
+                             "trips measured ~4x in serving; effective "
+                             "concurrency is min(N, depth), so depth is "
+                             "raised to N+1 automatically when N > 1)")
     parser.add_argument("--force-cpu", action="store_true",
                         help="logic check on the CPU backend")
     args = parser.parse_args()
@@ -112,12 +119,20 @@ def main():
         sbs = _write_sequence(y4m, args.height, args.width,
                               args.max_disparity, args.frames)
         results = {}
+        workers = [int(n) for n in args.fetch_workers.split(",")]
         for batch in (int(b) for b in args.batches.split(",")):
-            print(f"# measuring --batch {batch} ...", file=sys.stderr)
-            results[f"batch{batch}"] = bench_config(
-                y4m, sbs, batch, args.max_disparity, args.config,
-                depth=args.depth)
-            print(f"#   {results[f'batch{batch}']}", file=sys.stderr)
+            for fw in workers:
+                depth = max(args.depth, fw + 1) if fw > 1 else args.depth
+                name = (f"batch{batch}" if len(workers) == 1
+                        else f"batch{batch}_fw{fw}")
+                print(f"# measuring --batch {batch} fetch-workers {fw} "
+                      f"(depth {depth}) ...", file=sys.stderr)
+                results[name] = bench_config(
+                    y4m, sbs, batch, args.max_disparity, args.config,
+                    depth=depth, fetch_workers=fw)
+                results[name]["fetch_workers"] = fw
+                results[name]["depth"] = depth
+                print(f"#   {results[name]}", file=sys.stderr)
 
     payload = {"device": device,
                "frame": f"{args.height}x{args.width}xD{args.max_disparity}",

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "a blocking fetch (2 = overlap one batch; "
                              "raise on transports whose result round "
                              "trip exceeds a batch's compute).")
+    parser.add_argument("--fetch-workers", type=int, default=4,
+                        metavar="N",
+                        help="Result-fetch threads (effective concurrency "
+                             "min(N, --depth)): overlapping relay round "
+                             "trips measured ~4x in the serving layer; "
+                             "raise --depth together with N.")
     parser.add_argument("--mesh", action="store_true",
                         help="Run frames through the sharded mesh pipeline: "
                              "frames split over the mesh batch axis (DCN "
@@ -310,12 +316,15 @@ def _run_batched(args, capture, rectifier, headless, out_dir) -> int:
         estimator = StreamingEstimator(args.max_disparity, mesh=mesh,
                                        batch=args.batch or 0,
                                        depth=args.depth,
+                                       fetch_workers=args.fetch_workers,
                                        sgm_mode=args.sgm_mode,
                                        overlap=args.overlap, **common)
     else:
         estimator = StreamingEstimator(args.max_disparity,
                                        batch=args.batch,
-                                       depth=args.depth, **common)
+                                       depth=args.depth,
+                                       fetch_workers=args.fetch_workers,
+                                       **common)
 
     do_quit = False
     frame_idx = 0

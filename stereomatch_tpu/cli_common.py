@@ -122,3 +122,28 @@ def create_pipeline(cost_method: str, disp_method: str,
         cost = cost_cls(max_disparity)
 
     return Pipeline(cost, disparity, aggregation=aggregation)
+
+
+def recommended_dtype(height: int, width: int,
+                      aggregation: str = "sgm") -> str:
+    """Geometry-aware volume-dtype recommendation (round 5).
+
+    Measured on the v5e chip (benchmarks/results_v5e_r04.json,
+    benchmarks/cvf_ring_probe_r5_out.json):
+
+    * SGM pipelines at teddy-class frames run FASTER in float32
+      (census 2.57 vs 2.83 ms) — the bf16 storage saving is smaller
+      than its widen/narrow overhead once the f32 path lost its
+      transposes in round 4;
+    * at HD-class frames the volume dominates HBM traffic and bf16
+      wins decisively (census+SGM 40.3 vs 54.5 ms);
+    * CVF aggregation is HBM-bound at every size — bf16 wins even at
+      teddy (fused kernel 1.88 vs 2.04 ms), and census costs are small
+      integers that bf16 represents exactly.
+
+    The threshold between the classes is half a megapixel (teddy is
+    0.17 MP, HD-class 1.3 MP).
+    """
+    if aggregation == "cvf":
+        return "bfloat16"
+    return "bfloat16" if height * width >= 512 * 1024 else "float32"

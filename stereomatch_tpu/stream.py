@@ -199,6 +199,7 @@ class StreamingEstimator:
                  aggregation: Optional[str] = "sgm", reducer: str = "wta",
                  penalty1: float = 0.1, penalty2: float = 0.2,
                  cvf_radius: int = 8, cvf_eps: float = 1e-4,
+                 fetch_workers: int = 4,
                  backend: str = "auto", mesh=None,
                  sgm_mode: str = "exact", overlap: int = 64,
                  pyramid_levels: int = 0, band_radius: int = 24,
@@ -220,6 +221,13 @@ class StreamingEstimator:
         # batch's compute (identical results — frames still yield in
         # order).
         self.depth = depth
+        # Result-fetch concurrency (round 5): each device->host fetch is
+        # a long relay round trip, and serving measured that overlapping
+        # round trips across threads is worth ~4x at identical work
+        # (docs/serving.md rounds 4-5).  Effective concurrency is
+        # min(fetch_workers, depth) — the loop keeps at most ``depth``
+        # batches in flight, so raise both to overlap more.
+        self.fetch_workers = max(int(fetch_workers), 1)
         if pyramid_levels > 0:
             wanted = [name for name, on in [
                 ("lr_check", lr_check), ("weighted_median", weighted_median),
@@ -340,20 +348,22 @@ class StreamingEstimator:
 
         Yields (gray_left [H, W], disparity [H, W] int32) per frame, in
         order, keeping up to ``depth`` batches in flight.  Result
-        fetches run on ONE background thread (round 4): on relay
-        transports the device->host fetch is the serial bound (the
-        stage split in benchmarks/video.py), and in a single thread it
-        also serializes against decode + dispatch; a fetcher thread
-        overlaps them, so steady-state ms/frame approaches
-        max(fetch, decode + dispatch) instead of their sum.  Frame
-        order, values, and the yielded dtype are unchanged
-        (``np.asarray`` releases the GIL during the transfer).
+        fetches run on a background pool (round 4 added one fetcher
+        thread so fetch overlaps decode + dispatch; round 5 widens it
+        to ``fetch_workers`` so fetches ALSO overlap each other — on
+        relay transports each fetch is a long round trip and the
+        serving layer measured ~4x from exactly this overlap).  Frame
+        order, values, and the yielded dtype are unchanged: ``pending``
+        is popped in submission order and each future resolves
+        independently (``np.asarray`` releases the GIL during the
+        transfer).
         """
         from concurrent.futures import ThreadPoolExecutor
         self.stats = StreamStats()
         self.stats._start = time.perf_counter()
-        fetcher = ThreadPoolExecutor(max_workers=1,
-                                     thread_name_prefix="stm-fetch")
+        fetcher = ThreadPoolExecutor(
+            max_workers=min(self.fetch_workers, max(self.depth, 1)),
+            thread_name_prefix="stm-fetch")
         pending: List[Tuple[List[np.ndarray], object]] = []
         lefts_buf: List[np.ndarray] = []
         rights_buf: List[np.ndarray] = []
