@@ -332,14 +332,27 @@ def _filter_body(volume, guide, radius, eps, assume_finite, subsample=1,
         # positioning.  TPU-only (Mosaic), radius >= 1, and gated to
         # geometries whose working set fits VMEM (HD falls back).
         import jax as _jax
-        from .cvf_pallas import fused_wedge_fits, guided_filter_wedge_pallas
+        from .cvf_pallas import (fused_wedge_fits,
+                                 guided_filter_wedge_chunked_pallas,
+                                 guided_filter_wedge_pallas,
+                                 pick_chunk_width)
         h, w = guide.shape
-        if (_jax.default_backend() == "tpu" and radius >= 1
-                and fused_wedge_fits(h, w, volume.shape[2], radius,
-                                     volume.dtype.itemsize)):
-            return guided_filter_wedge_pallas(
-                volume, guide, radius=radius, eps=eps,
-                wedge_offset=int(wedge_offset))
+        if _jax.default_backend() == "tpu" and radius >= 1:
+            if fused_wedge_fits(h, w, volume.shape[2], radius,
+                                volume.dtype.itemsize):
+                return guided_filter_wedge_pallas(
+                    volume, guide, radius=radius, eps=eps,
+                    wedge_offset=int(wedge_offset))
+            # Round 5: geometries whose full-width state overflows VMEM
+            # (HD) stream through the W-chunked variant — measured 88 ->
+            # ~34 ms at 1024x1280 D=256 vs the XLA wedge fallback,
+            # whose 17-tap reduce_window windows lose cache locality at
+            # HD row sizes (benchmarks/cvf_ring_probe_r5, HD section).
+            if pick_chunk_width(w, volume.shape[2], radius,
+                                volume.dtype.itemsize) is not None:
+                return guided_filter_wedge_chunked_pallas(
+                    volume, guide, radius=radius, eps=eps,
+                    wedge_offset=int(wedge_offset))
         return _filter_body_wedge(volume, guide, radius, eps,
                                   int(wedge_offset), use_mxu=use_mxu)
     if subsample > 1:

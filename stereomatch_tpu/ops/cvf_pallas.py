@@ -105,7 +105,8 @@ _PL_LANES = 8
 def _fused_wedge_ring_kernel(*refs,
                              radius: int, eps: float, height: int,
                              width_padded: int, rpad: int, width: int,
-                             rows_per_step: int, volume_ring: bool):
+                             rows_per_step: int, volume_ring: bool,
+                             chunked: bool = False):
     """Grid step i covers output rows t = i*k - 3r + j, j in [0, k).
 
     Per sub-row: write the fresh input row (u = t + 2r) into the rings,
@@ -131,9 +132,15 @@ def _fused_wedge_ring_kernel(*refs,
         (pl_ref, pd_ref, tab_ref, out_ref,
          ring_pl, ring_pd, slead_ref, slag_ref, s2_ref) = refs[3 * k:]
         ring_p0 = None
-    i = pl.program_id(0)
+    # Chunked (W-split) layout: grid (n_chunks, n_row_steps), every ref
+    # carries a leading chunk dim of block size 1 (pd/out excepted);
+    # state resets at each chunk's row step 0.
+    i = pl.program_id(1) if chunked else pl.program_id(0)
     r = radius
     ring_n = 4 * r + 3
+
+    def vol_row(ref, j):
+        return ref[0, 0] if chunked else ref[j]
 
     @pl.when(i == 0)
     def _init():
@@ -145,7 +152,7 @@ def _fused_wedge_ring_kernel(*refs,
         slag_ref[...] = jnp.zeros_like(slag_ref)
         s2_ref[...] = jnp.zeros_like(s2_ref)
 
-    tab = tab_ref[...]                                 # [WP, 3D]
+    tab = tab_ref[0] if chunked else tab_ref[...]      # [WP, 3D]
     d = tab.shape[1] // 3
     validf = tab[:, :d]
     cntw = tab[:, d:2 * d]
@@ -195,8 +202,9 @@ def _fused_wedge_ring_kernel(*refs,
             return lax.rem(s + (mult - c), ring_n)
 
         p_fresh = (p0_ref[j] if ring_p0 is not None
-                   else fresh_refs[j][0])              # [WP, D] storage
-        plf = pl_ref[j].astype(jnp.float32)            # [WP, 8]
+                   else vol_row(fresh_refs[j], 0))     # [WP, D] storage
+        plf = (pl_ref[0, j] if chunked
+               else pl_ref[j]).astype(jnp.float32)     # [WP, 8]
         pdf = pd_ref[j]                                # [2, D]
         s_f = slot(r)                                  # u = t + 2r
         if ring_p0 is not None:
@@ -210,8 +218,8 @@ def _fused_wedge_ring_kernel(*refs,
             p_mid = ring_p0[pl.ds(slot(3 * r + 1), 1)][0]   # u = t - 1
             p_lag = ring_p0[pl.ds(slot(5 * r + 2), 1)][0]   # u = t-2r-2
         else:
-            p_mid = mid_refs[j][0]
-            p_lag = lag_refs[j][0]
+            p_mid = vol_row(mid_refs[j], 0)
+            p_lag = vol_row(lag_refs[j], 0)
         pl_mid = tap_pl(3 * r + 1)
         pl_lag = tap_pl(5 * r + 2)
 
@@ -465,3 +473,187 @@ def fused_wedge_fits(height: int, width: int, max_disp: int,
                              itemsize, True) <= _VMEM_CEILING
             or _ring_vmem_bytes(height, width, max_disp, radius, 1,
                                 itemsize, False) <= _VMEM_CEILING)
+
+
+def _chunk_vmem_bytes(chunk_width: int, max_disp: int, radius: int,
+                      itemsize: int) -> int:
+    """Per-chunk scoped-VMEM estimate for the W-chunked kernel (refs
+    layout, k = 1), same calibrated terms as _ring_vmem_bytes."""
+    r = int(radius)
+    left = _pad_to(2 * r, 8)
+    wcp = left + chunk_width + 4 * r
+    d = max(max_disp, 128)
+    ring_n = 4 * r + 3
+    return (ring_n * wcp * _PL_LANES * 4        # plane ring
+            + ring_n * 2 * d * 4                # pd ring
+            + 3 * wcp * 2 * d * 4               # running-sum scratch
+            + 2 * wcp * 3 * d * 4               # per-chunk table (dbl-buf)
+            + 2 * 3 * wcp * d * itemsize        # volume row blocks
+            + 2 * wcp * _PL_LANES * 4           # plane block
+            + 2 * chunk_width * d * itemsize    # output block
+            + 12 * wcp * 2 * d * 4)             # kernel temporaries
+
+
+def pick_chunk_width(width: int, max_disp: int, radius: int,
+                     itemsize: int):
+    """Largest multiple-of-8 chunk width whose working set fits; None
+    when even 64 columns do not (give up on the chunked kernel)."""
+    wc = min(_pad_to(width, 8), 512)
+    while wc >= 64:
+        if _chunk_vmem_bytes(wc, max_disp, radius,
+                             itemsize) <= _VMEM_CEILING:
+            return wc
+        wc -= 8
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps",
+                                             "wedge_offset", "interpret",
+                                             "chunk_width"))
+def guided_filter_wedge_chunked_pallas(cost_volume: jnp.ndarray,
+                                       guide: jnp.ndarray, *,
+                                       radius: int = 8, eps: float = 1e-4,
+                                       wedge_offset: int = 0,
+                                       interpret: bool = False,
+                                       chunk_width: int | None = None
+                                       ) -> jnp.ndarray:
+    """W-chunked fused wedge CVF for geometries whose full-width state
+    cannot fit VMEM (HD: W=1280, D=256 needs ~2.7 MB per running-sum row
+    — x3 sums + temporaries blows the 16 MB budget).
+
+    The column axis splits into chunks processed as the OUTER grid dim;
+    each chunk runs the same streaming row sweep as the full-width
+    kernel over a [left | wc | 2r halo | 2r shelter] column window:
+
+    * output columns need ab models up to r past the chunk, whose stat
+      sums reach r further — so 2r REAL halo columns each side (zeros
+      at the true image edges, where windows clip);
+    * the roll-chain wrap garbage lands in the 2r shelter, and the
+      re-center roll's front garbage stays inside the first r of the
+      left pad — never read, exactly as in the full-width layout;
+    * per-chunk (x, d) tables carry GLOBAL column indices, so validity,
+      counts and the prefix-plane selector are unchanged; A2/B2
+      accumulate ab of in-image halo columns (gated only by the global
+      wedge/width mask) — the cross-chunk coupling the halos exist for.
+
+    Redundant compute is (left + 4r) / wc per chunk (~19% at wc = 256);
+    the volume is re-read once per OWNING chunk only (halo columns ride
+    the same block).  Semantics identical to the full-width kernel.
+    """
+    height, width, max_disp = cost_volume.shape
+    r = int(radius)
+    if r < 1:
+        raise ValueError(f"radius must be >= 1 for the fused kernel, "
+                         f"got {r}")
+    off = int(wedge_offset)
+    storage = cost_volume.dtype
+    if chunk_width is None:
+        chunk_width = pick_chunk_width(width, max_disp, r,
+                                       jnp.dtype(storage).itemsize)
+        if chunk_width is None:
+            raise ValueError("no chunk width fits VMEM for this geometry")
+    wc = int(chunk_width)
+    if wc % 8:
+        raise ValueError(f"chunk_width must be a multiple of 8, got {wc}")
+
+    left = _pad_to(2 * r, 8)
+    wcp = left + wc + 4 * r
+    n_chunks = -(-width // wc)
+    w_total = n_chunks * wc
+
+    # ---- XLA preparation --------------------------------------------
+    p32 = cost_volume.astype(jnp.float32)
+    i32 = guide.astype(jnp.float32)
+    x_id = lax.broadcasted_iota(jnp.int32, (width, max_disp), 0)
+    d_id = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1) + off
+    valid_wd = x_id >= d_id
+    p0 = jnp.where(valid_wd[None], p32, 0.0).astype(storage)
+
+    top = 5 * r + 2                      # refs-layout lag reach
+    bottom = 2 * r + 1
+
+    def pad_and_chunk(x):
+        """Row pad + column pad, then the per-chunk column windows
+        [j*wc, j*wc + wcp) stacked on a leading chunk axis."""
+        xp = jnp.pad(x, ((top, bottom),
+                         (left, w_total - width + 4 * r))
+                     + ((0, 0),) * (x.ndim - 2))
+        return jnp.stack([xp[:, j * wc:j * wc + wcp]
+                          for j in range(n_chunks)])
+
+    p0c = pad_and_chunk(p0)                       # [J, Hp, WCP, D]
+
+    g1 = _box_sum_sym(i32, r, axes=(0,))
+    g2 = _box_sum_sym(i32 * i32, r, axes=(0,))
+    hi1, lo1, p1 = _prefix_planes_w(g1, r)
+    hi2, lo2, p2 = _prefix_planes_w(g2, r)
+    planes = jnp.stack([i32, hi1, lo1, hi2, lo2]
+                       + [jnp.zeros_like(i32)] * (_PL_LANES - 5), axis=-1)
+    planes_c = pad_and_chunk(planes)              # [J, Hp, WCP, 8]
+
+    lo_col = max(0, min(off, width))
+    overrun = max(0, lo_col + max_disp - (width + 1))
+    p1e = jnp.pad(p1, ((0, 0), (0, overrun)), mode="edge")
+    p2e = jnp.pad(p2, ((0, 0), (0, overrun)), mode="edge")
+    pd = jnp.stack(
+        [lax.slice_in_dim(p1e, lo_col, lo_col + max_disp, axis=1),
+         lax.slice_in_dim(p2e, lo_col, lo_col + max_disp, axis=1)], axis=1)
+    pd = jnp.pad(pd, ((top, bottom), (0, 0), (0, 0)))   # [Hp, 2, D]
+
+    # Per-chunk (x, d) tables in GLOBAL column coordinates.
+    l_id = lax.broadcasted_iota(jnp.int32, (n_chunks, wcp, max_disp), 1)
+    j_id = lax.broadcasted_iota(jnp.int32, (n_chunks, wcp, max_disp), 0)
+    xg = j_id * wc + l_id - left
+    dg = lax.broadcasted_iota(jnp.int32, (n_chunks, wcp, max_disp), 2) + off
+    validf = ((xg >= dg) & (xg >= 0) & (xg < width)).astype(jnp.float32)
+    cntw = jnp.maximum(
+        jnp.minimum(xg + r, width - 1)
+        - jnp.maximum(jnp.maximum(xg - r, 0), dg) + 1, 0
+    ).astype(jnp.float32)
+    condf = ((xg - r) >= dg).astype(jnp.float32)
+    tab = jnp.concatenate([validf, cntw, condf], axis=2)   # [J, WCP, 3D]
+
+    # ---- pallas call ------------------------------------------------
+    n_steps = height + 3 * r
+    warm = 3 * r
+    ring_n = 4 * r + 3
+    kernel = functools.partial(
+        _fused_wedge_ring_kernel, radius=r, eps=float(eps), height=height,
+        width_padded=wcp, rpad=left, width=wc, rows_per_step=1,
+        volume_ring=False, chunked=True)
+    vol_spec = lambda c: pl.BlockSpec(
+        (1, 1, wcp, max_disp), lambda j, i, c=c: (j, i + c, 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks, n_steps),
+        in_specs=[
+            vol_spec(4 * r + 2),                           # fresh
+            vol_spec(2 * r + 1),                           # mid
+            vol_spec(0),                                   # lag
+            pl.BlockSpec((1, 1, wcp, _PL_LANES),
+                         lambda j, i: (j, i + 4 * r + 2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, max_disp),
+                         lambda j, i: (i + 4 * r + 2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wcp, 3 * max_disp),
+                         lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, wc, max_disp),
+            lambda j, i: (jnp.maximum(i - warm, 0), j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((height, w_total, max_disp),
+                                       storage),
+        scratch_shapes=[
+            pltpu.VMEM((ring_n, wcp, _PL_LANES), jnp.float32),
+            pltpu.VMEM((ring_n, 2, max_disp), jnp.float32),
+            pltpu.VMEM((1, wcp, 2 * max_disp), jnp.float32),
+            pltpu.VMEM((1, wcp, 2 * max_disp), jnp.float32),
+            pltpu.VMEM((1, wcp, 2 * max_disp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(p0c, p0c, p0c, planes_c, pd, tab)
+    return out[:, :width] if w_total != width else out

@@ -119,3 +119,36 @@ def test_wta_agreement_on_distinct_volume():
     got = np.asarray(winner_takes_all(
         guided_filter_wedge_pallas(vol, g, radius=4, interpret=True)))
     assert (got == ref).mean() > 0.995
+
+
+@pytest.mark.parametrize("h,w,d,r,wc,off", [
+    (30, 72, 12, 3, 24, 0),
+    (26, 70, 8, 4, 32, 2),     # width not divisible by chunk
+    (22, 64, 16, 8, 40, 0),    # radius 8, ragged last chunk
+])
+def test_chunked_matches_xla_wedge_path(h, w, d, r, wc, off):
+    """The W-chunked kernel (HD fallback) must match the XLA wedge path
+    like the full-width kernel does — including cross-chunk window
+    coupling through the 2r column halos and ragged last chunks."""
+    from stereomatch_tpu.ops.cvf_pallas import \
+        guided_filter_wedge_chunked_pallas
+    rng = np.random.default_rng(h * w)
+    vol = _wedge_volume(rng, h, w, d, off)
+    g = rng.random((h, w), np.float32)
+    ref = np.asarray(guided_filter_aggregate(vol, g, radius=r,
+                                             wedge_offset=off))
+    got = np.asarray(guided_filter_wedge_chunked_pallas(
+        vol, g, radius=r, wedge_offset=off, chunk_width=wc,
+        interpret=True))
+    assert np.array_equal(np.isinf(got), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-5)
+
+
+def test_chunk_width_picker():
+    from stereomatch_tpu.ops.cvf_pallas import pick_chunk_width
+    # HD geometry gets a usable chunk in both dtypes.
+    assert pick_chunk_width(1280, 256, 8, 4) >= 64
+    assert pick_chunk_width(1280, 256, 8, 2) >= 64
+    # Small widths cap at the (padded) full width.
+    assert pick_chunk_width(120, 128, 8, 4) == 120
