@@ -153,6 +153,11 @@ def main():
     parser.add_argument("--pipeline-depth", type=int, default=2,
                         help="stm-serve worker fetch/dispatch overlap "
                              "(1 = synchronous, the pre-pipelining path)")
+    parser.add_argument("--dispatch-workers", type=int, default=None,
+                        help="pass --dispatch-workers to the server "
+                             "(round 5: each worker carries one batch "
+                             "through its full dispatch+fetch round "
+                             "trip)")
     parser.add_argument("--no-adaptive-batch", action="store_true",
                         help="pass --no-adaptive-batch to the server "
                              "(pins the configured batch; the A/B "
@@ -170,6 +175,8 @@ def main():
     for depth in depths:
         extra = ["--dtype", args.dtype, "--backend", args.backend,
                  "--pipeline-depth", str(depth)]
+        if args.dispatch_workers is not None:
+            extra += ["--dispatch-workers", str(args.dispatch_workers)]
         if args.no_adaptive_batch:
             extra.append("--no-adaptive-batch")
         for linger in lingers:
