@@ -119,7 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Worker threads that each carry one batch "
                              "through its FULL device round trip "
                              "(upload + dispatch + result fetch) "
-                             "concurrently (default 4).  Relay-style "
+                             "concurrently (default 16, matching the "
+                             "HTTP handler concurrency; in-flight "
+                             "device memory is bounded in FRAMES at "
+                             "max(N, 2*batch)).  Relay-style "
                              "transports charge a ~50-100 ms round trip "
                              "per dispatch AND per fetch; a single "
                              "batcher thread serializes them, which is "
@@ -280,11 +283,14 @@ class _Batcher:
     to 1/RTT while the UNBATCHED path accidentally overlapped round
     trips across its 16 HTTP handler threads (~4x at identical work).
     The pool makes that overlap deliberate: N workers = N concurrent
-    round trips, for dispatch and fetch alike.  A maxsize-1 hand-off
-    queue backpressures the gatherer, so at most N + 1 batches are
-    device-resident.  Batches may complete in any order relative to
-    each other — each request waits on its own per-job event, so
-    completion order is irrelevant to correctness.
+    round trips, for dispatch and fetch alike.  Device memory is
+    bounded in FRAMES (max(N, 2*batch) in flight): 16 size-1 groups
+    cost what 2 size-8 groups cost, so degraded/linger-0 traffic
+    overlaps 16-way while full batches keep the two-deep profile; a
+    maxsize-1 hand-off queue backpressures the gatherer on top.
+    Batches may complete in any order relative to each other — each
+    request waits on its own per-job event, so completion order is
+    irrelevant to correctness.
     """
 
     def __init__(self, args):
@@ -335,7 +341,16 @@ class _Batcher:
             workers = getattr(args, "dispatch_workers", None)
             if workers is None:
                 workers = getattr(args, "fetch_workers", None)  # alias
-            self.workers = max(1, workers if workers is not None else 4)
+            self.workers = max(1, workers if workers is not None else 16)
+            # Device-memory bound in FRAMES, not batches: 16 size-1
+            # groups in flight cost what 2 size-8 groups cost, so small
+            # (linger-0 / degraded-transport) batches may overlap
+            # 16-way — matching the unbatched path's handler-thread
+            # concurrency — while large batches stay at the old
+            # two-batches-deep profile.
+            self.frame_cap = max(self.workers, 2 * self.max_batch)
+            self._inflight_frames = 0
+            self._cap_cv = threading.Condition()
             self._dispatch_q = queue.Queue(maxsize=1)
             for i in range(self.workers):
                 threading.Thread(target=self._dispatch_loop, daemon=True,
@@ -347,50 +362,67 @@ class _Batcher:
 
     def estimate(self, left, right, refine: bool, speckle: bool = False):
         job = _Job(left, right, refine, speckle)
-        if self.eff_batch == 1 and not self.args.mesh:
-            # Degraded-to-1 fast path (round 4): batches of one gain
-            # nothing from the worker/completion funnel, which caps
-            # concurrent result fetches at fetch-workers — and on relay
-            # transports each fetch is a long round trip, so fetch
-            # concurrency IS the throughput (the unbatched server's
-            # 16 handler threads measured ~4x the funnel at the same
-            # size-1 work).  Dispatch serialized under a lock; the
-            # FETCH happens here, in the calling handler thread, one
-            # per in-flight request.  The adaptive EMAs keep updating,
-            # so batching re-engages when the queue pressure that
-            # degraded it clears.  The funnel path's request-timeout
+        if self.eff_batch <= 2 and not self.args.mesh:
+            # Small-batch fast path (rounds 4-5): batches of one or two
+            # gain nothing from the gather/worker funnel — pairing two
+            # frames saves one round trip where the handler threads
+            # already overlap sixteen — and the round-5 sweeps kept
+            # finding the batch-2/linger-0 corner collapsing under
+            # transport stalls that the unbatched path rode out
+            # (serving_v5e_r05.json).  So eff_batch <= 2 serves each
+            # request directly in its handler thread: upload outside
+            # the lock, dispatch briefly locked, fetch in a pooled
+            # future with the request-timeout deadline.  The adaptive
+            # EMAs keep updating, so real batching (>= 4) re-engages
+            # when configured and the queue pressure clears.  The funnel path's request-timeout
             # contract holds here too: the dispatch lock is acquired
             # with a deadline and the host fetch runs in a pooled
             # future, so a hung relay fetch surfaces a 500 instead of
             # pinning every handler thread (ADVICE r4).
             import numpy as np
-            fn, _ = self._fn(job)
             t0 = job.t0
             deadline = t0 + self.args.request_timeout_s
-            if not self._direct_lock.acquire(
-                    timeout=max(deadline - time.monotonic(), 0.0)):
-                raise RuntimeError(
-                    f"device work did not complete within "
-                    f"{self.args.request_timeout_s:g}s")
-            try:
-                now = time.monotonic()
-                with self._stats_lock:
-                    self.queue_s += now - t0
-                out = _narrow_for_fetch(fn(job.left[None], job.right[None]),
-                                        self.args.max_disparity)
-            finally:
-                self._direct_lock.release()
             if self._direct_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
                 with self._stats_lock:
                     if self._direct_pool is None:
                         self._direct_pool = ThreadPoolExecutor(
                             max_workers=32,
-                            thread_name_prefix="stm-serve-direct-fetch")
-            fut = self._direct_pool.submit(np.asarray, out)
+                            thread_name_prefix="stm-serve-direct")
+
+            def _run_direct():
+                import jax
+                fn, _ = self._fn(job)
+                # Upload OUTSIDE the dispatch lock: on relay transports
+                # the host->device transfer is itself a long round trip,
+                # and paying it under the lock would serialize the fast
+                # path at 1/upload_rtt — the unbatched server path
+                # device_puts before its lock for exactly this reason.
+                left_dev = jax.device_put(job.left[None])
+                right_dev = jax.device_put(job.right[None])
+                if not self._direct_lock.acquire(
+                        timeout=max(deadline - time.monotonic(), 0.0)):
+                    raise RuntimeError(
+                        f"device work did not complete within "
+                        f"{self.args.request_timeout_s:g}s")
+                try:
+                    now = time.monotonic()
+                    with self._stats_lock:
+                        self.queue_s += now - t0
+                    out = _narrow_for_fetch(fn(left_dev, right_dev),
+                                            self.args.max_disparity)
+                finally:
+                    self._direct_lock.release()
+                return now, np.asarray(out)[0]
+
+            # The WHOLE direct round trip runs in a pooled future so a
+            # hung compile/upload/fetch surfaces the request timeout
+            # instead of pinning the handler thread (the funnel path's
+            # contract, kept here).
+            fut = self._direct_pool.submit(_run_direct)
             try:
-                host = fut.result(
-                    timeout=max(deadline - time.monotonic(), 0.0))[0]
+                now, host = fut.result(
+                    timeout=max(deadline - time.monotonic(), 0.0))
             except TimeoutError:
                 raise RuntimeError(
                     f"device work did not complete within "
@@ -654,6 +686,14 @@ class _Batcher:
         lacked (docs/serving.md rounds 3-5)."""
         while True:
             group = self._dispatch_q.get()
+            n = len(group)
+            with self._cap_cv:
+                # Frame-based backpressure (see __init__); a group alone
+                # always passes so oversized groups cannot deadlock.
+                while (self._inflight_frames
+                       and self._inflight_frames + n > self.frame_cap):
+                    self._cap_cv.wait()
+                self._inflight_frames += n
             with self._stats_lock:
                 self.inflight += 1
             try:
@@ -665,6 +705,9 @@ class _Batcher:
             finally:
                 with self._stats_lock:
                     self.inflight -= 1
+                with self._cap_cv:
+                    self._inflight_frames -= n
+                    self._cap_cv.notify_all()
 
     def _gather(self, parked):
         """Form the next batch: oldest request leads; same-key requests
