@@ -138,8 +138,8 @@ def recommended_dtype(height: int, width: int,
     * at HD-class frames the volume dominates HBM traffic and bf16
       wins decisively (census+SGM 40.3 vs 54.5 ms);
     * CVF aggregation is HBM-bound at every size — bf16 wins even at
-      teddy (fused kernel 1.88 vs 2.04 ms), and census costs are small
-      integers that bf16 represents exactly.
+      teddy (fused kernel 1.83 vs 2.30 ms same-process), and census
+      costs are small integers that bf16 represents exactly.
 
     The threshold between the classes is half a megapixel (teddy is
     0.17 MP, HD-class 1.3 MP).
