@@ -106,7 +106,8 @@ def _fused_wedge_ring_kernel(*refs,
                              radius: int, eps: float, height: int,
                              width_padded: int, rpad: int, width: int,
                              rows_per_step: int, volume_ring: bool,
-                             chunked: bool = False):
+                             chunked: bool = False,
+                             raw_volume: bool = False):
     """Grid step i covers output rows t = i*k - 3r + j, j in [0, k).
 
     Per sub-row: write the fresh input row (u = t + 2r) into the rings,
@@ -141,6 +142,24 @@ def _fused_wedge_ring_kernel(*refs,
 
     def vol_row(ref, j):
         return ref[0, 0] if chunked else ref[j]
+
+    def vol_tap(ref, j, u):
+        """Volume-row view for the tap at original row ``u``.
+
+        ``raw_volume`` (round 5): the refs read the UNPADDED volume
+        through clamped index maps, so the kernel pads the columns,
+        applies the wedge/width mask (validf) and the row gate itself —
+        the XLA prep then never copies the volume (the padded+masked
+        copy was a full extra HBM round trip).
+        """
+        row = vol_row(ref, j)
+        if not raw_volume:
+            return row
+        padded = jnp.pad(row.astype(jnp.float32),
+                         ((rpad, width_padded - rpad - width), (0, 0)))
+        rv = jnp.where((u >= 0) & (u < height), 1.0, 0.0)
+        # where, not multiply: the wedge cells are +inf and inf*0 = NaN.
+        return jnp.where((validf * rv) > 0, padded, 0.0)
 
     @pl.when(i == 0)
     def _init():
@@ -202,7 +221,7 @@ def _fused_wedge_ring_kernel(*refs,
             return lax.rem(s + (mult - c), ring_n)
 
         p_fresh = (p0_ref[j] if ring_p0 is not None
-                   else vol_row(fresh_refs[j], 0))     # [WP, D] storage
+                   else vol_tap(fresh_refs[j], 0, t + 2 * r))  # [WP, D]
         plf = (pl_ref[0, j] if chunked
                else pl_ref[j]).astype(jnp.float32)     # [WP, 8]
         pdf = pd_ref[j]                                # [2, D]
@@ -218,8 +237,8 @@ def _fused_wedge_ring_kernel(*refs,
             p_mid = ring_p0[pl.ds(slot(3 * r + 1), 1)][0]   # u = t - 1
             p_lag = ring_p0[pl.ds(slot(5 * r + 2), 1)][0]   # u = t-2r-2
         else:
-            p_mid = vol_row(mid_refs[j], 0)
-            p_lag = vol_row(lag_refs[j], 0)
+            p_mid = vol_tap(mid_refs[j], 0, t - 1)
+            p_lag = vol_tap(lag_refs[j], 0, t - 2 * r - 2)
         pl_mid = tap_pl(3 * r + 1)
         pl_lag = tap_pl(5 * r + 2)
 
@@ -301,14 +320,15 @@ def _pick_layout(height: int, width: int, max_disp: int,
 @functools.partial(jax.jit, static_argnames=("radius", "eps",
                                              "wedge_offset", "interpret",
                                              "rows_per_step",
-                                             "volume_ring"))
+                                             "volume_ring", "raw_volume"))
 def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
                                guide: jnp.ndarray, *,
                                radius: int = 8, eps: float = 1e-4,
                                wedge_offset: int = 0,
                                interpret: bool = False,
                                rows_per_step: int | None = None,
-                               volume_ring: bool | None = None
+                               volume_ring: bool | None = None,
+                               raw_volume: bool | None = None
                                ) -> jnp.ndarray:
     """Fused guided-filter aggregation for wedge volumes (see module
     docstring).  Drop-in for ``guided_filter_aggregate(...,
@@ -333,14 +353,25 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
     if (3 * r) % k_rows:
         raise ValueError(f"rows_per_step {k_rows} must divide 3*radius "
                          f"= {3 * r} (output-block alignment)")
+    # raw_volume (round 5): skip the padded+masked volume copy in the
+    # XLA prep — the refs-layout kernel reads the raw volume through
+    # clamped index maps and pads/masks in VMEM.  Default ON for the
+    # refs layout (the benchmark geometries); the ring layout keeps the
+    # padded copy (its ring stores pre-masked rows).
+    if raw_volume is None:
+        raw_volume = not volume_ring and k_rows == 1
+    if raw_volume and (volume_ring or k_rows != 1):
+        raise ValueError("raw_volume requires the refs layout at "
+                         "rows_per_step=1")
 
     # ---- XLA preparation (plane passes + padded copies) -------------
     p32 = cost_volume.astype(jnp.float32)
     i32 = guide.astype(jnp.float32)
-    x_id = lax.broadcasted_iota(jnp.int32, (width, max_disp), 0)
-    d_id = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1) + off
-    valid_wd = x_id >= d_id
-    p0 = jnp.where(valid_wd[None], p32, 0.0).astype(storage)
+    if not raw_volume:
+        x_id = lax.broadcasted_iota(jnp.int32, (width, max_disp), 0)
+        d_id = lax.broadcasted_iota(jnp.int32, (width, max_disp), 1) + off
+        valid_wd = x_id >= d_id
+        p0 = jnp.where(valid_wd[None], p32, 0.0).astype(storage)
 
     # Column padding: rpad zero columns left (multiple of 8 so the
     # output slice stays sublane-aligned), right shelter >= 2r.
@@ -362,7 +393,7 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
         return jnp.pad(x, ((top, bottom), (rpad, wp - rpad - width))
                        + ((0, 0),) * (x.ndim - 2))
 
-    p0p = pad_rows_cols(p0)
+    p0p = cost_volume if raw_volume else pad_rows_cols(p0)
 
     # Guide prefix planes on the ORIGINAL grid (identical algebra to
     # ops/cvf.py::_filter_body_wedge), packed with the guide into one
@@ -408,12 +439,24 @@ def guided_filter_wedge_pallas(cost_volume: jnp.ndarray,
     kernel = functools.partial(
         _fused_wedge_ring_kernel, radius=r, eps=float(eps), height=height,
         width_padded=wp, rpad=rpad, width=width, rows_per_step=k_rows,
-        volume_ring=volume_ring)
+        volume_ring=volume_ring, raw_volume=raw_volume)
     if volume_ring:
         in_specs = [pl.BlockSpec(
             (k_rows, wp, max_disp), lambda i: (i + fresh_ofs, 0, 0),
             memory_space=pltpu.VMEM)]                      # fresh volume
         operands = [p0p]
+    elif raw_volume:
+        # Clamped single-row maps over the RAW volume; the kernel pads,
+        # masks and row-gates (clamp-read rows outside the image are
+        # gated to zero, so any content is fine).
+        raw_spec = lambda c: pl.BlockSpec(
+            (1, width, max_disp),
+            lambda i, c=c: (jnp.clip(i + c, 0, height - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [raw_spec(-r),                       # fresh u = t+2r
+                    raw_spec(-3 * r - 1),               # mid   u = t-1
+                    raw_spec(-5 * r - 2)]               # lag   u = t-2r-2
+        operands = [p0p] * 3
     else:
         # Per-row stride-k refs for each volume tap (fresh / mid / lag):
         # a 1-row block whose index map advances k rows per grid step —

@@ -152,3 +152,22 @@ def test_chunk_width_picker():
     assert pick_chunk_width(1280, 256, 8, 2) >= 64
     # Small widths cap at the (padded) full width.
     assert pick_chunk_width(120, 128, 8, 4) == 120
+
+
+def test_raw_volume_matches_prepadded_refs():
+    """The raw-volume refs layout (kernel-side pad/mask/row-gate; no
+    XLA volume copy) must equal the pre-padded refs layout bit-for-bit
+    — same arithmetic, the masking just moved into VMEM."""
+    rng = np.random.default_rng(31)
+    vol = _wedge_volume(rng, 28, 36, 8, off=1)
+    g = rng.random((28, 36), np.float32)
+    pre = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=3, wedge_offset=1, interpret=True,
+        volume_ring=False, raw_volume=False))
+    raw = np.asarray(guided_filter_wedge_pallas(
+        vol, g, radius=3, wedge_offset=1, interpret=True,
+        volume_ring=False, raw_volume=True))
+    np.testing.assert_array_equal(raw, pre)
+    with pytest.raises(ValueError, match="raw_volume"):
+        guided_filter_wedge_pallas(vol, g, radius=3, interpret=True,
+                                   volume_ring=True, raw_volume=True)
