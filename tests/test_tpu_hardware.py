@@ -340,3 +340,31 @@ def test_fused_wedge_cvf_on_hardware(fixtures):
     dr = np.asarray(winner_takes_all(ref_vol))
     dg = np.asarray(winner_takes_all(got_vol))
     assert (dr == dg).mean() > 0.995
+
+
+def test_cvf_layouts_on_hardware(fixtures):
+    """Round-5 kernel layouts compile through Mosaic on the chip and
+    agree: the raw-volume refs layout (clamped index maps, in-VMEM
+    pad/mask/row-gate) must be bit-equal to the pre-padded refs layout,
+    and the W-chunked kernel (the HD fallback) must track the XLA wedge
+    path through its cross-chunk column halos."""
+    import jax
+    from stereomatch_tpu.ops import cvf as cvf_mod
+    from stereomatch_tpu.ops.cvf_pallas import (
+        guided_filter_wedge_chunked_pallas, guided_filter_wedge_pallas)
+    D, left, right, vol, _, _ = fixtures
+
+    pre = np.asarray(guided_filter_wedge_pallas(
+        vol, left, radius=4, volume_ring=False, raw_volume=False))
+    raw = np.asarray(guided_filter_wedge_pallas(
+        vol, left, radius=4, volume_ring=False, raw_volume=True))
+    np.testing.assert_array_equal(raw, pre)
+
+    ref = np.asarray(jax.jit(lambda v, g: cvf_mod._filter_body_wedge(
+        v, g, 4, 1e-4, 0))(vol, left))
+    wc = max(8 * (vol.shape[1] // 24), 16)       # force several chunks
+    got = np.asarray(guided_filter_wedge_chunked_pallas(
+        vol, left, radius=4, chunk_width=wc))
+    assert np.array_equal(np.isinf(got), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-5)
