@@ -694,3 +694,31 @@ def test_adaptive_batch_restore_clamps_non_pow2_cap():
         seen.append(b.eff_batch)
     assert b.eff_batch == 6
     assert max(seen) == 6, f"cap overshot the configured batch: {seen}"
+
+
+def test_dtype_auto_resolves_from_warmup_geometry():
+    """--dtype auto picks the measured f32/bf16 crossover from the
+    warmup geometry and aggregation (round 5; requires --warmup)."""
+    from stereomatch_tpu.cli.serve import build_parser, make_server
+
+    args = build_parser().parse_args(
+        ["16", "--port", "0", "--backend", "xla", "--dtype", "auto",
+         "--warmup", "16x24"])
+    srv = make_server(args)
+    try:
+        assert srv.stm_state.args.dtype == "float32"      # teddy-class
+    finally:
+        srv.server_close()
+
+    args = build_parser().parse_args(
+        ["16", "--port", "0", "--backend", "xla", "--dtype", "auto",
+         "-am", "cvf", "--warmup", "16x24"])
+    srv = make_server(args)
+    try:
+        assert srv.stm_state.args.dtype == "bfloat16"     # cvf: always
+    finally:
+        srv.server_close()
+
+    with pytest.raises(ValueError, match="warmup"):
+        make_server(build_parser().parse_args(
+            ["16", "--port", "0", "--dtype", "auto"]))
