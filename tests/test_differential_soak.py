@@ -195,3 +195,43 @@ def test_cvf_differential(seed):
     assert np.array_equal(np.isinf(out), np.isinf(ref))
     mask = np.isfinite(ref)
     np.testing.assert_allclose(out[mask], ref[mask], rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fused_cvf_layouts_differential(seed):
+    """Round-5 fused-kernel layout soak: across random geometries,
+    radii and wedge offsets, the ring, prepadded-refs and raw-volume
+    layouts must agree bit-for-bit with each other (identical
+    arithmetic) and track the XLA wedge path (association-level)."""
+    from stereomatch_tpu.ops.cvf import _filter_body_wedge
+    from stereomatch_tpu.ops.cvf_pallas import guided_filter_wedge_pallas
+
+    rng = np.random.default_rng(1000 + seed)
+    height = int(rng.integers(10, 40))
+    width = int(rng.integers(14, 48))
+    max_disp = int(rng.integers(2, min(width, 20)))
+    radius = int(rng.integers(1, 6))
+    off = int(rng.integers(0, 3))
+    vol = rng.random((height, width, max_disp)).astype(np.float32)
+    x, d = np.meshgrid(np.arange(width), np.arange(max_disp),
+                       indexing="ij")
+    vol[:, x < d + off] = np.inf
+    guide = rng.random((height, width)).astype(np.float32)
+
+    outs = {}
+    for name, kw in (("ring", dict(volume_ring=True)),
+                     ("prepad", dict(volume_ring=False, raw_volume=False)),
+                     ("raw", dict(volume_ring=False, raw_volume=True))):
+        outs[name] = np.asarray(guided_filter_wedge_pallas(
+            vol, guide, radius=radius, wedge_offset=off, interpret=True,
+            **kw))
+    np.testing.assert_array_equal(outs["ring"], outs["prepad"])
+    np.testing.assert_array_equal(outs["prepad"], outs["raw"])
+    import jax.numpy as jnp
+    ref = np.asarray(_filter_body_wedge(jnp.asarray(vol),
+                                        jnp.asarray(guide),
+                                        radius, 1e-4, off))
+    got = outs["raw"]
+    assert np.array_equal(np.isinf(got), np.isinf(ref))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=2e-4, atol=2e-5)
