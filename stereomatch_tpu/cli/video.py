@@ -511,30 +511,13 @@ def main(argv=None) -> int:
     if batched:
         return _run_batched(args, capture, rectifier, headless, out_dir)
 
-    _print_instructions()
-    do_quit = False
-    show_rectified = show_rgb = False
-    pause = False
-    frame_idx = 0
-    ok = True
-
-    while not do_quit:
-        if not pause:
-            ok, cap = capture.read_next()
-        if not ok:
-            break
-        if args.max_frames is not None and frame_idx >= args.max_frames:
-            break
-
-        joined = cap.joined
-        frame0, frame1, _ = cap.to_grayscale()
-
-        if rectifier is not None:
-            frame0, frame1 = (np.asarray(x) for x in
-                              rectifier(frame0, frame1))
-
-        if (args.refine or args.wmf or args.lr_check
-                or args.fgs is not None):
+    def estimate_frame(frame0, frame1):
+        """One frame through the warm pipeline, honoring the refine /
+        post-processing flags (the per-frame analogue of the batched
+        path's stream._build_frame_fn configuration)."""
+        f0 = np.asarray(frame0, np.float32)
+        f1 = np.asarray(frame1, np.float32)
+        if args.refine or args.wmf or args.lr_check or args.fgs is not None:
             kwargs = dict(median=args.refine, subpixel=args.refine)
             if args.pyramid == 0:     # volume-based stages only
                 # (--lr-check/--wmf/--fgs with --pyramid were rejected
@@ -544,59 +527,135 @@ def main(argv=None) -> int:
                     lr_check=args.lr_check, lr_mode=args.lr_mode,
                     weighted_median=args.wmf, wmf_sigma=args.wmf_sigma,
                     fgs_lambda=args.fgs, fgs_sigma=args.fgs_sigma)
-            depthmap = pipeline.estimate_refined(
-                np.asarray(frame0, np.float32),
-                np.asarray(frame1, np.float32), **kwargs)
+            out = pipeline.estimate_refined(f0, f1, **kwargs)
         else:
-            depthmap = pipeline.estimate(np.asarray(frame0, np.float32),
-                                         np.asarray(frame1, np.float32))
+            out = pipeline.estimate(f0, f1)
         if args.speckle:
             from ..ops.refine import filter_speckles
-            depthmap = filter_speckles(depthmap, fill=args.speckle_fill)
-        depthmap = np.asarray(depthmap)
-        rgb_depthmap = colorize_disparity(depthmap, args.max_disparity)
-        frame_idx += 1
+            out = filter_speckles(out, fill=args.speckle_fill)
+        return np.asarray(out)
 
-        if headless:
-            from PIL import Image
-            Image.fromarray(rgb_depthmap).save(
-                out_dir / f"depth_{frame_idx:06d}.png")
-            continue
+    session = _InteractiveSession(capture, rectifier, estimate_frame,
+                                  args.max_disparity, headless, out_dir,
+                                  max_frames=args.max_frames)
+    return session.run()
 
+
+class _InteractiveSession:
+    """Display loop for the unbatched `stm-video` path.
+
+    Keystroke surface matches the reference tool's declared contract
+    (q/h/i/w/e/r — cli_video.py:108-124) but the loop is organized as a
+    dispatch table over toggle state: each key maps to a method, view
+    windows are tracked in a dict so toggling one off tears down exactly
+    its window, and the same object drives the headless PNG-dump mode
+    (where the key surface is inert and frames stream to ``out_dir``).
+    """
+
+    def __init__(self, capture, rectifier, estimate_frame, max_disparity,
+                 headless, out_dir, max_frames=None):
+        self.capture = capture
+        self.rectifier = rectifier
+        self.estimate_frame = estimate_frame
+        self.max_disparity = max_disparity
+        self.headless = headless
+        self.out_dir = out_dir
+        self.max_frames = max_frames
+        self.paused = False
+        self.running = True
+        self.views = {"rgb": False, "rectified": False}
+        self.frames_done = 0
+        self._last = None                  # (joined, frame0, frame1)
+        self._depth = None
+
+    # -- key surface ----------------------------------------------------
+
+    def _key_quit(self):
+        self.running = False
+
+    def _key_help(self):
+        _print_instructions()
+
+    def _key_inspect(self):
+        import matplotlib.pyplot as plt
+        plt.imshow(self._depth)
+        plt.show()
+
+    def _key_toggle_rgb(self):
+        self._toggle_view("rgb")
+
+    def _key_toggle_rectified(self):
+        self._toggle_view("rectified")
+
+    def _key_pause(self):
+        self.paused = not self.paused
+
+    KEYMAP = {"q": _key_quit, "h": _key_help, "i": _key_inspect,
+              "w": _key_toggle_rgb, "e": _key_toggle_rectified,
+              "r": _key_pause}
+
+    def _toggle_view(self, name):
         import cv2
-        if show_rectified:
+        self.views[name] = not self.views[name]
+        if not self.views[name]:
+            cv2.destroyWindow(name)
+
+    # -- frame flow -----------------------------------------------------
+
+    def _next_pair(self):
+        """Capture (or re-serve, when paused) one rectified gray pair."""
+        if self.paused and self._last is not None:
+            return self._last
+        ok, cap = self.capture.read_next()
+        if not ok:
+            return None
+        frame0, frame1, _ = cap.to_grayscale()
+        if self.rectifier is not None:
+            frame0, frame1 = (np.asarray(x) for x in
+                              self.rectifier(frame0, frame1))
+        self._last = (cap.joined, frame0, frame1)
+        return self._last
+
+    def _present(self, joined, frame0, frame1, rgb_depth):
+        import cv2
+        if self.views["rgb"]:
             cv2.imshow("rgb", joined)
-        if show_rgb:
+        if self.views["rectified"]:
             cv2.imshow("rectified", np.hstack([frame0, frame1]))
-        cv2.imshow("depthmap", rgb_depthmap[:, :, ::-1])  # RGB -> BGR
-        key = cv2.waitKey(1)
-        chr_key = chr(key & 0xFF).lower()
-        if chr_key == "q":
-            do_quit = True
-        elif chr_key == "h":
-            _print_instructions()
-        elif chr_key == "i":
-            import matplotlib.pyplot as plt
-            plt.imshow(depthmap)
-            plt.show()
-        elif chr_key == "w":
-            show_rectified = not show_rectified
-            if not show_rectified:
-                cv2.destroyWindow("rgb")
-        elif chr_key == "e":
-            show_rgb = not show_rgb
-            if not show_rgb:
-                cv2.destroyWindow("rectified")
-        elif chr_key == "r":
-            pause = not pause
+        cv2.imshow("depthmap", rgb_depth[:, :, ::-1])      # RGB -> BGR
+        key = chr(cv2.waitKey(1) & 0xFF).lower()
+        handler = self.KEYMAP.get(key)
+        if handler is not None:
+            handler(self)
 
-    capture.close()
-    if not headless:
-        import cv2
-        cv2.destroyAllWindows()
-    else:
-        print(f"Wrote {frame_idx} depthmaps to {out_dir}")
-    return 0
+    def run(self) -> int:
+        from ..utils.viz import colorize_disparity
+        if not self.headless:
+            _print_instructions()
+        while self.running:
+            if (self.max_frames is not None
+                    and self.frames_done >= self.max_frames):
+                break
+            pair = self._next_pair()
+            if pair is None:
+                break
+            joined, frame0, frame1 = pair
+            self._depth = self.estimate_frame(frame0, frame1)
+            rgb_depth = colorize_disparity(self._depth, self.max_disparity)
+            self.frames_done += 1
+            if self.headless:
+                from PIL import Image
+                Image.fromarray(rgb_depth).save(
+                    self.out_dir / f"depth_{self.frames_done:06d}.png")
+            else:
+                self._present(joined, frame0, frame1, rgb_depth)
+        self.capture.close()
+        if self.headless:
+            print(f"Wrote {self.frames_done} depthmaps to {self.out_dir}")
+        else:
+            import cv2
+            cv2.destroyAllWindows()
+        return 0
 
 
 if __name__ == "__main__":
