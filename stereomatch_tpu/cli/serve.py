@@ -681,6 +681,21 @@ class _Batcher:
             out = exc
         self._finish(group, out)
 
+    def close(self):
+        """Stop the worker threads (tests; servers run them for life).
+
+        Idle dispatch workers and the gatherer park on blocking queue
+        gets — post one sentinel per thread.  Letting dozens of test
+        batchers leak ~20 daemon threads each left hundreds of live
+        threads in the suite process, implicated in a native-level
+        crash; explicit teardown keeps the count flat."""
+        self.queue.put(None)                       # wake the gatherer
+        if self.depth > 1:
+            for _ in range(self.workers):
+                self._dispatch_q.put(None)
+        if self._direct_pool is not None:
+            self._direct_pool.shutdown(wait=True, cancel_futures=True)
+
     def _dispatch_loop(self):
         """One worker = one batch's full device round trip at a time.
 
@@ -691,6 +706,8 @@ class _Batcher:
         lacked (docs/serving.md rounds 3-5)."""
         while True:
             group = self._dispatch_q.get()
+            if group is None:                      # close() sentinel
+                return
             n = len(group)
             with self._cap_cv:
                 # Frame-based backpressure (see __init__); a group alone
@@ -725,6 +742,8 @@ class _Batcher:
         batch would degenerate to size 1 exactly in the overload regime
         batching exists for."""
         job = parked.pop(0) if parked else self.queue.get()
+        if job is None:                            # close() sentinel
+            return None
         key = job.key
         group = [job]
         deadline = job.t0 + self.linger
@@ -740,6 +759,9 @@ class _Batcher:
                        else self.queue.get(timeout=remaining))
             except queue.Empty:
                 break
+            if nxt is None:                        # close() sentinel:
+                self.queue.put(None)               # re-post for _loop
+                break
             if nxt.key == key:
                 group.append(nxt)
             else:
@@ -750,6 +772,8 @@ class _Batcher:
         parked = []
         while True:
             group = self._gather(parked)
+            if group is None:                      # close() sentinel
+                return
             if self.depth <= 1:
                 self._run(group)
                 continue
@@ -1022,6 +1046,17 @@ def make_server(args) -> ThreadingHTTPServer:
     server = ThreadingHTTPServer((args.host, args.port),
                                  _make_handler(state))
     server.stm_state = state            # introspection / test seam
+    if state.batcher is not None:
+        # server_close also stops the batcher's worker threads (tests
+        # build many servers; leaked daemons implicated in a native
+        # crash under the full suite).
+        orig_close = server.server_close
+
+        def _close_all():
+            orig_close()
+            state.batcher.close()
+
+        server.server_close = _close_all
     return server
 
 

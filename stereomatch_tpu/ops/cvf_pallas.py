@@ -539,15 +539,24 @@ def _chunk_vmem_bytes(chunk_width: int, max_disp: int, radius: int,
 
 def pick_chunk_width(width: int, max_disp: int, radius: int,
                      itemsize: int):
-    """Largest multiple-of-8 chunk width whose working set fits; None
-    when even 64 columns do not (give up on the chunked kernel)."""
-    wc = min(_pad_to(width, 8), 512)
+    """Chunk width for the W-chunked kernel; None when even 64 columns
+    do not fit (give up on the chunked kernel).
+
+    Preference (chip-measured at HD, cvf_wc sweep r5): an EXACT divisor
+    of the width up to 256 — ragged last chunks waste columns and wider
+    chunks pay VMEM pressure (bf16 HD: wc 256 = 26.98 ms vs 320 =
+    28.65, 288 = 29.33) — then the largest fitting multiple of 8."""
+    best_div = None
+    wc = min(_pad_to(width, 8), 256)
     while wc >= 64:
-        if _chunk_vmem_bytes(wc, max_disp, radius,
-                             itemsize) <= _VMEM_CEILING:
-            return wc
+        if (_chunk_vmem_bytes(wc, max_disp, radius, itemsize)
+                <= _VMEM_CEILING):
+            if width % wc == 0:
+                return wc
+            if best_div is None:
+                best_div = wc            # largest fitting, ragged
         wc -= 8
-    return None
+    return best_div
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps",

@@ -372,9 +372,14 @@ class StreamingEstimator:
             yield from self._run_loop(capture, max_frames, fetcher,
                                       pending, lefts_buf, rights_buf, done)
         finally:
-            # Consumer may abandon the generator early (stm-video 'q');
-            # don't leave a non-daemon fetch thread pinning exit.
-            fetcher.shutdown(wait=False, cancel_futures=True)
+            # Consumer may abandon the generator early (stm-video 'q'):
+            # cancel queued fetches, but WAIT for the running ones — an
+            # abandoned np.asarray executing while the caller tears
+            # down/rebuilds jax state is a native-level race (a pure-C
+            # XLA thread segfaulted exactly there in the round-5 suite).
+            # On normal completion every future is already resolved, so
+            # the wait costs nothing.
+            fetcher.shutdown(wait=True, cancel_futures=True)
             self.stats.seconds = time.perf_counter() - self.stats._start
 
     def _run_loop(self, capture, max_frames, fetcher, pending,

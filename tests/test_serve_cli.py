@@ -13,6 +13,28 @@ from .conftest import STM_MAX_DISPARITY, synthetic_stereo_pair
 
 D = STM_MAX_DISPARITY
 
+_LIVE_BATCHERS = []
+
+
+def _make_batcher(args):
+    """Direct _Batcher for unit tests, auto-closed after each test —
+    leaked worker daemons across the suite were implicated in a
+    native-level crash (round 5)."""
+    from stereomatch_tpu.cli.serve import _Batcher
+    b = _Batcher(args)
+    _LIVE_BATCHERS.append(b)
+    return b
+
+
+@pytest.fixture(autouse=True)
+def _close_direct_batchers():
+    yield
+    while _LIVE_BATCHERS:
+        try:
+            _LIVE_BATCHERS.pop().close()
+        except Exception:
+            pass
+
 
 @pytest.fixture(scope="module")
 def server():
@@ -249,7 +271,7 @@ def test_batcher_warmup_compiles_all_buckets():
     from stereomatch_tpu.cli.serve import _Batcher, build_parser
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "4", "--linger-ms", "0"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     z = np.zeros((16, 32), np.float32)
     batcher.warmup(z, z)
     assert batcher.batches == 0 and batcher.batched_frames == 0
@@ -266,7 +288,7 @@ def test_batcher_request_timeout():
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "2",
          "--request-timeout-s", "0.2", "--linger-ms", "0"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
 
     # Stall the worker with a job whose _fn blocks.
     import time as _time
@@ -291,7 +313,7 @@ def test_batcher_pyramid_mode_matches_pyramid_pipeline():
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "2", "--pyramid", "2",
          "--linger-ms", "0"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     left, right, _ = synthetic_stereo_pair(32, 48, D, seed=5)
     out = batcher.estimate(left.astype(np.float32),
                            right.astype(np.float32), refine=False)
@@ -306,7 +328,7 @@ def test_batcher_mixed_keys_all_served():
     from stereomatch_tpu.cli.serve import _Batcher, build_parser
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "4", "--linger-ms", "50"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     shapes = [(24, 40), (32, 48)]
     jobs = []
     for i in range(8):
@@ -349,7 +371,7 @@ def test_batcher_mesh_mode_matches_single_chip():
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "4", "--mesh",
          "--linger-ms", "50"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     left, right, _ = synthetic_stereo_pair(32, 48, D, seed=7)
     left, right = left.astype(np.float32), right.astype(np.float32)
     out = np.asarray(batcher.estimate(left, right, refine=False))
@@ -386,7 +408,7 @@ def test_batcher_pipeline_depths_match(depth):
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "2", "--linger-ms", "20",
          "--pipeline-depth", str(depth)])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     left, right, _ = synthetic_stereo_pair(24, 40, D, seed=5)
     left, right = left.astype(np.float32), right.astype(np.float32)
     pipe = create_pipeline("census", "wta", "sgm", max_disparity=D,
@@ -419,7 +441,7 @@ def test_batcher_pipelined_dispatch_error_fans_out():
     from stereomatch_tpu.cli.serve import _Batcher, build_parser
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "2", "--linger-ms", "10"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     left, right, _ = synthetic_stereo_pair(24, 40, D, seed=6)
     left, right = left.astype(np.float32), right.astype(np.float32)
 
@@ -441,7 +463,7 @@ def test_batcher_coalesces_backlog_past_linger():
     from stereomatch_tpu.cli.serve import _Batcher, build_parser
     args = build_parser().parse_args(
         [str(D), "--backend", "xla", "--batch", "4", "--linger-ms", "0"])
-    batcher = _Batcher(args)
+    batcher = _make_batcher(args)
     left, right, _ = synthetic_stereo_pair(24, 40, D, seed=8)
     left, right = left.astype(np.float32), right.astype(np.float32)
 
